@@ -1,0 +1,29 @@
+from .canonicalize import (
+    CANONICAL_SCHEMA,
+    apply_mapping,
+    canonicalize,
+    drop_null_fields,
+    tag,
+    try_cast_columns,
+)
+from .timeseries import (
+    counts_by_day,
+    date_spine,
+    epoch_day_bucket,
+    pivot_by_type,
+    resample_daily,
+)
+
+__all__ = [
+    "CANONICAL_SCHEMA",
+    "apply_mapping",
+    "canonicalize",
+    "drop_null_fields",
+    "tag",
+    "try_cast_columns",
+    "counts_by_day",
+    "date_spine",
+    "epoch_day_bucket",
+    "pivot_by_type",
+    "resample_daily",
+]

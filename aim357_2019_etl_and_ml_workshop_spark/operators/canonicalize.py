@@ -1,0 +1,133 @@
+"""Canonicalization operators (SURVEY.md P1-P4, §3.1).
+
+The reference's three Glue ETL jobs (etl/2019reinvent_yellow.py,
+2019reinvent_green.py, 2019reinvent_fhv.py) normalize heterogeneous raw CSV
+schemas into one canonical table:
+
+    vendorid string, pickup_datetime ts, dropoff_datetime ts,
+    pulocationid long, dolocationid long, type string
+
+Here that is a single declarative DataFrame plan — no DynamicFrame IR switch.
+Each Glue transform maps to a Catalyst-friendly equivalent:
+
+- ApplyMapping (yellow.py:28)      -> ``apply_mapping`` (select + cast + alias;
+  column pruning is explicit AND Catalyst-pushed to the scan)
+- ResolveChoice make_struct (yellow.py:33) -> ``try_cast_columns``: tolerant
+  cast, bad values -> NULL. The reference's choice-struct is immediately
+  flattened to the declared canonical schema anyway
+  (GluePySparkMLFeatureEngineering.rst:75-81), so null-on-error casting is
+  behaviorally equivalent on the canonical path; divergence documented here.
+- DropNullFields (yellow.py:38)    -> ``drop_null_fields``: drop columns that
+  are null in ALL rows (one extra agg job; at 100TB gate it behind a flag or
+  run it on a sample — it exists for schema-hygiene parity, not correctness).
+- withColumn(type, lit) (yellow.py:43) -> ``tag``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Output contract: GluePySparkMLFeatureEngineering.rst:75-81.
+CANONICAL_SCHEMA = [
+    ("vendorid", "string"),
+    ("pickup_datetime", "timestamp"),
+    ("dropoff_datetime", "timestamp"),
+    ("pulocationid", "bigint"),
+    ("dolocationid", "bigint"),
+    ("type", "string"),
+]
+
+# (source column, canonical column, canonical type) per source kind, mirroring
+# the ApplyMapping tuples at yellow.py:28 / green.py:29 / fhv.py:29.
+SOURCE_MAPPINGS: dict[str, list[tuple[str, str, str]]] = {
+    "yellow": [
+        ("vendorid", "vendorid", "string"),  # deliberate long->string cast
+        ("tpep_pickup_datetime", "pickup_datetime", "timestamp"),
+        ("tpep_dropoff_datetime", "dropoff_datetime", "timestamp"),
+        ("pulocationid", "pulocationid", "bigint"),
+        ("dolocationid", "dolocationid", "bigint"),
+    ],
+    "green": [
+        ("vendorid", "vendorid", "string"),
+        ("lpep_pickup_datetime", "pickup_datetime", "timestamp"),
+        ("lpep_dropoff_datetime", "dropoff_datetime", "timestamp"),
+        ("pulocationid", "pulocationid", "bigint"),
+        ("dolocationid", "dolocationid", "bigint"),
+    ],
+    "fhv": [
+        # fhv has no vendorid; canonicalize() overwrites with lit('fhv')
+        # (fhv.py:44-45).
+        ("pickup_datetime", "pickup_datetime", "timestamp"),
+        ("dropoff_datetime", "dropoff_datetime", "timestamp"),
+        ("pulocationid", "pulocationid", "bigint"),
+        ("dolocationid", "dolocationid", "bigint"),
+    ],
+}
+
+
+def apply_mapping(df: DataFrame, mapping: list[tuple[str, str, str]]) -> DataFrame:
+    """Project + rename + tolerant cast in one select (P1+P2).
+
+    With ANSI off, ``cast`` nulls unparseable values — Glue ApplyMapping /
+    DuckDB TRY_CAST semantics. One select keeps the plan a single Project
+    node over the scan, so Catalyst prunes unused source columns at the
+    reader (ReadSchema shows only mapped columns)."""
+    exprs = [F.col(src).cast(typ).alias(dst) for src, dst, typ in mapping]
+    return df.select(*exprs)
+
+
+def try_cast_columns(df: DataFrame, casts: dict[str, str]) -> DataFrame:
+    """ResolveChoice-equivalent (P2) as a standalone op: cast named columns
+    to declared types, bad values -> NULL, other columns untouched."""
+    return df.select(
+        *[
+            F.col(c).cast(casts[c]).alias(c) if c in casts else F.col(c)
+            for c in df.columns
+        ]
+    )
+
+
+def find_all_null_columns(df: DataFrame) -> list[str]:
+    """One aggregation pass: count(col) == 0 -> column is entirely null.
+    count() ignores nulls, so this is exactly Glue's DropNullFields scope
+    (all-null COLUMNS, not rows). Single job, map-side partial agg."""
+    if not df.columns:
+        return []
+    counts = df.agg(
+        *[F.count(F.col(c)).alias(c) for c in df.columns]
+    ).first()
+    return [c for c in df.columns if counts[c] == 0]
+
+
+def drop_null_fields(df: DataFrame) -> DataFrame:
+    """DropNullFields (P3): drop columns whose values are null in all rows
+    (yellow.py:38). Costs one extra pass over the data; at 100TB prefer
+    running it on a bounded sample or pre-known schema."""
+    null_cols = find_all_null_columns(df)
+    return df.drop(*null_cols) if null_cols else df
+
+
+def tag(df: DataFrame, column: str, value: str) -> DataFrame:
+    """Constant-literal provenance column, overwriting if present (P4;
+    yellow.py:43, fhv.py:44-45)."""
+    return df.withColumn(column, F.lit(value))
+
+
+def canonicalize(df: DataFrame, source_kind: str, drop_all_null: bool = True) -> DataFrame:
+    """Full per-source canonicalize plan (SURVEY.md §3.1 new-engine mapping):
+    select/cast/alias -> [drop all-null cols] -> tag type -> canonical order.
+
+    For fhv, ``vendorid`` is the literal 'fhv' (fhv.py:45)."""
+    if source_kind not in SOURCE_MAPPINGS:
+        raise ValueError(f"unknown source kind {source_kind!r}")
+    out = apply_mapping(df, SOURCE_MAPPINGS[source_kind])
+    if drop_all_null:
+        out = drop_null_fields(out)
+    if source_kind == "fhv":
+        out = tag(out, "vendorid", "fhv")
+    out = tag(out, "type", source_kind)
+    # Stable canonical column order; tolerate columns removed by
+    # drop_null_fields (they were all-null anyway).
+    cols = [c for c, _ in CANONICAL_SCHEMA if c in out.columns]
+    return out.select(*cols)

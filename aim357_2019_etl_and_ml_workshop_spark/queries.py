@@ -1,0 +1,877 @@
+"""Conformance query registry (SURVEY.md §2 inventory -> driver testdata).
+
+Every entry is one declared operator/query shape from the reference,
+re-expressed as an idiomatic DataFrame plan over the driver's TPC-H-ish
+tables (FIXTURES.md §B mapping), paired with ANSI SQL that DuckDB runs on
+the same parquet for the hash-match gate.
+
+Determinism rules (SURVEY.md §5.2):
+- every computed column is aliased identically in Spark and SQL;
+- money sums go through DECIMAL so the aggregate is exact (order-independent)
+  in both engines, then cast to DOUBLE for a stable output type;
+- sums of integral doubles (quantities, counts) are exact in IEEE754 already;
+- DuckDB's HUGEINT sums of integers are CAST back to BIGINT to match Spark;
+- session timezone pinned UTC (session.pin_session_conf).
+
+Float policy: never hash a float produced by a non-deterministic-order
+reduction — either make the reduction exact (decimal / integral) or round a
+deterministic scalar expression.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from .operators.timeseries import (
+    SECONDS_PER_DAY,
+    date_spine,
+    epoch_bounds,
+    with_epoch,
+)
+from .session import pin_session_conf
+from .sources.io import read_testdata
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+# Small English-ish stopword set used by text-quality + lang-id heuristics.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "on"],
+    "de": ["der", "die", "das", "und", "ist", "ein"],
+    "es": ["el", "la", "de", "y", "es", "un"],
+    "fr": ["le", "la", "de", "et", "est", "un"],
+    "zh": ["de5", "shi4", "le5"],  # romanized placeholders; heuristic only
+}
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+_REGISTRY: dict[str, QueryFn] = {}
+_ORACLE: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            pin_session_conf(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        _REGISTRY[name] = wrapped
+        if oracle is not None:
+            _ORACLE[name] = oracle
+        return wrapped
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(_REGISTRY)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLE)
+
+
+def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return read_testdata(spark, sf_dir, table)
+
+
+def _count(df: DataFrame, alias: str = "n") -> Column:
+    return F.count(F.lit(1)).alias(alias)
+
+
+def _dec(c: str, p: int = 18, s: int = 4) -> Column:
+    """Exact-money path: double -> decimal before aggregation so the sum is
+    order-independent and hash-stable across engines."""
+    return F.col(c).cast(f"decimal({p},{s})")
+
+
+# ---------------------------------------------------------------------------
+# Flagship: the reference's signature query shape (SURVEY.md §7.2) on events
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "flagship_daily_type_counts",
+    """
+    SELECT event_type,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS date,
+           count(*) AS ride_count
+    FROM events
+    WHERE ts > TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-25'
+    GROUP BY 1, 2
+    """,
+)
+def flagship_daily_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ride-count-per-type-per-day with strict range bounds — the signature
+    query (DataDiscoveryAndConversation.rst:319; bounds semantics
+    GluePySparkMLFeatureEngineering.rst:132-135: strict > and <)."""
+    ev = _t(spark, sf_dir, "events")
+    lo = F.lit("2024-01-05").cast("timestamp")
+    hi = F.lit("2024-01-25").cast("timestamp")
+    return (
+        ev.where((F.col("ts") > lo) & (F.col("ts") < hi))
+        .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("date"))
+        .agg(_count(ev, "ride_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scans / counts / set ops (S8, A1, A2, U1)
+# ---------------------------------------------------------------------------
+
+
+@register("global_count", "SELECT count(*) AS n FROM lineitem")
+def global_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/S8: global COUNT(*) (GluePySparkMLFeatureEngineering.rst:62)."""
+    return _t(spark, sf_dir, "lineitem").agg(_count(None))
+
+
+@register(
+    "union_tagged_counts",
+    """
+    SELECT 'customer' AS src, count(*) AS n FROM customer
+    UNION ALL SELECT 'supplier' AS src, count(*) AS n FROM supplier
+    UNION ALL SELECT 'part' AS src, count(*) AS n FROM part
+    """,
+)
+def union_tagged_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: 3-way UNION ALL of tagged counts
+    (DataDiscoveryAndConversation.rst:168-171)."""
+
+    def tagged(table: str) -> DataFrame:
+        return (
+            _t(spark, sf_dir, table)
+            .agg(_count(None))
+            .select(F.lit(table).alias("src"), F.col("n"))
+        )
+
+    return tagged("customer").union(tagged("supplier")).union(tagged("part"))
+
+
+@register(
+    "group_by_event_type",
+    "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+)
+def group_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: GROUP BY single key + COUNT (DataDiscoveryAndConversation.rst:291)."""
+    return _t(spark, sf_dir, "events").groupBy("event_type").agg(_count(None))
+
+
+@register(
+    "counts_by_day",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def counts_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: GROUP BY computed day-trunc expression
+    (DataDiscoveryAndConversation.rst:319,636)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(_count(None))
+    )
+
+
+@register(
+    "counts_by_day_type",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+           count(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def counts_by_day_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: multi-key GROUP BY (GluePySparkMLFeatureEngineering.rst:218)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"), F.col("event_type"))
+        .agg(_count(None))
+    )
+
+
+@register(
+    "pivot_daily_by_type",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN 1 END), 0) AS BIGINT) AS click,
+           CAST(coalesce(sum(CASE WHEN event_type = 'error' THEN 1 END), 0) AS BIGINT) AS error,
+           CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS BIGINT) AS purchase,
+           CAST(coalesce(sum(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS BIGINT) AS signup,
+           CAST(coalesce(sum(CASE WHEN event_type = 'view' THEN 1 END), 0) AS BIGINT) AS view
+    FROM events GROUP BY 1
+    """,
+)
+def pivot_daily_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: pivot with an EXPLICIT sorted value list — skips the
+    distinct-values pre-scan and pins column order
+    (GluePySparkMLFeatureEngineering.rst:252-254; SURVEY.md §4.1)."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"), F.col("event_type")
+    ).agg(_count(None, "cnt"))
+    return (
+        base.groupBy("day")
+        .pivot("event_type", EVENT_TYPES)
+        .sum("cnt")
+        .na.fill(0, EVENT_TYPES)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Filters / predicates / projection (P1, P6-P9)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "strict_range_rows",
+    """
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events
+    WHERE ts > TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-12'
+    """,
+)
+def strict_range_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6/P9: strict-inequality timestamp range, full-width passthrough
+    (GluePySparkMLFeatureEngineering.rst:132-135). The predicate is pushed
+    into the parquet scan (PushedFilters)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.where(
+        (F.col("ts") > F.lit("2024-01-10").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-12").cast("timestamp"))
+    ).select("event_id", "ts", "user_id", "event_type", "value")
+
+
+@register(
+    "upper_bound_sanity_count",
+    "SELECT count(*) AS n FROM events WHERE ts < TIMESTAMP '2099-12-31'",
+)
+def upper_bound_sanity_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7: upper-bound sanity filter (DataDiscoveryAndConversation.rst:319)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .where(F.col("ts") < F.lit("2099-12-31").cast("timestamp"))
+        .agg(_count(None))
+    )
+
+
+@register(
+    "like_prefix_filter",
+    """
+    SELECT event_id, event_type FROM events
+    WHERE CAST(ts AS VARCHAR) LIKE '2024-01-0%'
+    """,
+)
+def like_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8: LIKE prefix predicate on a stringified timestamp
+    (DataDiscoveryAndConversation.rst:454, `LIKE '2088%'`)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.where(F.col("ts").cast("string").like("2024-01-0%")).select(
+        "event_id", "event_type"
+    )
+
+
+@register(
+    "project_rename_cast",
+    """
+    SELECT CAST(o_orderkey AS VARCHAR) AS id, o_orderdate AS ts,
+           o_orderpriority AS priority
+    FROM orders
+    """,
+)
+def project_rename_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: ApplyMapping shape — project + rename + cast in one select,
+    incl. the deliberate numeric-id -> string cast (yellow.py:28)."""
+    return _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("id"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Epoch bucketing + date spine + gap-fill resample (F2, J1-J3, F10)
+# ---------------------------------------------------------------------------
+
+_EPOCH_SQL = "CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) * 86400"
+
+
+@register(
+    "epoch_bucket_counts",
+    f"SELECT {_EPOCH_SQL} AS epoch, count(*) AS n FROM events GROUP BY 1",
+)
+def epoch_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: the reference's exact epoch day-bucket arithmetic
+    (GluePySparkMLFeatureEngineering.rst:161-165)."""
+    return (
+        with_epoch(_t(spark, sf_dir, "events"), "ts")
+        .groupBy("epoch")
+        .agg(_count(None))
+    )
+
+
+@register(
+    "min_max_epoch_bounds",
+    f"""
+    WITH f AS (SELECT {_EPOCH_SQL} AS epoch FROM events)
+    SELECT min(epoch) AS lo, max(epoch) AS hi FROM f
+    """,
+)
+def min_max_epoch_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/J3: global min/max bounds (GluePySparkMLFeatureEngineering.rst:167)."""
+    return with_epoch(_t(spark, sf_dir, "events"), "ts").agg(
+        F.min("epoch").alias("lo"), F.max("epoch").alias("hi")
+    )
+
+
+@register(
+    "date_spine",
+    f"""
+    WITH f AS (SELECT {_EPOCH_SQL} AS epoch FROM events),
+         b AS (SELECT min(epoch) AS lo, max(epoch) AS hi FROM f)
+    SELECT unnest(generate_series(lo, hi, 86400)) AS epoch FROM b
+    """,
+)
+def date_spine_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2+J3: generated daily spine between observed bounds
+    (GluePySparkMLFeatureEngineering.rst:170-172). spark.range is a
+    generated leaf — nothing is scanned or shuffled."""
+    facts = with_epoch(_t(spark, sf_dir, "events"), "ts")
+    lo, hi = epoch_bounds(facts)
+    return date_spine(spark, lo, hi)
+
+
+@register(
+    "spine_left_join_gapfill",
+    f"""
+    WITH f AS (SELECT {_EPOCH_SQL} AS epoch, event_type, user_id FROM events),
+         b AS (SELECT min(epoch) AS lo, max(epoch) AS hi FROM f),
+         spine AS (SELECT unnest(generate_series(lo, hi, 86400)) AS epoch FROM b),
+         d AS (
+             SELECT epoch, count(*) AS n FROM f
+             WHERE event_type = 'purchase' AND user_id % 7 = 0
+             GROUP BY epoch
+         )
+    SELECT s.epoch AS epoch, CAST(coalesce(d.n, 0) AS BIGINT) AS n
+    FROM spine s LEFT JOIN d USING (epoch)
+    """,
+)
+def spine_left_join_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1+F10: spine LEFT JOIN daily counts; gap days survive as NULL and are
+    zero-filled (GluePySparkMLFeatureEngineering.rst:174-181,631). The fact
+    table is reduced to per-day counts BEFORE the join (map-side partial
+    agg), and the aggregate — the non-preserved side — is broadcast, so the
+    outer join is a broadcast hash join with no fact-side shuffle."""
+    facts = with_epoch(_t(spark, sf_dir, "events"), "ts")
+    lo, hi = epoch_bounds(facts)
+    spine = date_spine(spark, lo, hi)
+    d = (
+        facts.where((F.col("event_type") == "purchase") & (F.col("user_id") % 7 == 0))
+        .groupBy("epoch")
+        .agg(_count(None))
+    )
+    return spine.join(F.broadcast(d), "epoch", "left").select(
+        "epoch", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits / joins / set ops (O1-O2, J4-J5, U2)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "order_limit_topk",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    """,
+)
+def order_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1+O2: global sort + limit, total order via unique-key tiebreak.
+    Spark executes this as TakeOrderedAndProject — no full global sort."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "inner_join_daily",
+    """
+    WITH a AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS n_click
+        FROM events WHERE event_type = 'click' GROUP BY 1
+    ), b AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS n_purchase
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT a.day AS day, a.n_click, b.n_purchase FROM a JOIN b USING (day)
+    """,
+)
+def inner_join_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: inner equi-join of two daily series on the day key — the engine-side
+    version of the reference's pandas index join
+    (GluePySparkMLFeatureEngineering.rst:603,630)."""
+    ev = _t(spark, sf_dir, "events")
+
+    def daily(kind: str, alias: str) -> DataFrame:
+        return (
+            ev.where(F.col("event_type") == kind)
+            .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+            .agg(_count(None, alias))
+        )
+
+    return daily("click", "n_click").join(daily("purchase", "n_purchase"), "day")
+
+
+@register(
+    "union_by_name",
+    """
+    SELECT o_orderkey AS id, o_totalprice AS price
+    FROM orders WHERE o_orderstatus = 'F'
+    UNION ALL BY NAME
+    SELECT o_orderkey AS id, o_orderpriority AS priority
+    FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2/J5: union of heterogeneous frames; missing columns -> NULL
+    (pd.concat(sort=False) at DataDiscoveryAndConversation.rst:668)."""
+    orders = _t(spark, sf_dir, "orders")
+    f1 = orders.where(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderkey").alias("id"), F.col("o_totalprice").alias("price")
+    )
+    f2 = orders.where(F.col("o_orderstatus") == "O").select(
+        F.col("o_orderkey").alias("id"), F.col("o_orderpriority").alias("priority")
+    )
+    return f1.unionByName(f2, allowMissingColumns=True)
+
+
+# ---------------------------------------------------------------------------
+# Window functions (§2.5 additive) + streaming generalization (§2.9)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_daily_diff",
+    """
+    WITH d AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS n
+        FROM events GROUP BY 1
+    )
+    SELECT day, n, n - lag(n) OVER (ORDER BY day) AS diff FROM d
+    """,
+)
+def window_daily_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window lag diff over the daily series (SURVEY.md §2.5 — additive).
+    The single-partition window is safe: input is the post-aggregation
+    daily series (~tens of rows), not the fact table."""
+    d = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(_count(None))
+    )
+    w = Window.orderBy("day")
+    return d.select(
+        "day", "n", (F.col("n") - F.lag("n").over(w)).alias("diff")
+    )
+
+
+@register(
+    "tumbling_hourly_counts",
+    """
+    SELECT make_timestamp(CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT) * 3600 * 1000000) AS bucket,
+           count(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def tumbling_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9: tumbling-window counts via F.window — the batch twin of the
+    Structured Streaming windowed count (same operator in streaming mode is
+    exercised in tests/test_streaming.py). Windows align to the epoch
+    origin under UTC."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(_count(None))
+        .select(F.col("w.start").alias("bucket"), "n")
+    )
+
+
+@register(
+    "top3_per_status",
+    """
+    SELECT o_orderstatus, o_orderkey, o_totalprice FROM (
+        SELECT o_orderstatus, o_orderkey, o_totalprice,
+               row_number() OVER (
+                   PARTITION BY o_orderstatus
+                   ORDER BY o_totalprice DESC, o_orderkey
+               ) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def top3_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group via ranked window — scale-safe top-k (partial top-k
+    per partition under AQE, no global sort of the fact table)."""
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_orderstatus",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-join aggregates (exactness via decimal) — the TPC-H-ish backbone
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(8,4))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(8,4)) * CAST(1 + l_tax AS DECIMAL(8,4))) AS DOUBLE) AS sum_charge,
+           sum(l_quantity) / count(*) AS avg_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_price,
+           CAST(sum(CAST(l_discount AS DECIMAL(8,6))) AS DOUBLE) / count(*) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped pricing summary — the groupBy-many-aggs workhorse.
+    Money aggregates run in DECIMAL (exact, order-independent) and are cast
+    to DOUBLE at the end; quantity sums are integral doubles (exact)."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    ep = _dec("l_extendedprice", 12, 4)
+    disc = (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)")
+    tax = (F.lit(1) + F.col("l_tax")).cast("decimal(8,4)")
+    n = F.count(F.lit(1))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.sum(_dec("l_extendedprice", 18, 4)).cast("double").alias("sum_base_price"),
+        F.sum(ep * disc).cast("double").alias("sum_disc_price"),
+        F.sum(ep * disc * tax).cast("double").alias("sum_charge"),
+        (F.sum("l_quantity") / n).alias("avg_qty"),
+        (F.sum(_dec("l_extendedprice", 18, 4)).cast("double") / n).alias("avg_price"),
+        (F.sum(F.col("l_discount").cast("decimal(8,6)")).cast("double") / n).alias(
+            "avg_disc"
+        ),
+        n.alias("count_order"),
+    )
+
+
+@register(
+    "revenue_by_region",
+    """
+    SELECT r_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(8,4))) AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5-shaped multi-join aggregate. Dimension tables (region/nation/
+    customer) are broadcast — only the lineitem->orders join can shuffle, and
+    AQE picks the strategy at runtime. Revenue is decimal-exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    region = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    rev = _dec("l_extendedprice", 12, 4) * (F.lit(1) - F.col("l_discount")).cast(
+        "decimal(8,4)"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"), _count(None, "n_items"))
+    )
+
+
+@register(
+    "customer_order_stats",
+    """
+    SELECT c_custkey, count(o_orderkey) AS n_orders,
+           CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,4))), 0) AS DOUBLE) AS total_spend
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey
+    """,
+)
+def customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join + grouped agg with null-group handling (customers
+    with no orders -> 0)."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", _dec("o_totalprice", 18, 4).alias("o_price_dec")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum("o_price_dec"), F.lit(0))
+            .cast("double")
+            .alias("total_spend"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON / semi-structured (props column)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "json_extract_sum",
+    """
+    SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def json_extract_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured path: JSON field extraction + tolerant cast (P2-style
+    try-cast: bad/missing values -> NULL, ignored by sum)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("k_sum"), _count(None)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup / text analysis over documents (SURVEY.md §2.12)
+# ---------------------------------------------------------------------------
+
+_NORM_SQL = "lower(regexp_replace(text, '\\s+', ' ', 'g'))"
+
+
+@register(
+    "dedup_distinct_pairs",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+def dedup_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via DISTINCT (hash aggregate, map-side partial)."""
+    return _t(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+
+
+@register(
+    "dedup_docs_fingerprint",
+    f"""
+    SELECT md5({_NORM_SQL}) AS fp, min(doc_id) AS doc_id, count(*) AS n
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup-canonicalization: group by md5 of normalized text,
+    keep lowest doc_id as canonical. Hash-groupBy scales linearly; the md5
+    is computed JVM-side (no UDF)."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
+    return docs.groupBy(F.md5(norm).alias("fp")).agg(
+        F.min("doc_id").alias("doc_id"), _count(None)
+    )
+
+
+@register(
+    "token_count",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER) AS n_tokens
+    FROM documents
+    """,
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting (text-analysis surface, SURVEY.md §2.12)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+    )
+
+
+@register(
+    "text_quality",
+    """
+    SELECT doc_id,
+           CAST(length(text) AS INTEGER) AS n_chars_calc,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER) AS n_tokens,
+           round(
+             CAST(len(list_filter(string_split(lower(text), ' '),
+                       t -> t IN ('the','a','of','and','to','in','is','on'))) AS DOUBLE)
+             / len(regexp_split_to_array(trim(text), '\\s+')), 4) AS stop_ratio
+    FROM documents
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: char length, token count, stopword ratio — all
+    JVM-side higher-order array functions, no Python in the row path."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    lower_toks = F.split(F.lower(F.col("text")), " ")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
+    n_stop = F.size(F.filter(lower_toks, lambda t: F.array_contains(stop_arr, t)))
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_calc"),
+        F.size(toks).alias("n_tokens"),
+        F.round(n_stop.cast("double") / F.size(toks), 4).alias("stop_ratio"),
+    )
+
+
+@register(
+    "ngram_jaccard_pairs",
+    """
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), s AS (
+        SELECT DISTINCT doc_id,
+               toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+        FROM t, LATERAL unnest(generate_series(1, len(toks) - 2)) AS g(i)
+    ), sz AS (
+        SELECT doc_id, count(*) AS sz FROM s GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(inter / (za.sz + zb.sz - inter), 6) AS jaccard
+    FROM inter
+    JOIN sz za ON za.doc_id = doc_a
+    JOIN sz zb ON zb.doc_id = doc_b
+    WHERE inter / (za.sz + zb.sz - inter) >= 0.05
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard similarity join — the exact-oracle twin of
+    MinHash near-dedup (the MinHash path is the 100TB strategy; this exact
+    version is quadratic in shared shingles and serves as its ground truth).
+    Shingle explode -> self-equi-join on shingle -> per-pair intersection
+    counts -> Jaccard."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    shingles = F.array_distinct(
+        F.expr(
+            "transform(sequence(0, size(split(text, ' ')) - 3),"
+            " i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1],"
+            " split(text, ' ')[i+2]))"
+        )
+    )
+    s = docs.select("doc_id", F.explode(shingles).alias("sh"))
+    sz = s.groupBy("doc_id").agg(_count(None, "sz"))
+    a = s.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = s.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(_count(None, "inter"))
+    )
+    za = sz.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    zb = sz.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    return (
+        inter.join(F.broadcast(za), "doc_a")
+        .join(F.broadcast(zb), "doc_b")
+        .where(jac >= 0.05)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@register(
+    "embedding_cosine_topk",
+    """
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), q AS (
+        SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 50 = 0
+    ), p AS (
+        SELECT q_id, e.vec_id AS c_id,
+               round(list_dot_product(qv, v)
+                     / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))),
+                     6) AS sim
+        FROM q, e WHERE e.vec_id <> q_id
+    )
+    SELECT q_id, c_id, sim FROM (
+        SELECT q_id, c_id, sim,
+               row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rn
+        FROM p
+    ) WHERE rn <= 5
+    """,
+)
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k ANN baseline (SURVEY.md §2.12): query set
+    broadcast against the candidate scan; dot products via JVM-side
+    higher-order functions (zip_with + aggregate), double accumulation in
+    array order so both engines produce bit-identical sums. Ranking uses the
+    ROUNDED similarity + id tiebreak for cross-engine determinism."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    q = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+
+    def dot(x: Column, y: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(x, y, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    pairs = (
+        emb.select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"))
+        .crossJoin(F.broadcast(q))
+        .where(F.col("c_id") != F.col("q_id"))
+    )
+    sim = F.round(
+        dot(F.col("qv"), F.col("cv"))
+        / (
+            F.sqrt(dot(F.col("qv"), F.col("qv")))
+            * F.sqrt(dot(F.col("cv"), F.col("cv")))
+        ),
+        6,
+    )
+    ranked = pairs.select("q_id", "c_id", sim.alias("sim")).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id"))
+        ),
+    )
+    return ranked.where(F.col("rn") <= 5).select("q_id", "c_id", "sim")

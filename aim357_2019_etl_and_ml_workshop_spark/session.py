@@ -1,0 +1,82 @@
+"""SparkSession factory with a 100TB-posture default config.
+
+The reference ran Glue 1.0 / Spark on 5-10 workers (BASELINE.md); here we
+configure one session that behaves well both on local[32] test runs and on a
+large cluster: AQE on (runtime re-planning, skew-join splitting, partition
+coalescing), UTC session timezone (oracle comparability + determinism),
+Arrow-accelerated pandas interchange, and shuffle partitions sized to the
+environment rather than the 200 default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Conf that is safe to (re)apply at runtime on an existing session.
+_RUNTIME_CONF = {
+    # Determinism + duckdb-oracle comparability (Spark ts are session-TZ;
+    # parquet/duckdb are UTC-naive).
+    "spark.sql.session.timeZone": "UTC",
+    # AQE: runtime partition coalescing, skew-join handling, plan re-opt.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for toPandas()/pandas_udf: batch columnar transfer, not per-row.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Parity with ANSI-less reference semantics: CAST of bad data -> NULL,
+    # matching Glue ApplyMapping / DuckDB TRY_CAST (SURVEY.md P2).
+    "spark.sql.ansi.enabled": "false",
+    # Testdata events.parquet carries TIMESTAMP(NANOS); Spark has no nanos
+    # timestamp, so read as bigint nanos and convert (sources.io does the
+    # div-1000 truncation that matches DuckDB's ns->us behavior).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def _default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def pin_session_conf(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine conf to an externally-created session.
+
+    The correctness driver constructs its own SparkSession; every public
+    query entrypoint routes through this so results do not depend on the
+    caller's timezone / ANSI defaults.
+    """
+    for k, v in _RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on this build: keep going, defaults are sane
+    return spark
+
+
+def get_spark(app_name: str = "aim357-spark-engine", master: str | None = None) -> SparkSession:
+    """Build (or reuse) the engine session.
+
+    On a real cluster `master` comes from spark-submit; locally we default to
+    local[$SPARK_GRAFT_CPUS]. Shuffle partitions ~ cores locally; on a
+    cluster AQE coalesces the 2x-cores initial number downward at runtime.
+    """
+    cores = _default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(max(cores, 8)))
+        .config("spark.default.parallelism", str(max(cores, 8)))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in _RUNTIME_CONF.items():
+        builder = builder.config(k, v)
+    if master is not None:
+        builder = builder.master(master)
+    elif "SPARK_MASTER" not in os.environ:
+        builder = builder.master(f"local[{cores}]")
+    spark = builder.getOrCreate()
+    return pin_session_conf(spark)

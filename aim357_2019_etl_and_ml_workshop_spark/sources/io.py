@@ -1,0 +1,119 @@
+"""Sources and sinks (SURVEY.md S1-S12).
+
+Reference behavior re-expressed:
+- CSV scan with header, all-string until cast (etl/2019reinvent_yellow.py:19,
+  green.py:19-23) -> ``read_csv``.
+- Parquet sink, path-parameterized (yellow.py:52) -> ``write_parquet`` with
+  optional partitioning (the 100TB posture: partition canonical data by
+  low-cardinality tag + date so partition pruning works).
+- Glue crawler / catalog registration (DataDiscoveryAndConversation.rst:70-85)
+  -> ``register_catalog_table`` using the Spark SQL catalog.
+- DeepAR JSON Lines sink (GluePySparkMLFeatureEngineering.rst:718-742)
+  -> ``write_json_lines``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str | list[str],
+    schema: StructType | None = None,
+    infer: bool = False,
+) -> DataFrame:
+    """CSV-with-header scan (S1/S2). Without a schema and ``infer=False``
+    every column is a string — the reference's schema-on-read posture; types
+    come later from canonicalize's ApplyMapping equivalent."""
+    reader = spark.read.option("header", True)
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif infer:
+        # Crawler-equivalent (S5): sample-based inference. On 100TB inputs
+        # prefer an explicit schema or samplingRatio to avoid a full pre-scan.
+        reader = reader.option("inferSchema", True).option("samplingRatio", 0.1)
+    return reader.csv(path)
+
+
+def read_parquet(spark: SparkSession, path: str | list[str]) -> DataFrame:
+    return spark.read.parquet(*(path if isinstance(path, list) else [path]))
+
+
+def read_testdata(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Load one driver-generated table from a scale-factor directory.
+
+    events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized reader
+    rejects; with spark.sql.legacy.parquet.nanosAsLong the column arrives as
+    bigint nanos, and we truncate to microseconds (``div 1000`` — floor for
+    positive epochs), exactly matching DuckDB's ns->us read behavior so
+    oracle comparisons see identical timestamps."""
+    if table not in TESTDATA_TABLES:
+        raise ValueError(f"unknown table {table!r}; expected one of {TESTDATA_TABLES}")
+    if table == "events":
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
+    df = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+    if table == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+    max_records_per_file: int | None = 5_000_000,
+) -> None:
+    """Parquet sink (S4). ``mode='append'`` matches the reference's nightly
+    incremental append. ``partition_by`` is the scale lever: the canonical
+    taxi table partitions by (type, pickup_date) so per-type/per-day queries
+    prune instead of scanning 100TB. maxRecordsPerFile bounds file size
+    without a coalesce() that would throttle write parallelism (the
+    reference's green.py:45 coalesce(5) does not survive scale-up)."""
+    writer = df.write.mode(mode)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def register_catalog_table(
+    spark: SparkSession,
+    database: str,
+    table: str,
+    path: str,
+) -> None:
+    """Catalog database + external-table registration (S5/S6): the engine's
+    crawler equivalent. Schema comes from parquet footers, not sampling."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {database}.{table} USING parquet LOCATION '{path}'"
+    )
+
+
+def write_json_lines(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON Lines sink (S7): one JSON object per row, matching the
+    reference's DeepAR export contract {"start": ..., "target": [...]}."""
+    df.write.mode(mode).json(path)

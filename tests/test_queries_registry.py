@@ -1,0 +1,50 @@
+"""Registry contract: every query runs on sf0.001 and returns rows with the
+aliased schema the oracle expects; plan-shape checks assert the 100TB
+posture (pushdown, pruning, broadcast)."""
+
+import pytest
+
+from aim357_2019_etl_and_ml_workshop_spark import queries as q
+from aim357_2019_etl_and_ml_workshop_spark.plans import (
+    has_pushed_filters,
+    scan_read_schema,
+    uses_broadcast_join,
+)
+
+ALL = sorted(q.queries())
+
+
+def test_every_query_has_oracle_or_is_flagged():
+    oracles = q.oracle_sql()
+    missing = [name for name in ALL if name not in oracles]
+    # rows-only entries are allowed but must be deliberate; keep the list here
+    assert missing == [], f"queries without oracle SQL: {missing}"
+
+
+@pytest.mark.parametrize("name", ALL)
+def test_query_runs_smoke(spark, sf_dir, name):
+    df = q.queries()[name](spark, sf_dir)
+    rows = df.limit(2000).collect()
+    assert len(rows) >= 0  # runs and collects
+    assert len(df.columns) > 0
+
+
+def test_strict_range_pushdown(spark, sf_dir):
+    df = q.queries()["strict_range_rows"](spark, sf_dir)
+    assert has_pushed_filters(df)
+
+
+def test_projection_prunes_scan(spark, sf_dir):
+    df = q.queries()["project_rename_cast"](spark, sf_dir)
+    read = set(scan_read_schema(df))
+    assert read == {"o_orderkey", "o_orderdate", "o_orderpriority"}
+
+
+def test_revenue_join_broadcasts_dims(spark, sf_dir):
+    df = q.queries()["revenue_by_region"](spark, sf_dir)
+    assert uses_broadcast_join(df)
+
+
+def test_spine_join_broadcasts(spark, sf_dir):
+    df = q.queries()["spine_left_join_gapfill"](spark, sf_dir)
+    assert uses_broadcast_join(df)

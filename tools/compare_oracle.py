@@ -1,0 +1,102 @@
+"""Local stand-in for the driver's t2 correctness gate: run every
+queries() entry on Spark AND its oracle_sql() on DuckDB over the same
+parquet, then compare row count, column names, and values order-insensitively.
+
+Usage: python tools/compare_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+from decimal import Decimal
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import pandas as pd
+
+from aim357_2019_etl_and_ml_workshop_spark.session import get_spark
+from aim357_2019_etl_and_ml_workshop_spark.sources.io import TESTDATA_TABLES
+
+import __spark_entry__ as entrymod
+
+
+def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+def canon_cell(v):
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return "NULL"
+    if isinstance(v, Decimal):
+        return f"dec:{v}"
+    if isinstance(v, float):
+        return f"f:{v!r}"
+    if isinstance(v, pd.Timestamp):
+        return f"ts:{v.isoformat()}"
+    return f"{type(v).__name__}:{v}"
+
+
+def canon_frame(df: pd.DataFrame) -> list[tuple]:
+    cols = sorted(df.columns)
+    out = []
+    for _, row in df[cols].iterrows():
+        out.append(tuple(canon_cell(row[c]) for c in cols))
+    out.sort()
+    return out
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("compare-oracle")
+    con = duck_connect(sf_dir)
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    failures, passed, skipped = [], 0, 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            failures.append((name, f"SPARK ERROR: {e}"))
+            continue
+        if name not in oracles:
+            print(f"  ~ {name}: rows-only ({len(sdf)} rows)")
+            skipped += 1
+            continue
+        try:
+            ddf = con.execute(oracles[name]).df()
+        except Exception as e:
+            failures.append((name, f"DUCKDB ERROR: {e}"))
+            continue
+        if len(sdf) != len(ddf):
+            failures.append((name, f"row count {len(sdf)} vs {len(ddf)}"))
+            continue
+        if sorted(sdf.columns) != sorted(ddf.columns):
+            failures.append(
+                (name, f"columns {sorted(sdf.columns)} vs {sorted(ddf.columns)}")
+            )
+            continue
+        a, b = canon_frame(sdf), canon_frame(ddf)
+        if a != b:
+            diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
+            failures.append((name, f"values differ; first diffs: {diff}"))
+            continue
+        passed += 1
+        print(f"  ✓ {name} ({len(sdf)} rows)")
+    print(f"\n{passed} passed, {len(failures)} failed, {skipped} rows-only")
+    for name, msg in failures:
+        print(f"  ✗ {name}: {msg}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
