@@ -1,0 +1,131 @@
+"""Forecasting surface (SURVEY.md §2.11, M1-M4) — in-process replacement for
+the reference's SageMaker DeepAR estimator/endpoint.
+
+Contract parity, not weight parity (SURVEY.md §4.3): same data contracts as
+GluePySparkMLFeatureEngineering.rst —
+- JSON Lines export ``{"start": "...", "target": [...]}`` (.rst:718-742);
+- time-cutoff train/test split, never random (.rst:350-363);
+- hyperparameter names ``time_freq/context_length/prediction_length``
+  (.rst:808-820);
+- quantile predictions (p10/p50/p90) in long format (.rst:1779-1783).
+
+Model: per-series seasonal-naive + empirical residual quantiles, run as one
+``applyInPandas`` over series groups — each series fits in one pandas batch
+(series are post-aggregation, ~hundreds of points), while the series
+DIMENSION scales horizontally across executors: 10M series parallelize as
+10M groups, which is exactly how a 100TB training-data pipeline forecasts
+per-entity series.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def cutoff_split(
+    df: DataFrame, ts_col: str, cutoff: str
+) -> tuple[DataFrame, DataFrame]:
+    """M1: train/test by timestamp cutoff (train < cutoff <= test)."""
+    ts = F.col(ts_col)
+    lim = F.lit(cutoff).cast("timestamp")
+    return df.where(ts < lim), df.where(ts >= lim)
+
+
+def to_deepar_jsonlines(
+    df: DataFrame,
+    series_col: str,
+    ts_col: str,
+    value_col: str,
+    cat: bool = False,
+) -> DataFrame:
+    """S7/F13: one JSON object per series, values ordered by timestamp:
+    ``{"start": "<first ts>", "target": [v0, v1, ...]}`` (+``"cat"``),
+    byte-format matching series_to_jsonline (.rst:718-733). Ordering comes
+    from sort_array over (ts, value) structs — no global sort, one groupBy."""
+    pairs = F.sort_array(
+        F.collect_list(F.struct(F.col(ts_col).alias("t"), F.col(value_col).alias("v")))
+    )
+    agg = df.groupBy(series_col).agg(pairs.alias("pairs"))
+    start = F.date_format(F.col("pairs")[0]["t"], "yyyy-MM-dd HH:mm:ss")
+    target = F.transform(F.col("pairs"), lambda p: p["v"].cast("double"))
+    fields = [start.alias("start"), target.alias("target")]
+    if cat:
+        fields.append(F.col(series_col).cast("string").alias("cat"))
+    return agg.select(
+        F.col(series_col),
+        F.to_json(F.struct(*fields)).alias("jsonline"),
+    )
+
+
+class SeasonalQuantileForecaster:
+    """M2/M3: quantile forecaster with the reference's hyperparameter
+    names (time_freq, context_length, prediction_length; .rst:808-820).
+
+    fit+predict in one distributed pass: ``applyInPandas`` per series —
+    seasonal-naive point forecast + empirical residual quantiles, so
+    emitted quantiles are monotone by construction (sorted residual
+    quantiles added to a common base)."""
+
+    def __init__(
+        self,
+        time_freq: str = "D",
+        context_length: int = 14,
+        prediction_length: int = 14,
+        season: int = 7,
+        quantiles: tuple[float, ...] = (0.1, 0.5, 0.9),
+    ) -> None:
+        if time_freq != "D":
+            raise NotImplementedError("only daily frequency (time_freq='D')")
+        self.context_length = context_length
+        self.prediction_length = prediction_length
+        self.season = season
+        self.quantiles = tuple(sorted(quantiles))
+
+    def predict(
+        self,
+        df: DataFrame,
+        series_col: str,
+        ts_col: str,
+        value_col: str,
+    ) -> DataFrame:
+        """Long-format forecast: (series, ts, quantile, value) for
+        prediction_length steps after each series' last observation."""
+        season = self.season
+        horizon = self.prediction_length
+        context = max(self.context_length, season)
+        qs = self.quantiles
+
+        def forecast(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("_ts")
+            vals = pdf["_v"].to_numpy(dtype=float)
+            last_ts = pdf["_ts"].iloc[-1]
+            series = pdf["_series"].iloc[0]
+            hist = vals[-max(context, 2 * season):]
+            # seasonal-naive residuals over the context window
+            if len(hist) > season:
+                resid = hist[season:] - hist[:-season]
+            else:
+                resid = np.zeros(1)
+            rq = {q: float(np.quantile(resid, q)) for q in qs}
+            pattern = vals[-season:] if len(vals) >= season else vals
+            rows = []
+            for h in range(1, horizon + 1):
+                base = float(pattern[(h - 1) % len(pattern)])
+                ts = last_ts + pd.Timedelta(days=h)
+                for q in qs:
+                    rows.append((series, ts, float(q), base + rq[q]))
+            return pd.DataFrame(
+                rows, columns=["series", "ts", "quantile", "value"]
+            )
+
+        prepared = df.select(
+            F.col(series_col).cast("string").alias("_series"),
+            F.col(ts_col).alias("_ts"),
+            F.col(value_col).cast("double").alias("_v"),
+        )
+        return prepared.groupBy("_series").applyInPandas(
+            forecast, "series string, ts timestamp, quantile double, value double"
+        )

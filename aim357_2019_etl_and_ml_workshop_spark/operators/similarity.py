@@ -1,0 +1,175 @@
+"""Similarity search over embedding columns (SURVEY.md §2.12).
+
+Two tiers:
+- ``brute_force_topk``: exact cosine top-k — the correctness baseline.
+  Queries (small) are broadcast against the candidate scan; dot products run
+  JVM-side (zip_with + aggregate fold, double accumulation in array order).
+  O(|Q| * N) — fine when |Q| is small, never for all-pairs at scale.
+- ``lsh_topk``: random-hyperplane LSH (SimHash-for-vectors). Each vector
+  gets a ``n_planes``-bit bucket from the signs of dot products with
+  deterministic seeded hyperplanes; candidates come from an equi-join on
+  bucket (optionally multi-probe over Hamming-1 neighbors), then exact
+  cosine re-ranks candidates only. This is the 100TB path: shuffle is on
+  bucket keys, never the full cross product.
+
+Hyperplanes are generated driver-side with a seeded numpy RandomState and
+shipped as literal arrays (tiny: n_planes x dim doubles) — deterministic
+across runs, no Math.random in the plan.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+
+def as_double_vec(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(x: Column, y: Column) -> Column:
+    """Left-to-right fold — deterministic accumulation order."""
+    return F.aggregate(
+        F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def norm(x: Column) -> Column:
+    return F.sqrt(dot(x, x))
+
+
+def cosine(x: Column, y: Column) -> Column:
+    return dot(x, y) / (norm(x) * norm(y))
+
+
+def brute_force_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact top-k by cosine: (q_id, c_id, sim). Ranking uses the ROUNDED
+    similarity + id tiebreak so results are reproducible across engines."""
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv")
+    )
+    c = candidates.select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("cv")
+    )
+    pairs = c.crossJoin(F.broadcast(q)).where(F.col("c_id") != F.col("q_id"))
+    sim = F.round(cosine(F.col("qv"), F.col("cv")), round_digits)
+    ranked = pairs.select("q_id", "c_id", sim.alias("sim")).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id"))
+        ),
+    )
+    return ranked.where(F.col("rn") <= k).select("q_id", "c_id", "sim")
+
+
+def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> list[list[float]]:
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim).round(6).tolist()
+
+
+def with_lsh_bucket(
+    df: DataFrame,
+    vec_col: str,
+    planes: list[list[float]],
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Sign-of-projection bucket id: bit i = 1 iff dot(v, plane_i) > 0."""
+    bucket = None
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bit = F.when(dot(F.col(vec_col), plane) > 0, F.lit(1).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        term = F.shiftleft(bit, i)
+        bucket = term if bucket is None else bucket.bitwiseOR(term)
+    return df.withColumn(out_col, bucket)
+
+
+def _multi_table_buckets(
+    df: DataFrame,
+    vec_col: str,
+    all_planes: list[list[list[float]]],
+) -> DataFrame:
+    """Explode each vector into one (table, bucket) row per hash table."""
+    per_table = []
+    for planes in all_planes:
+        bucket = None
+        for i, p in enumerate(planes):
+            plane = F.array(*[F.lit(float(x)) for x in p])
+            bit = F.when(
+                dot(F.col(vec_col), plane) > 0, F.lit(1).cast("bigint")
+            ).otherwise(F.lit(0).cast("bigint"))
+            term = F.shiftleft(bit, i)
+            bucket = term if bucket is None else bucket.bitwiseOR(term)
+        per_table.append(bucket)
+    return df.select(
+        "*", F.posexplode(F.array(*per_table)).alias("table", "bucket")
+    )
+
+
+def lsh_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    n_tables: int = 16,
+    n_bits: int = 4,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate top-k: classic multi-table hyperplane LSH.
+
+    L=``n_tables`` independent tables of ``n_bits`` hyperplane sign bits;
+    candidates = pairs sharing a bucket in ANY table (union via the
+    (table, bucket) equi-join), then exact cosine re-ranks candidates only.
+    Collision prob for similarity s is 1-(1-p^k)^L with p = 1 - acos(s)/pi —
+    tune L up for recall, k up for precision; the join stays linear in
+    bucket occupancy either way (never a cross product).
+
+    Parameter choice is data-geometry dependent: the driver's synthetic
+    embeddings are near-isotropic (top-5 neighbor cosine ~0.3), where
+    recall at k bits costs (1-(1-p^k)^L) with p~0.6 — hence the short-table
+    default (k=4, L=16 -> ~0.89 recall, ~2/3 candidate fraction). Clustered
+    real-world embeddings (neighbor cosine 0.7+) support k=10-16, L=8 with
+    tiny candidate fractions; expose both knobs."""
+    if dim is None:
+        first = candidates.select(F.size(vec_col).alias("d")).first()
+        dim = int(first["d"])
+    all_planes = [
+        hyperplanes(dim, n_bits, seed + 1000 * t) for t in range(n_tables)
+    ]
+    c = _multi_table_buckets(
+        candidates.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("cv")),
+        "cv",
+        all_planes,
+    )
+    q = _multi_table_buckets(
+        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv")),
+        "qv",
+        all_planes,
+    )
+    pairs = (
+        c.join(F.broadcast(q), ["table", "bucket"])
+        .where(F.col("c_id") != F.col("q_id"))
+        .select("q_id", "qv", "c_id", "cv")
+        .dropDuplicates(["q_id", "c_id"])  # same pair may collide in many tables
+    )
+    sim = F.round(cosine(F.col("qv"), F.col("cv")), 6)
+    ranked = pairs.select("q_id", "c_id", sim.alias("sim")).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id"))
+        ),
+    )
+    return ranked.where(F.col("rn") <= k).select("q_id", "c_id", "sim")

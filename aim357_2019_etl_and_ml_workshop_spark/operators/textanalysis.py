@@ -1,0 +1,100 @@
+"""Text analysis operators (SURVEY.md §2.12): token counting, quality
+scoring, language-ID heuristic, document fingerprinting. Everything is
+built-in-function based (whole-stage codegen) — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import normalize_text
+
+# Per-language stopword mini-lexicons for the heuristic classifier. The
+# CASE-chain tie-break (priority order en>de>es>fr>zh) is deterministic and
+# mirrored exactly in the DuckDB oracle SQL.
+LANG_LEXICONS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "on"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "nicht"],
+    "es": ["el", "la", "de", "y", "es", "un", "que"],
+    "fr": ["le", "la", "de", "et", "est", "un", "que"],
+    "zh": ["de", "shi", "le", "bu"],
+}
+LANG_PRIORITY = ["en", "de", "es", "fr", "zh"]
+
+
+def tokens(text: Column | str, lowercase: bool = True) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    if lowercase:
+        c = F.lower(c)
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text, lowercase=False))
+
+
+def stopword_hits(toks: Column, lexicon: list[str]) -> Column:
+    arr = F.array(*[F.lit(s) for s in lexicon])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def quality_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-doc quality features: char length, token count, mean token
+    length, stopword ratio, non-alpha ratio. Ratios rounded to 4 for
+    cross-engine hash stability."""
+    toks = tokens(text_col)
+    n_toks = F.size(toks)
+    n_chars = F.length(text_col)
+    alpha_only = F.regexp_replace(F.col(text_col), r"[^A-Za-z]", "")
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars_calc"),
+        n_toks.alias("n_tokens"),
+        F.round((n_chars.cast("double") / n_toks), 4).alias("mean_tok_len"),
+        F.round(
+            stopword_hits(toks, LANG_LEXICONS["en"]).cast("double") / n_toks, 4
+        ).alias("stop_ratio"),
+        F.round(
+            (n_chars - F.length(alpha_only)).cast("double") / n_chars, 4
+        ).alias("non_alpha_ratio"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Heuristic language-ID: stopword hits per language, argmax with a
+    fixed priority-order tie-break (CASE chain)."""
+    toks = tokens(text_col)
+    hits = {lang: stopword_hits(toks, lex) for lang, lex in LANG_LEXICONS.items()}
+    pred = None
+    for lang in LANG_PRIORITY:
+        cond = None
+        for other in LANG_PRIORITY:
+            if other == lang:
+                continue
+            # strictly-greater for later-priority langs, >= for earlier
+            c = (
+                hits[lang] >= hits[other]
+                if LANG_PRIORITY.index(other) > LANG_PRIORITY.index(lang)
+                else hits[lang] > hits[other]
+            )
+            cond = c if cond is None else (cond & c)
+        branch = F.when(cond, F.lit(lang))
+        pred = branch if pred is None else pred.when(cond, F.lit(lang))
+    pred = pred.otherwise(F.lit(LANG_PRIORITY[0]))
+    return df.select(
+        F.col(id_col),
+        pred.alias("pred_lang"),
+        *[hits[lang].alias(f"hits_{lang}") for lang in LANG_PRIORITY],
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Stable content fingerprint: md5 of normalized text (exact dedup key)
+    plus a 64-bit xxhash64 rolling-style hash for cheap bucketing."""
+    norm = normalize_text(text_col)
+    return df.select(
+        F.col(id_col),
+        F.md5(norm).alias("fp_md5"),
+        F.xxhash64(norm).alias("fp_xx64"),
+    )

@@ -875,3 +875,210 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return ranked.where(F.col("rn") <= 5).select("q_id", "c_id", "sim")
+
+
+# ---------------------------------------------------------------------------
+# Grouping-set / distinct / sessionization coverage
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "count_distinct_users",
+    "SELECT count(DISTINCT user_id) AS n FROM events",
+)
+def count_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT DISTINCT (two-phase partial distinct under AQE)."""
+    return _t(spark, sf_dir, "events").agg(
+        F.count_distinct(F.col("user_id")).alias("n")
+    )
+
+
+@register(
+    "rollup_counts",
+    """
+    SELECT event_type, count(*) AS n FROM events
+    GROUP BY ROLLUP(event_type)
+    """,
+)
+def rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets: per-type counts + grand total (NULL row)."""
+    return _t(spark, sf_dir, "events").rollup("event_type").agg(_count(None))
+
+
+@register(
+    "sessionize_user_counts",
+    """
+    WITH g AS (
+        SELECT user_id,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         IS NULL THEN 1
+                    WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                         THEN 1 ELSE 0 END AS new_sess
+        FROM events
+    )
+    SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions
+    FROM g GROUP BY user_id
+    """,
+)
+def sessionize_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag-gap > 30min starts a new session; sessions
+    counted per user. Window partitions by user (parallel across users —
+    no single-partition window)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev.isNull()
+        | ((F.col("ts").cast("double") - prev.cast("double")) > 1800),
+        1,
+    ).otherwise(0)
+    return (
+        ev.select("user_id", new_sess.alias("new_sess"))
+        .groupBy("user_id")
+        .agg(F.sum("new_sess").cast("bigint").alias("n_sessions"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis / lang-id (module-backed; SURVEY.md §2.12)
+# ---------------------------------------------------------------------------
+
+_TOKS_SQL = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+
+
+def _hits_sql(lang: str) -> str:
+    from .operators.textanalysis import LANG_LEXICONS
+
+    in_list = ", ".join(f"'{w}'" for w in LANG_LEXICONS[lang])
+    return f"len(list_filter({_TOKS_SQL}, t -> t IN ({in_list})))"
+
+
+@register(
+    "lang_id_heuristic",
+    f"""
+    WITH h AS (
+        SELECT doc_id,
+               CAST({_hits_sql('en')} AS INTEGER) AS hits_en,
+               CAST({_hits_sql('de')} AS INTEGER) AS hits_de,
+               CAST({_hits_sql('es')} AS INTEGER) AS hits_es,
+               CAST({_hits_sql('fr')} AS INTEGER) AS hits_fr,
+               CAST({_hits_sql('zh')} AS INTEGER) AS hits_zh
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE
+             WHEN hits_en >= hits_de AND hits_en >= hits_es AND hits_en >= hits_fr AND hits_en >= hits_zh THEN 'en'
+             WHEN hits_de > hits_en AND hits_de >= hits_es AND hits_de >= hits_fr AND hits_de >= hits_zh THEN 'de'
+             WHEN hits_es > hits_en AND hits_es > hits_de AND hits_es >= hits_fr AND hits_es >= hits_zh THEN 'es'
+             WHEN hits_fr > hits_en AND hits_fr > hits_de AND hits_fr > hits_es AND hits_fr >= hits_zh THEN 'fr'
+             WHEN hits_zh > hits_en AND hits_zh > hits_de AND hits_zh > hits_es AND hits_zh > hits_fr THEN 'zh'
+             ELSE 'en'
+           END AS pred_lang,
+           hits_en, hits_de, hits_es, hits_fr, hits_zh
+    FROM h
+    """,
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID by stopword-hit argmax with fixed priority tie-break
+    (operators.textanalysis.lang_id)."""
+    from .operators.textanalysis import lang_id
+
+    return lang_id(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@register(
+    "quality_features",
+    f"""
+    SELECT doc_id,
+           CAST(length(text) AS INTEGER) AS n_chars_calc,
+           CAST(len({_TOKS_SQL}) AS INTEGER) AS n_tokens,
+           round(CAST(length(text) AS DOUBLE) / len({_TOKS_SQL}), 4) AS mean_tok_len,
+           round(CAST({_hits_sql('en')} AS DOUBLE) / len({_TOKS_SQL}), 4) AS stop_ratio,
+           round(CAST(length(text) - length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                 / length(text), 4) AS non_alpha_ratio
+    FROM documents
+    """,
+)
+def quality_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc quality features (operators.textanalysis.quality_features)."""
+    from .operators.textanalysis import quality_features
+
+    return quality_features(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Hash-based near-dup / ANN — rows-only checks (xxhash64 has no DuckDB
+# twin; correctness is established against exact oracles in tests:
+# minhash vs ngram_jaccard_pairs, lsh_topk vs embedding_cosine_topk)
+# ---------------------------------------------------------------------------
+
+
+@register("minhash_near_duplicates")
+def minhash_near_duplicates_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates verified by exact Jaccard — the
+    linear-scale replacement for the all-pairs shingle join."""
+    from .operators.dedup import minhash_near_duplicates
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return minhash_near_duplicates(
+        docs, "text", "doc_id", threshold=0.05, num_hashes=32, bands=16
+    )
+
+
+@register("simhash_fingerprints")
+def simhash_fingerprints_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprints per document (rows-only: deterministic,
+    validated structurally in tests)."""
+    from .operators.dedup import simhash_fingerprints
+
+    return simhash_fingerprints(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"), "text", "doc_id"
+    )
+
+
+@register("lsh_ann_topk")
+def lsh_ann_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-k neighbors (bucket join + exact
+    re-rank); recall vs the brute-force oracle is asserted in tests."""
+    from .operators.similarity import as_double_vec, lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_vec("embedding").alias("v")
+    )
+    q = emb.where(F.col("vec_id") % 50 == 0)
+    return lsh_topk(emb, q, k=5, n_tables=16, n_bits=4)
+
+
+@register("deepar_export")
+def deepar_export_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepAR JSON Lines export of the daily per-type series (format
+    golden-tested in tests/test_forecast.py)."""
+    from .forecast import to_deepar_jsonlines
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("day", F.col("ts")).alias("day"), F.col("event_type")
+        )
+        .agg(_count(None))
+    )
+    return to_deepar_jsonlines(daily, "event_type", "day", "n")
+
+
+@register("forecast_quantiles")
+def forecast_quantiles_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-day p10/p50/p90 forecast per event_type series (contract checks —
+    monotone quantiles, horizon length — in tests/test_forecast.py)."""
+    from .forecast import SeasonalQuantileForecaster
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("day", F.col("ts")).alias("day"), F.col("event_type")
+        )
+        .agg(_count(None))
+    )
+    fc = SeasonalQuantileForecaster(
+        time_freq="D", context_length=14, prediction_length=14
+    )
+    return fc.predict(daily, "event_type", "day", "n")

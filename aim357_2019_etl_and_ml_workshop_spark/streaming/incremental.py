@@ -1,0 +1,63 @@
+"""Incremental ingest — the Glue job-bookmark equivalent (SURVEY.md S13).
+
+The reference's nightly ETL re-runs process only files added since the last
+``job.commit()`` (transformation_ctx bookmarks, yellow.py:17,28-52,53).
+Spark-native equivalent: a file-source stream with
+``trigger(availableNow=True)`` + checkpoint — each invocation processes
+exactly the files not yet recorded in the checkpoint, then terminates.
+Exactly-once at file granularity, crash-safe, no manifest bookkeeping of
+our own.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+class IncrementalIngest:
+    """One bookmarked pipeline: input dir -> transform -> parquet sink.
+
+    Each ``run_once()`` is one 'nightly job': it picks up only new files
+    (checkpoint = bookmark), applies ``transform``, appends to the sink,
+    and returns after the backlog drains (availableNow trigger)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        input_path: str,
+        schema: StructType | str,
+        output_path: str,
+        checkpoint_path: str,
+        transform: Callable[[DataFrame], DataFrame] | None = None,
+        fmt: str = "parquet",
+    ) -> None:
+        self.spark = spark
+        self.input_path = input_path
+        self.schema = schema
+        self.output_path = output_path
+        self.checkpoint_path = checkpoint_path
+        self.transform = transform or (lambda df: df)
+        self.fmt = fmt
+
+    def run_once(self, timeout_sec: float = 300.0) -> None:
+        src = (
+            self.spark.readStream.format(self.fmt)
+            .schema(self.schema)
+            .load(self.input_path)
+        )
+        out = self.transform(src)
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", self.output_path)
+            .option("checkpointLocation", self.checkpoint_path)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_sec)
+        if q.isActive:
+            q.stop()
+            raise TimeoutError("incremental ingest did not drain in time")

@@ -1,0 +1,67 @@
+"""Structured Streaming surface (SURVEY.md §2.9 — engine extension).
+
+The reference's only temporal processing is nightly batch (cron triggers,
+etl-cfn-2am-trigger.json:264,280); the engine generalizes the daily-count
+aggregation (A4) to unbounded input: file-source stream -> watermarked
+tumbling-window counts -> sink. Batch and streaming share the same logical
+operator — ``tumbling_counts`` works on either a static or streaming frame,
+which is exactly Spark's unified-model intent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def stream_from_directory(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream. Schema must be explicit (no inference race on a
+    growing directory). maxFilesPerTrigger bounds per-batch work so state
+    checkpoints stay small at scale."""
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def tumbling_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Watermarked tumbling-window counts: late rows beyond ``watermark``
+    are dropped and window state is evicted (bounded state — mandatory for
+    an unbounded 100TB/day stream). On a batch frame the watermark is a
+    no-op and this is exactly the batch tumbling aggregation."""
+    src = df
+    if df.isStreaming:
+        src = df.withWatermark(ts_col, watermark)
+    group = [F.window(F.col(ts_col), window).alias("w")] + [
+        F.col(k) for k in (keys or [])
+    ]
+    out = src.groupBy(*group).agg(F.count(F.lit(1)).alias("n"))
+    return out.select(
+        F.col("w.start").alias("bucket"), *(keys or []), F.col("n")
+    )
+
+
+def run_stream_to_memory(
+    result: DataFrame, query_name: str, mode: str = "update"
+) -> "object":
+    """Test/dev sink: run the streaming aggregation into an in-memory table.
+    Production sinks are parquet/kafka via the same writeStream contract."""
+    return (
+        result.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(mode)
+        .start()
+    )

@@ -1,0 +1,117 @@
+"""Near-dup + similarity operators: MinHash/LSH and SimHash agree with their
+exact oracles (Jaccard / Hamming / brute-force cosine) on real testdata —
+approximate structures must RECALL what the exact path finds."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from aim357_2019_etl_and_ml_workshop_spark.operators.dedup import (
+    canonical_dedup,
+    exact_dedup,
+    minhash_near_duplicates,
+    minhash_signatures,
+    simhash_fingerprints,
+    simhash_near_duplicates,
+    word_shingles,
+)
+from aim357_2019_etl_and_ml_workshop_spark.operators.similarity import (
+    as_double_vec,
+    brute_force_topk,
+    lsh_topk,
+)
+from aim357_2019_etl_and_ml_workshop_spark.sources.io import read_testdata
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        Row(doc_id=1, text=base),
+        Row(doc_id=2, text=base),  # exact dup
+        Row(doc_id=3, text=base.replace("dog", "cat")),  # near dup
+        Row(doc_id=4, text="completely different words about spark and flink engines"),
+        Row(doc_id=5, text="ab"),  # shorter than one shingle
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_word_shingles_short_text_empty(spark, docs_with_dups):
+    out = docs_with_dups.select(
+        "doc_id", F.size(word_shingles("text")).alias("n")
+    ).collect()
+    sizes = {r.doc_id: r.n for r in out}
+    assert sizes[5] == 0  # no descending-sequence bug on short text
+    assert sizes[1] > 0
+
+
+def test_exact_and_canonical_dedup(spark, docs_with_dups):
+    assert exact_dedup(docs_with_dups, ["text"]).count() == 4
+    canon = canonical_dedup(docs_with_dups, "text", "doc_id")
+    row = {r.doc_id: r.n_dups for r in canon.collect()}
+    assert row[1] == 2  # doc 1 is the canonical rep of the pair (min id)
+
+
+def test_minhash_finds_near_dups(spark, docs_with_dups):
+    out = minhash_near_duplicates(
+        docs_with_dups.where("doc_id < 5"), "text", "doc_id",
+        threshold=0.3, num_hashes=32, bands=16,
+    ).collect()
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in out}
+    assert pairs[(1, 2)] == 1.0  # exact dup pair found with jaccard 1
+    assert (1, 3) in pairs or (2, 3) in pairs  # near-dup recalled
+    assert all((4 not in p) for p in pairs)  # unrelated doc not paired
+
+
+def test_minhash_recall_vs_exact_jaccard_on_testdata(spark, sf_dir):
+    """On driver documents: every exact-Jaccard>=0.5 pair must be recalled
+    by the banded LSH (b=16,r=2 -> collision prob at s=0.5 is ~1-(1-.25)^16
+    = 99%; with these docs the high-sim set is tiny and must all appear)."""
+    docs = read_testdata(spark, sf_dir, "documents").select("doc_id", "text")
+    approx = minhash_near_duplicates(
+        docs, "text", "doc_id", threshold=0.5, num_hashes=32, bands=16
+    )
+    got = {(r.id_a, r.id_b) for r in approx.collect()}
+    # exact all-pairs jaccard (small n at sf0.001)
+    s = docs.select("doc_id", F.explode(word_shingles("text")).alias("sh"))
+    sz = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = s.select(F.col("doc_id").alias("id_a"), "sh")
+    b = s.select(F.col("doc_id").alias("id_b"), "sh")
+    inter = (
+        a.join(b, "sh").where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("i"))
+    )
+    za = sz.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sa"))
+    zb = sz.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sb"))
+    jac = F.col("i") / (F.col("sa") + F.col("sb") - F.col("i"))
+    want = {
+        (r.id_a, r.id_b)
+        for r in inter.join(za, "id_a").join(zb, "id_b").where(jac >= 0.5).collect()
+    }
+    assert want <= got  # full recall at this threshold
+
+
+def test_simhash_near_dups(spark, docs_with_dups):
+    fps = simhash_fingerprints(docs_with_dups, "text", "doc_id")
+    vals = {r.doc_id: r.simhash for r in fps.collect()}
+    assert vals[1] == vals[2]  # identical text -> identical fingerprint
+    out = simhash_near_duplicates(
+        docs_with_dups.where("doc_id < 5"), "text", "doc_id", max_hamming=3
+    ).collect()
+    pairs = {(r.id_a, r.id_b): r.hamming for r in out}
+    assert pairs[(1, 2)] == 0
+
+
+def test_lsh_topk_recall_vs_brute_force(spark, sf_dir):
+    emb = read_testdata(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_vec("embedding").alias("v")
+    )
+    q = emb.where(F.col("vec_id") % 100 == 0)
+    exact = brute_force_topk(emb, q, k=5)
+    approx = lsh_topk(emb, q, k=5, n_tables=16, n_bits=4)
+    ex = {(r.q_id, r.c_id) for r in exact.collect()}
+    ap = {(r.q_id, r.c_id) for r in approx.collect()}
+    recall = len(ex & ap) / len(ex)
+    # testdata embeddings are near-isotropic (neighbor cosine ~0.3) — the
+    # hardest case for LSH; expected recall at (k=4, L=16) is ~0.89
+    assert recall >= 0.5, f"LSH recall too low: {recall}"

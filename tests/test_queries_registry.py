@@ -14,11 +14,25 @@ from aim357_2019_etl_and_ml_workshop_spark.plans import (
 ALL = sorted(q.queries())
 
 
+# Deliberately rows-only: hash functions (xxhash64) and applyInPandas models
+# have no DuckDB twin; their correctness is established against exact
+# oracles in tests (minhash vs ngram_jaccard, lsh vs brute-force cosine,
+# forecast contract tests, jsonline golden tests).
+ROWS_ONLY = {
+    "minhash_near_duplicates",
+    "simhash_fingerprints",
+    "lsh_ann_topk",
+    "deepar_export",
+    "forecast_quantiles",
+}
+
+
 def test_every_query_has_oracle_or_is_flagged():
     oracles = q.oracle_sql()
-    missing = [name for name in ALL if name not in oracles]
-    # rows-only entries are allowed but must be deliberate; keep the list here
+    missing = [name for name in ALL if name not in oracles and name not in ROWS_ONLY]
     assert missing == [], f"queries without oracle SQL: {missing}"
+    stale = [name for name in ROWS_ONLY if name in oracles]
+    assert stale == [], f"ROWS_ONLY entries that now have oracles: {stale}"
 
 
 @pytest.mark.parametrize("name", ALL)

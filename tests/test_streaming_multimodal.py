@@ -1,0 +1,146 @@
+"""Streaming (tumbling windows + availableNow incremental bookmarks) and
+multimodal plumbing tests."""
+
+import os
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from aim357_2019_etl_and_ml_workshop_spark.operators.multimodal import (
+    attach_multimodal,
+    decode_features,
+    deterministic_fake_decoder,
+    frame_sample_plan,
+    split_payload_table,
+    unavailable_decoder,
+)
+from aim357_2019_etl_and_ml_workshop_spark.streaming import (
+    IncrementalIngest,
+    stream_from_directory,
+    tumbling_counts,
+)
+
+EVENTS_SCHEMA = "event_id bigint, ts timestamp, event_type string"
+
+
+def _events(spark, ids):
+    return spark.createDataFrame(
+        [
+            Row(
+                event_id=i,
+                ts=datetime(2024, 1, 1) + timedelta(minutes=int(i)),
+                event_type="click",
+            )
+            for i in ids
+        ],
+        EVENTS_SCHEMA,
+    )
+
+
+def test_tumbling_counts_batch_streaming_parity(spark, tmp_path):
+    """Same operator, batch frame vs streaming frame -> same result."""
+    src = str(tmp_path / "in")
+    _events(spark, range(10)).write.parquet(src)
+
+    batch = tumbling_counts(
+        spark.read.parquet(src), "ts", "5 minutes", keys=["event_type"]
+    )
+    batch_rows = {(r.bucket, r.event_type): r.n for r in batch.collect()}
+
+    stream = stream_from_directory(spark, src, EVENTS_SCHEMA)
+    assert stream.isStreaming
+    agg = tumbling_counts(stream, "ts", "5 minutes", "10 minutes", ["event_type"])
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("tumbling_test")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        stream_rows = {
+            (r.bucket, r.event_type): r.n
+            for r in spark.sql("select * from tumbling_test").collect()
+        }
+    finally:
+        q.stop()
+    assert stream_rows == batch_rows
+    assert batch_rows[(datetime(2024, 1, 1, 0, 0), "click")] == 5
+
+
+def test_incremental_ingest_bookmarks(spark, tmp_path):
+    """S13: second run processes ONLY files added after the first commit —
+    Glue job-bookmark semantics via availableNow + checkpoint."""
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    os.makedirs(src)
+    _events(spark, range(5)).write.mode("append").parquet(src)
+    job = IncrementalIngest(
+        spark, src, EVENTS_SCHEMA, out, ckpt,
+        transform=lambda df: df.withColumn("tagged", F.lit("run")),
+    )
+    job.run_once()
+    assert spark.read.parquet(out).count() == 5
+    # append new files; rerun processes only those (no duplicates)
+    _events(spark, range(100, 103)).write.mode("append").parquet(src)
+    job.run_once()
+    got = spark.read.parquet(out)
+    assert got.count() == 8
+    assert got.select("event_id").distinct().count() == 8
+
+
+@pytest.fixture()
+def media_df(spark):
+    rows = [
+        Row(item_id=1, payload=b"PNGxxxx-payload-one"),
+        Row(item_id=2, payload=b"PNGyyyy-payload-two-longer"),
+        Row(item_id=3, payload=b"PNGxxxx-payload-one"),  # dup bytes
+    ]
+    df = spark.createDataFrame(rows, "item_id bigint, payload binary")
+    return attach_multimodal(df, "payload", "image/png", {"src": "test"})
+
+
+def test_multimodal_contract(media_df):
+    assert set(media_df.columns) == {
+        "item_id", "payload", "media_type", "meta", "content_hash"
+    }
+    rows = media_df.collect()
+    hashes = {r.item_id: r.content_hash for r in rows}
+    assert hashes[1] == hashes[3] != hashes[2]  # content-addressed
+    assert rows[0].meta["src"] == "test"
+
+
+def test_split_payload_table_indirection(media_df):
+    light, payloads = split_payload_table(media_df)
+    assert "payload" not in light.columns
+    assert payloads.count() == 2  # dup bytes stored once
+
+
+def test_decode_features_mapinpandas(media_df):
+    out = decode_features(media_df).collect()
+    assert len(out) == 3
+    by_hash = {r.content_hash: r for r in out}
+    for r in out:
+        assert r.width >= 1 and r.n_frames >= 1 and len(r.feature) == 3
+    # same bytes -> same features (deterministic fake decode)
+    dup_hash = media_df.where("item_id = 1").first().content_hash
+    assert by_hash[dup_hash].feature == deterministic_fake_decoder(
+        b"PNGxxxx-payload-one"
+    )["feature"]
+
+
+def test_frame_sample_fanout(media_df):
+    out = frame_sample_plan(media_df, every_n=1).collect()
+    decoded = {r.content_hash: r.n_frames for r in decode_features(media_df).collect()}
+    # one row per frame index per row of input
+    assert len(out) == sum(
+        decoded[r.content_hash] for r in media_df.select("content_hash").collect()
+    )
+
+
+def test_unavailable_decoder_raises(media_df):
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        decode_features(media_df, decoder=unavailable_decoder).collect()
