@@ -42,20 +42,41 @@ def canonical_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def word_shingles(text_col: str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a space-tokenized text column,
-    built with JVM higher-order functions (transform over an index
-    sequence), no UDF. Takes a column NAME (expr-based)."""
-    toks = f"split({text_col}, ' ')"
-    joined = ", ".join(f"{toks}[i+{j}]" for j in range(n))
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a PRE-MATERIALIZED token array
+    column. Callers must compute the token array in its own projection
+    (``.select(F.split(text, ' ').alias('toks'))``) so the split runs once
+    per row — inlining the split here would re-evaluate it per shingle
+    index (O(tokens^2) splits/row, a ~30x slowdown measured at sf0.1)."""
+
+    def gram(i: Column) -> Column:
+        return F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)])
+
     # sequence(a, b) is DESCENDING when a > b, so short texts need an
     # explicit empty-array branch, not a clamped bound.
     return F.array_distinct(
-        F.expr(
-            f"CASE WHEN size({toks}) < {n} THEN array() "
-            f"ELSE transform(sequence(0, size({toks}) - {n}),"
-            f" i -> concat_ws(' ', {joined})) END"
+        F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+            F.transform(F.sequence(F.lit(0), F.size(toks) - n), gram)
         )
+    )
+
+
+def word_shingles(text_col: str, n: int = 3) -> Column:
+    """Shingles straight from a text column name — convenience for tiny
+    frames/tests; hot paths should materialize tokens and use
+    ``shingles_from_tokens``."""
+    return shingles_from_tokens(F.split(F.col(text_col), " "), n)
+
+
+def exploded_shingles(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3
+) -> DataFrame:
+    """(id, shingle) rows with the tokens materialized once per row."""
+    toks = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_toks")
+    )
+    return toks.select(
+        id_col, F.explode(shingles_from_tokens(F.col("_toks"), n)).alias("sh")
     )
 
 
@@ -70,9 +91,7 @@ def minhash_signatures(
 
     h_i(s) = xxhash64(s, seed=i); signature[i] = min over shingles.
     Deterministic (seeded), JVM-side, one explode + one groupBy."""
-    sh = df.select(
-        F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("sh")
-    )
+    sh = exploded_shingles(df, text_col, id_col, shingle_n)
     hashes = sh.select(
         id_col,
         *[F.xxhash64(F.col("sh"), F.lit(i)).alias(f"h{i}") for i in range(num_hashes)],
@@ -132,9 +151,7 @@ def minhash_near_duplicates(
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
     cand = minhash_lsh_candidates(sigs, id_col, num_hashes, bands)
 
-    sh = df.select(
-        F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("sh")
-    )
+    sh = exploded_shingles(df, text_col, id_col, shingle_n)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "sh")
     b = sh.select(F.col(id_col).alias("id_b"), "sh")

@@ -783,16 +783,10 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     version is quadratic in shared shingles and serves as its ground truth).
     Shingle explode -> self-equi-join on shingle -> per-pair intersection
     counts -> Jaccard."""
+    from .operators.dedup import exploded_shingles
+
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = F.split(F.col("text"), " ")
-    shingles = F.array_distinct(
-        F.expr(
-            "transform(sequence(0, size(split(text, ' ')) - 3),"
-            " i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1],"
-            " split(text, ' ')[i+2]))"
-        )
-    )
-    s = docs.select("doc_id", F.explode(shingles).alias("sh"))
+    s = exploded_shingles(docs, "text", "doc_id", 3)
     sz = s.groupBy("doc_id").agg(_count(None, "sz"))
     a = s.select(F.col("doc_id").alias("doc_a"), "sh")
     b = s.select(F.col("doc_id").alias("doc_b"), "sh")
@@ -1082,3 +1076,162 @@ def forecast_quantiles_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         time_freq="D", context_length=14, prediction_length=14
     )
     return fc.predict(daily, "event_type", "day", "n")
+
+
+# ---------------------------------------------------------------------------
+# Semi/anti joins, set ops, exact quantiles, moving windows
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customers_without_orders",
+    """
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE c_custkey NOT IN (
+        SELECT o_custkey FROM orders
+        WHERE o_orderstatus = 'F' AND o_totalprice > 200000
+    )
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT IN / NOT EXISTS shape) against a filtered order
+    subset (every customer has SOME order in the testdata, so the
+    unfiltered anti-join would be trivially empty). Broadcast-able build
+    side when the key set is small; AQE decides."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    big_final = (
+        _t(spark, sf_dir, "orders")
+        .where((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 200000))
+        .select("o_custkey")
+    )
+    return cust.join(big_final, cust.c_custkey == big_final.o_custkey, "left_anti")
+
+
+@register(
+    "customers_with_orders_semi",
+    """
+    SELECT c_custkey FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    """,
+)
+def customers_with_orders_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (IN / EXISTS shape) — no fact-side duplication."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+
+
+@register(
+    "intersect_user_sets",
+    """
+    SELECT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def intersect_user_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct semantics) of two filtered key sets."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.where(F.col("event_type") == "click").select("user_id")
+    b = ev.where(F.col("event_type") == "purchase").select("user_id")
+    return a.intersect(b)
+
+
+@register(
+    "except_user_sets",
+    """
+    SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+    FROM events WHERE event_type = 'signup'
+    EXCEPT
+    SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+    FROM events WHERE event_type = 'error'
+    """,
+)
+def except_user_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct semantics) at (user, day) granularity — days a user
+    signed up without hitting an error."""
+    ev = _t(spark, sf_dir, "events")
+
+    def proj(kind: str) -> DataFrame:
+        return ev.where(F.col("event_type") == kind).select(
+            "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+        )
+
+    return proj("signup").subtract(proj("error"))
+
+
+@register(
+    "median_value_by_type",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS median_value,
+           round(quantile_cont(value, 0.9), 4) AS p90_value
+    FROM events GROUP BY event_type
+    """,
+)
+def median_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT interpolated quantiles (Spark `percentile` == DuckDB
+    quantile_cont: sort + linear interpolation — deterministic on both).
+    The approximate scale path is percentile_approx/approx_count_distinct;
+    exact quantile needs a per-group sort, fine post-aggregation or on
+    bounded groups."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("median_value"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90_value"),
+    )
+
+
+@register(
+    "moving_avg_7day",
+    """
+    WITH d AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS n
+        FROM events GROUP BY 1
+    )
+    SELECT day, n,
+           round(avg(CAST(n AS DOUBLE)) OVER (
+               ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+           ), 4) AS ma7
+    FROM d
+    """,
+)
+def moving_avg_7day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day trailing moving average over the daily series (rows-frame
+    window). Single-partition window is safe post-aggregation (~30 rows);
+    per-series windows partition by series key at scale."""
+    d = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(_count(None))
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return d.select(
+        "day", "n", F.round(F.avg(F.col("n").cast("double")).over(w), 4).alias("ma7")
+    )
+
+
+@register(
+    "multimodal_decode_meta",
+    """
+    SELECT md5(text) AS content_hash,
+           CAST(1 + ascii(substr(text, 1, 1)) % 64 AS INTEGER) AS width,
+           CAST(1 + ascii(substr(text, 2, 1)) % 64 AS INTEGER) AS height,
+           CAST(1 + length(text) % 7 AS INTEGER) AS n_frames
+    FROM documents
+    """,
+)
+def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode plumbing under oracle check: documents' text bytes
+    stand in for media payloads (ASCII -> byte == codepoint), mapInPandas
+    runs the deterministic fake decoder, and the oracle recomputes the same
+    pseudo-metadata in SQL. Validates the Arrow batch path end-to-end:
+    binary column in, typed metadata out."""
+    from .operators.multimodal import attach_multimodal, decode_features
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text"), F.col("text").cast("binary").alias("payload")
+    )
+    media = attach_multimodal(docs, "payload", "image/fake")
+    decoded = decode_features(media)
+    return decoded.select("content_hash", "width", "height", "n_frames")
