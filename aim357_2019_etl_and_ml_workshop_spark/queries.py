@@ -834,41 +834,13 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     higher-order functions (zip_with + aggregate), double accumulation in
     array order so both engines produce bit-identical sums. Ranking uses the
     ROUNDED similarity + id tiebreak for cross-engine determinism."""
+    from .operators.similarity import as_double_vec, brute_force_topk
+
     emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+        "vec_id", as_double_vec("embedding").alias("v")
     )
-    q = emb.where(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
-    )
-
-    def dot(x: Column, y: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(x, y, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    pairs = (
-        emb.select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"))
-        .crossJoin(F.broadcast(q))
-        .where(F.col("c_id") != F.col("q_id"))
-    )
-    sim = F.round(
-        dot(F.col("qv"), F.col("cv"))
-        / (
-            F.sqrt(dot(F.col("qv"), F.col("qv")))
-            * F.sqrt(dot(F.col("cv"), F.col("cv")))
-        ),
-        6,
-    )
-    ranked = pairs.select("q_id", "c_id", sim.alias("sim")).withColumn(
-        "rn",
-        F.row_number().over(
-            Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id"))
-        ),
-    )
-    return ranked.where(F.col("rn") <= 5).select("q_id", "c_id", "sim")
+    q = emb.where(F.col("vec_id") % 50 == 0)
+    return brute_force_topk(emb, q, k=5)
 
 
 # ---------------------------------------------------------------------------
@@ -1235,3 +1207,17 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = attach_multimodal(docs, "payload", "image/fake")
     decoded = decode_features(media)
     return decoded.select("content_hash", "width", "height", "n_frames")
+
+
+@register("ivf_ann_topk")
+def ivf_ann_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: deterministic mini-KMeans cells + n_probe
+    nearest-cell search + exact re-rank (rows-only: recall vs brute force
+    asserted in tests)."""
+    from .operators.similarity import as_double_vec, ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_vec("embedding").alias("v")
+    )
+    q = emb.where(F.col("vec_id") % 50 == 0)
+    return ivf_topk(emb, q, k=5, n_centroids=16, n_probe=6)

@@ -115,3 +115,36 @@ def test_lsh_topk_recall_vs_brute_force(spark, sf_dir):
     # testdata embeddings are near-isotropic (neighbor cosine ~0.3) — the
     # hardest case for LSH; expected recall at (k=4, L=16) is ~0.89
     assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
+    from aim357_2019_etl_and_ml_workshop_spark.operators.similarity import (
+        ivf_topk,
+    )
+
+    emb = read_testdata(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_vec("embedding").alias("v")
+    )
+    q = emb.where(F.col("vec_id") % 100 == 0)
+    exact = {(r.q_id, r.c_id) for r in brute_force_topk(emb, q, k=5).collect()}
+    # isotropic data: probe a wide fraction of cells (6/16) for recall
+    ap = {
+        (r.q_id, r.c_id)
+        for r in ivf_topk(emb, q, k=5, n_centroids=16, n_probe=6).collect()
+    }
+    recall = len(exact & ap) / len(exact)
+    assert recall >= 0.4, f"IVF recall too low: {recall}"
+
+
+def test_ivf_deterministic(spark, sf_dir):
+    from aim357_2019_etl_and_ml_workshop_spark.operators.similarity import (
+        ivf_topk,
+    )
+
+    emb = read_testdata(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_vec("embedding").alias("v")
+    )
+    q = emb.where(F.col("vec_id") % 200 == 0)
+    a = sorted(map(tuple, ivf_topk(emb, q, k=3).collect()))
+    b = sorted(map(tuple, ivf_topk(emb, q, k=3).collect()))
+    assert a == b

@@ -22,6 +22,7 @@ ROWS_ONLY = {
     "minhash_near_duplicates",
     "simhash_fingerprints",
     "lsh_ann_topk",
+    "ivf_ann_topk",
     "deepar_export",
     "forecast_quantiles",
 }
