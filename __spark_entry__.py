@@ -42,7 +42,8 @@ def entry(spark: SparkSession) -> DataFrame:
     hi_ts = F.lit("2024-01-28").cast("timestamp")
     facts = with_epoch(
         ev.where((F.col("ts") > lo_ts) & (F.col("ts") < hi_ts)), "ts"
-    )
+    ).cache()  # S11: reused by bounds scan + daily agg, as the reference
+    # caches its filtered frame (GluePySparkMLFeatureEngineering.rst:91,179)
     lo, hi = epoch_bounds(facts)
     spine = date_spine(spark, lo, hi)
     daily = facts.groupBy(

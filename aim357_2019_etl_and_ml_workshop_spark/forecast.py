@@ -129,3 +129,53 @@ class SeasonalQuantileForecaster:
         return prepared.groupBy("_series").applyInPandas(
             forecast, "series string, ts timestamp, quantile double, value double"
         )
+
+
+def evaluate(
+    predictions: DataFrame,
+    actuals: DataFrame,
+    series_col: str = "series",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    actual_col: str = "y",
+) -> DataFrame:
+    """M-quality metrics matching the reference's evaluation surface
+    (test RMSE + wQuantileLoss[q], GluePySparkMLFeatureEngineering.rst:
+    1571-1581): join forecasts to actuals on (series, ts) and compute
+
+    - rmse over the median (q=0.5) forecast;
+    - weighted quantile loss per q: 2*sum(P_q(y, yhat)) / sum(|y|) with
+      P_q = q*(y-yhat) if y >= yhat else (1-q)*(yhat-y).
+
+    Output long format: (metric string, quantile double|null, value double).
+    """
+    joined = predictions.join(
+        actuals.select(
+            F.col(series_col).alias("series"),
+            F.col(ts_col).alias("ts"),
+            F.col(actual_col).cast("double").alias("y"),
+        ),
+        ["series", "ts"],
+    )
+    yhat = F.col(value_col)
+    q = F.col("quantile")
+    pinball = F.when(F.col("y") >= yhat, q * (F.col("y") - yhat)).otherwise(
+        (1 - q) * (yhat - F.col("y"))
+    )
+    wql = joined.groupBy("quantile").agg(
+        (2 * F.sum(pinball) / F.sum(F.abs(F.col("y")))).alias("value")
+    ).select(
+        F.lit("wQuantileLoss").alias("metric"),
+        F.col("quantile"),
+        F.round("value", 6).alias("value"),
+    )
+    rmse = (
+        joined.where(F.col("quantile") == 0.5)
+        .agg(F.sqrt(F.avg(F.pow(F.col("y") - yhat, 2))).alias("value"))
+        .select(
+            F.lit("rmse").alias("metric"),
+            F.lit(None).cast("double").alias("quantile"),
+            F.round("value", 6).alias("value"),
+        )
+    )
+    return wql.unionByName(rmse)

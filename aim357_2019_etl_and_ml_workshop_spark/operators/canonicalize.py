@@ -131,3 +131,21 @@ def canonicalize(df: DataFrame, source_kind: str, drop_all_null: bool = True) ->
     # drop_null_fields (they were all-null anyway).
     cols = [c for c, _ in CANONICAL_SCHEMA if c in out.columns]
     return out.select(*cols)
+
+
+def resolve_choice_struct(df: DataFrame, column: str, cast_type: str = "bigint") -> DataFrame:
+    """Faithful ResolveChoice(choice='make_struct') (yellow.py:33): expand an
+    ambiguously-typed column into struct<{cast_type}, string> where each
+    value lands in exactly ONE branch — the cast branch if it parses, else
+    the string branch. The canonical pipeline uses the flat try-cast
+    (``apply_mapping``) since the reference immediately flattens to a flat
+    schema (GluePySparkMLFeatureEngineering.rst:75-81); this operator exists
+    for standalone make_struct parity."""
+    casted = F.col(column).cast(cast_type)
+    return df.withColumn(
+        column,
+        F.struct(
+            casted.alias(cast_type),
+            F.when(casted.isNull(), F.col(column)).alias("string"),
+        ),
+    )

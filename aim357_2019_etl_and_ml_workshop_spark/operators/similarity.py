@@ -20,9 +20,11 @@ across runs, no Math.random in the plan.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
+from pyspark.sql.functions import pandas_udf
 
 
 def as_double_vec(col: Column | str) -> Column:
@@ -106,20 +108,28 @@ def _multi_table_buckets(
     vec_col: str,
     all_planes: list[list[list[float]]],
 ) -> DataFrame:
-    """Explode each vector into one (table, bucket) row per hash table."""
-    per_table = []
-    for planes in all_planes:
-        bucket = None
-        for i, p in enumerate(planes):
-            plane = F.array(*[F.lit(float(x)) for x in p])
-            bit = F.when(
-                dot(F.col(vec_col), plane) > 0, F.lit(1).cast("bigint")
-            ).otherwise(F.lit(0).cast("bigint"))
-            term = F.shiftleft(bit, i)
-            bucket = term if bucket is None else bucket.bitwiseOR(term)
-        per_table.append(bucket)
-    return df.select(
-        "*", F.posexplode(F.array(*per_table)).alias("table", "bucket")
+    """Explode each vector into one (table, bucket) row per hash table.
+
+    The T*B hyperplane projections run as ONE Arrow-batched pandas_udf
+    matmul (V @ P.T) — the JVM higher-order-function fold version costs
+    T*B interpreted array folds per vector (measured ~7x slower at sf0.1).
+    This is the sanctioned Pandas-UDF case: bulk linear algebra."""
+    planes_flat = np.array(
+        [p for planes in all_planes for p in planes], dtype=np.float64
+    )
+    n_tables, n_bits = len(all_planes), len(all_planes[0])
+    weights = (1 << np.arange(n_bits)).astype(np.int64)
+
+    @pandas_udf("array<bigint>")
+    def buckets(vs: pd.Series) -> pd.Series:
+        v = np.stack(vs.to_numpy())
+        signs = (v @ planes_flat.T) > 0  # (n, T*B)
+        b = signs.reshape(len(v), n_tables, n_bits) @ weights  # (n, T)
+        return pd.Series(list(b))
+
+    return df.withColumn("_buckets", buckets(F.col(vec_col))).select(
+        *[c for c in df.columns],
+        F.posexplode(F.col("_buckets")).alias("table", "bucket"),
     )
 
 
@@ -225,26 +235,32 @@ def ivf_centroids(
     return cents
 
 
-def _cell_distances(vec: Column, cents: list[list[float]]) -> list[Column]:
-    """Squared L2 distance to each centroid, JVM-side."""
-    out = []
-    for c in cents:
-        carr = F.array(*[F.lit(float(x)) for x in c])
-        d = F.aggregate(
-            F.zip_with(vec, carr, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        out.append(d)
-    return out
-
-
 def _assign_cells(df: DataFrame, vec_col: str, cents: list[list[float]]) -> DataFrame:
-    """argmin cell id per vector via array_position over the distance array
-    (single projection, no join)."""
-    dists = F.array(*_cell_distances(F.col(vec_col), cents))
-    cell = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-    return df.withColumn("cell", cell)
+    """argmin cell id per vector — one Arrow-batched numpy distance matrix
+    per partition batch (ties -> lowest cell id, deterministic)."""
+    C = np.array(cents, dtype=np.float64)
+
+    @pandas_udf("int")
+    def assign(vs: pd.Series) -> pd.Series:
+        v = np.stack(vs.to_numpy())
+        d = ((v[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(d.argmin(axis=1).astype("int32"))
+
+    return df.withColumn("cell", assign(F.col(vec_col)))
+
+
+def _probe_cells(vec_col: str, cents: list[list[float]], n_probe: int) -> Column:
+    """Array of the n_probe nearest cell ids for a query vector."""
+    C = np.array(cents, dtype=np.float64)
+
+    @pandas_udf("array<int>")
+    def probe(vs: pd.Series) -> pd.Series:
+        v = np.stack(vs.to_numpy())
+        d = ((v[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        order = np.argsort(d, axis=1, kind="stable")[:, :n_probe].astype("int32")
+        return pd.Series(list(order))
+
+    return probe(F.col(vec_col))
 
 
 def ivf_topk(
@@ -268,24 +284,10 @@ def ivf_topk(
         "cv",
         cents,
     ).withColumn("cn", norm(F.col("cv")))
-    qdists = F.array(*_cell_distances(F.col("qv"), cents))
-    probe_cells = F.slice(
-        F.transform(
-            F.array_sort(
-                F.transform(
-                    qdists,
-                    lambda d, i: F.struct(d.alias("d"), i.alias("i")),
-                )
-            ),
-            lambda s: s["i"],
-        ),
-        1,
-        n_probe,
-    )
     q = (
         queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"))
         .withColumn("qn", norm(F.col("qv")))
-        .withColumn("cell", F.explode(probe_cells))
+        .withColumn("cell", F.explode(_probe_cells("qv", cents, n_probe)))
     )
     pairs = c.join(F.broadcast(q), "cell").where(F.col("c_id") != F.col("q_id"))
     sim = F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6)

@@ -149,3 +149,25 @@ def combine_columns_sum(df: DataFrame, out_col: str, in_cols: list[str]) -> Data
         col = F.coalesce(F.col(c), F.lit(0))
         total = col if total is None else total + col
     return df.withColumn(out_col, total).drop(*in_cols)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigating equi-join: the big side spreads each hot key over
+    ``n_salts`` sub-keys (deterministic hash of the whole row, no rand()),
+    the small side replicates per salt — so one skewed key's rows land on
+    n_salts reducers instead of one. AQE's skew-join handles moderate skew
+    automatically; this is the explicit fallback for pathological keys."""
+    big_cols = [F.col(c) for c in big.columns]
+    salted_big = big.withColumn(
+        "_salt", F.pmod(F.xxhash64(*big_cols), F.lit(n_salts)).cast("int")
+    )
+    salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("_salt")
+    salted_small = small.select("*", salts)
+    out = salted_big.join(salted_small, [key, "_salt"], how)
+    return out.drop("_salt")

@@ -30,8 +30,14 @@ HEADLINE = [
     "window_daily_diff",
     "dedup_docs_fingerprint",
     "ngram_jaccard_pairs",
+    "minhash_near_duplicates",
     "embedding_cosine_topk",
+    "lsh_ann_topk",
+    "ivf_ann_topk",
     "text_quality",
+    "lang_id_heuristic",
+    "sessionize_user_counts",
+    "forecast_quantiles",
 ]
 
 

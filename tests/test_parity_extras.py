@@ -1,0 +1,68 @@
+"""Parity extras: make_struct ResolveChoice, catalog registration (S5/S6),
+salted skew join, forecast evaluation metrics."""
+
+from datetime import datetime
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from aim357_2019_etl_and_ml_workshop_spark.forecast import (
+    SeasonalQuantileForecaster,
+    evaluate,
+)
+from aim357_2019_etl_and_ml_workshop_spark.operators.canonicalize import (
+    resolve_choice_struct,
+)
+from aim357_2019_etl_and_ml_workshop_spark.operators.timeseries import salted_join
+from aim357_2019_etl_and_ml_workshop_spark.sources.io import register_catalog_table
+
+
+def test_resolve_choice_struct_branches(spark):
+    df = spark.createDataFrame([Row(v="12"), Row(v="abc"), Row(v=None)])
+    out = resolve_choice_struct(df, "v").collect()
+    assert out[0].v.bigint == 12 and out[0].v.string is None
+    assert out[1].v.bigint is None and out[1].v.string == "abc"
+    assert out[2].v.bigint is None and out[2].v.string is None
+
+
+def test_catalog_registration_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame([Row(a=1), Row(a=2)]).write.parquet(path)
+    register_catalog_table(spark, "engdb", "t_cat", path)
+    assert spark.table("engdb.t_cat").count() == 2
+    assert "t_cat" in [t.name for t in spark.catalog.listTables("engdb")]
+
+
+def test_salted_join_equivalence(spark):
+    big = spark.createDataFrame(
+        [Row(k="hot", x=i) for i in range(50)] + [Row(k="cold", x=-1)]
+    )
+    small = spark.createDataFrame([Row(k="hot", tag="H"), Row(k="cold", tag="C")])
+    plain = {(r.k, r.x, r.tag) for r in big.join(small, "k").collect()}
+    salted = {(r.k, r.x, r.tag) for r in salted_join(big, small, "k", 4).collect()}
+    assert salted == plain
+
+
+def test_forecast_evaluate_metrics(spark):
+    daily = spark.createDataFrame(
+        [
+            Row(series="s", day=datetime(2018, 1, 1 + d), n=float(10 + d % 7))
+            for d in range(28)
+        ]
+    )
+    fc = SeasonalQuantileForecaster(prediction_length=7)
+    pred = fc.predict(daily, "series", "day", "n")
+    # actuals: continue the same weekly pattern -> small errors
+    actuals = spark.createDataFrame(
+        [
+            Row(series="s", ts=datetime(2018, 1, 29) + (datetime(2018, 1, 30) - datetime(2018, 1, 29)) * d, y=float(10 + (28 + d) % 7))
+            for d in range(7)
+        ]
+    )
+    m = evaluate(pred, actuals)
+    rows = m.collect()
+    metrics = {(r.metric, r.quantile): r.value for r in rows}
+    assert ("rmse", None) in metrics
+    assert metrics[("rmse", None)] >= 0
+    for q in (0.1, 0.5, 0.9):
+        assert metrics[("wQuantileLoss", q)] >= 0
