@@ -1221,3 +1221,114 @@ def ivf_ann_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = emb.where(F.col("vec_id") % 50 == 0)
     return ivf_topk(emb, q, k=5, n_centroids=16, n_probe=6)
+
+
+# ---------------------------------------------------------------------------
+# SQL entry point (Entry B) + scalar-function coverage
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sql_flagship_twin",
+    """
+    SELECT event_type,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS date,
+           count(*) AS ride_count
+    FROM events
+    WHERE ts > TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-25'
+    GROUP BY 1, 2
+    """,
+)
+def sql_flagship_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship query via the SQL ENTRY POINT (spark.sql over
+    registered views — SURVEY.md §3.2): same oracle as the DataFrame
+    version, proving both surfaces hit the same Catalyst planner."""
+    from .sql_surface import engine_sql
+
+    return engine_sql(
+        spark,
+        sf_dir,
+        """
+        SELECT event_type,
+               date_trunc('day', ts) AS date,
+               count(*) AS ride_count
+        FROM events
+        WHERE ts > TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-25'
+        GROUP BY event_type, date_trunc('day', ts)
+        """,
+    )
+
+
+@register(
+    "date_parts",
+    """
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+           CAST(month(o_orderdate) AS INTEGER) AS m,
+           count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part extraction (year/month) + grouped rollup of order totals."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m")
+    ).agg(
+        _count(None),
+        F.sum(_dec("o_totalprice", 18, 4)).cast("double").alias("total"),
+    )
+
+
+@register(
+    "string_functions_probe",
+    """
+    SELECT p_partkey,
+           upper(p_brand) AS brand_u,
+           substr(p_type, 1, 5) AS type5,
+           CAST(length(p_name) AS INTEGER) AS name_len,
+           p_brand || '#' || p_type AS brand_type,
+           replace(p_name, ' ', '_') AS name_us
+    FROM part
+    """,
+)
+def string_functions_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar surface: upper/substr/length/concat/replace — all
+    codegen built-ins (SURVEY.md §2.8 extension row)."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.substring("p_type", 1, 5).alias("type5"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws("#", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_us"),
+    )
+
+
+@register(
+    "math_functions_probe",
+    """
+    SELECT l_orderkey, l_linenumber,
+           abs(l_extendedprice - 50000) AS dist_from_50k,
+           round(sqrt(l_extendedprice), 6) AS sqrt_price,
+           round(ln(l_extendedprice), 6) AS ln_price,
+           CAST(ceil(l_discount * 100) AS BIGINT) AS disc_pct_ceil,
+           CAST(floor(l_quantity) AS BIGINT) AS qty_floor
+    FROM lineitem
+    """,
+)
+def math_functions_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar surface: abs/sqrt/ln/ceil/floor. sqrt and ln are rounded
+    to 6 — libm vs JVM can differ in the last ulp; at these magnitudes
+    round(.,6) absorbs it. abs/ceil/floor are exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_extendedprice") - 50000).alias("dist_from_50k"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("sqrt_price"),
+        F.round(F.log("l_extendedprice"), 6).alias("ln_price"),
+        F.ceil(F.col("l_discount") * 100).alias("disc_pct_ceil"),
+        F.floor("l_quantity").alias("qty_floor"),
+    )

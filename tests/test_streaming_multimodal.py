@@ -144,3 +144,50 @@ def test_unavailable_decoder_raises(media_df):
 
     with _pytest.raises(Exception):
         decode_features(media_df, decoder=unavailable_decoder).collect()
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Late-data semantics: with a 10-minute watermark in append mode, a row
+    arriving a full day late (after the watermark advanced past its window)
+    is dropped; an on-time row in the same batch is aggregated."""
+    src = str(tmp_path / "late_src")
+    os.makedirs(src)
+    # batch 1: events around 10:00 advance the watermark
+    spark.createDataFrame(
+        [Row(event_id=i, ts=datetime(2024, 1, 2, 10, i), event_type="click") for i in range(3)],
+        EVENTS_SCHEMA,
+    ).write.mode("append").parquet(src)
+
+    stream = stream_from_directory(spark, src, EVENTS_SCHEMA, max_files_per_trigger=1)
+    agg = tumbling_counts(stream, "ts", "5 minutes", "10 minutes", ["event_type"])
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: one VERY late row (prev day) + one fresh row far ahead
+        spark.createDataFrame(
+            [
+                Row(event_id=100, ts=datetime(2024, 1, 1, 9, 0), event_type="late"),
+                Row(event_id=101, ts=datetime(2024, 1, 3, 12, 0), event_type="fresh"),
+            ],
+            EVENTS_SCHEMA,
+        ).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        # batch 3: push watermark far past everything so closed windows emit
+        spark.createDataFrame(
+            [Row(event_id=102, ts=datetime(2024, 1, 4, 9, 0), event_type="flush")],
+            EVENTS_SCHEMA,
+        ).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        types = {
+            r.event_type
+            for r in spark.sql("select * from late_test").collect()
+        }
+    finally:
+        q.stop()
+    assert "fresh" in types      # on-time row emitted once its window closed
+    assert "late" not in types   # beyond-watermark row dropped
