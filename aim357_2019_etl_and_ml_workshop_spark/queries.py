@@ -1332,3 +1332,48 @@ def math_functions_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ceil(F.col("l_discount") * 100).alias("disc_pct_ceil"),
         F.floor("l_quantity").alias("qty_floor"),
     )
+
+
+@register(
+    "inclusive_range_count",
+    """
+    SELECT event_type, count(*) AS n FROM events
+    WHERE ts BETWEEN TIMESTAMP '2024-01-10' AND TIMESTAMP '2024-01-12'
+    GROUP BY event_type
+    """,
+)
+def inclusive_range_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10: INCLUSIVE label-range slice (the pandas .loc['a':'b'] analogue,
+    DataDiscoveryAndConversation.rst:424) — BETWEEN, vs P6's strict bounds."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.where(
+            F.col("ts").between(
+                F.lit("2024-01-10").cast("timestamp"),
+                F.lit("2024-01-12").cast("timestamp"),
+            )
+        )
+        .groupBy("event_type")
+        .agg(_count(None))
+    )
+
+
+@register(
+    "parse_timestamp_format",
+    """
+    SELECT event_id,
+           strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS ts_sec
+    FROM events
+    """,
+)
+def parse_timestamp_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: explicit-format to_timestamp parse (the reference's
+    to_timestamp(c, 'yyyy-MM-dd HH:mm:ss'),
+    GluePySparkMLFeatureEngineering.rst:447-448) — round-trips each ts
+    through format-and-parse, yielding second-truncated timestamps."""
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.to_timestamp(F.date_format("ts", fmt), fmt).alias("ts_sec"),
+    )
