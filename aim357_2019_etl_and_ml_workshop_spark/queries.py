@@ -1377,3 +1377,16 @@ def parse_timestamp_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.to_timestamp(F.date_format("ts", fmt), fmt).alias("ts_sec"),
     )
+
+
+@register("approx_sketches")
+def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate sketches — the 100TB substitutes for exact DISTINCT /
+    quantiles (rows-only: HLL++/GK results are engine-specific; accuracy
+    bounds vs exact values are asserted in tests)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.percentile_approx("value", 0.5, 10000).alias("approx_median"),
+        _count(None),
+    )

@@ -134,3 +134,14 @@ def test_pipeline_runner_and_alerts(canonical):
     alerts = alert_check(daily, "count", lo=0, hi=1.5, callback=fired.append)
     assert {a["count"] for a in alerts} == {2}  # only the 2-ride day alerts
     assert len(fired) == len(alerts)
+
+
+def test_partition_pruning_on_canonical(canonical):
+    """The canonical table is partitioned by type; a type filter must prune
+    at the source (PartitionFilters), not scan-and-filter."""
+    from aim357_2019_etl_and_ml_workshop_spark.plans import formatted_plan
+
+    df = canonical.where(F.col("type") == "yellow").select("pickup_datetime")
+    plan = formatted_plan(df)
+    assert "PartitionFilters" in plan
+    assert df.count() == 4  # only the yellow partition's rows

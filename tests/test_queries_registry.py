@@ -25,6 +25,7 @@ ROWS_ONLY = {
     "ivf_ann_topk",
     "deepar_export",
     "forecast_quantiles",
+    "approx_sketches",
 }
 
 
@@ -63,3 +64,29 @@ def test_revenue_join_broadcasts_dims(spark, sf_dir):
 def test_spine_join_broadcasts(spark, sf_dir):
     df = q.queries()["spine_left_join_gapfill"](spark, sf_dir)
     assert uses_broadcast_join(df)
+
+
+def test_approx_sketches_accuracy(spark, sf_dir):
+    """HLL++ distinct within rsd, approx median within neighborhood of
+    exact — the sketches are usable stand-ins at scale."""
+    from pyspark.sql import functions as F
+
+    rows = {
+        r.event_type: r
+        for r in q.queries()["approx_sketches"](spark, sf_dir).collect()
+    }
+    from aim357_2019_etl_and_ml_workshop_spark.sources.io import read_testdata
+
+    ev = read_testdata(spark, sf_dir, "events")
+    exact = {
+        r.event_type: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("du"),
+            F.expr("percentile(value, 0.5)").alias("med"),
+        )
+        .collect()
+    }
+    for et, r in rows.items():
+        assert abs(r.approx_users - exact[et].du) <= max(3, 0.1 * exact[et].du)
+        assert abs(r.approx_median - exact[et].med) <= 0.2 * max(exact[et].med, 1)
