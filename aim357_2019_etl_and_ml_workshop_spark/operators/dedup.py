@@ -245,3 +245,46 @@ def simhash_near_duplicates(
     return cand.where(ham <= max_hamming).select(
         "id_a", "id_b", ham.alias("hamming")
     )
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    threshold: float = 0.9,
+    n_tables: int = 16,
+    n_bits: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-dup (SURVEY.md §2.12): LSH-bucketed candidate
+    pairs -> exact cosine filter at ``threshold``. Same banding trade-off as
+    MinHash: candidates come from equi-joins on (table, bucket), never the
+    O(n^2) cross product; exact cosine runs only on collisions."""
+    from .similarity import _multi_table_buckets, dot, hyperplanes, norm
+
+    first = df.select(F.size(vec_col).alias("d")).first()
+    all_planes = [
+        hyperplanes(int(first["d"]), n_bits, 42 + 1000 * t) for t in range(n_tables)
+    ]
+    banded = _multi_table_buckets(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")),
+        "vec",
+        all_planes,
+    )
+    a = banded.select(
+        F.col("id").alias("id_a"), F.col("vec").alias("va"), "table", "bucket"
+    )
+    b = banded.select(
+        F.col("id").alias("id_b"), F.col("vec").alias("vb"), "table", "bucket"
+    )
+    cand = (
+        a.join(b, ["table", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "va", "id_b", "vb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sim = F.round(
+        dot(F.col("va"), F.col("vb")) / (norm(F.col("va")) * norm(F.col("vb"))), 6
+    )
+    return cand.select("id_a", "id_b", sim.alias("sim")).where(
+        F.col("sim") >= threshold
+    )

@@ -1,0 +1,98 @@
+"""MLlib pipeline surface (BASELINE.json: 'PySpark DataFrame ETL + MLlib
+pipelines'; SURVEY.md §2.12 text-analysis transformer row:
+Tokenizer/StopWordsRemover/HashingTF/IDF/NGram).
+
+Two pipelines:
+- ``tfidf_pipeline``: Tokenizer -> StopWordsRemover -> HashingTF -> IDF —
+  the standard text-featurization chain, all JVM estimators/transformers.
+- ``lang_classifier_pipeline``: the same features -> LogisticRegression
+  over the documents.lang label (StringIndexer-ed), seeded, as the
+  supervised-ML parity demo (the reference's model is a forecaster served
+  by forecast.py; this shows the MLlib estimator/transformer contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.ml import Pipeline, PipelineModel
+from pyspark.ml.classification import LogisticRegression
+from pyspark.ml.feature import (
+    IDF,
+    HashingTF,
+    NGram,
+    RegexTokenizer,
+    StopWordsRemover,
+    StringIndexer,
+)
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tfidf_pipeline(
+    text_col: str = "text",
+    num_features: int = 1 << 14,
+    with_ngrams: bool = False,
+) -> Pipeline:
+    """Tokenizer -> StopWordsRemover -> [NGram] -> HashingTF -> IDF."""
+    stages = [
+        RegexTokenizer(
+            inputCol=text_col, outputCol="_toks", pattern=r"\s+", toLowercase=True
+        ),
+        StopWordsRemover(inputCol="_toks", outputCol="_clean"),
+    ]
+    feat_in = "_clean"
+    if with_ngrams:
+        stages.append(NGram(n=2, inputCol="_clean", outputCol="_grams"))
+        feat_in = "_grams"
+    stages += [
+        HashingTF(inputCol=feat_in, outputCol="_tf", numFeatures=num_features),
+        IDF(inputCol="_tf", outputCol="features"),
+    ]
+    return Pipeline(stages=stages)
+
+
+def fit_tfidf(df: DataFrame, text_col: str = "text") -> PipelineModel:
+    return tfidf_pipeline(text_col).fit(df)
+
+
+def tfidf_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, n_terms, top_weight): summary columns from the fitted TF-IDF
+    vectors — vector internals stay in MLlib types; the relational surface
+    exposes stable scalars."""
+    model = fit_tfidf(df, text_col)
+    out = model.transform(df)
+    # SparseVector -> scalar summaries via a tiny UDF-free path is not
+    # available (VectorUDT), so summarize with a vectorized expr over the
+    # transformed columns instead: term count from the cleaned tokens and
+    # the max IDF weight via ml functions.
+    from pyspark.ml.functions import vector_to_array
+
+    arr = vector_to_array(F.col("features"))
+    return out.select(
+        F.col(id_col),
+        F.size(F.col("_clean")).alias("n_terms"),
+        F.round(F.array_max(arr), 6).alias("top_weight"),
+        F.round(F.aggregate(arr, F.lit(0.0), lambda a, x: a + x), 6).alias(
+            "weight_sum"
+        ),
+    )
+
+
+def lang_classifier_pipeline(
+    text_col: str = "text", label_col: str = "lang", seed: int = 42
+) -> Pipeline:
+    return Pipeline(
+        stages=[
+            RegexTokenizer(
+                inputCol=text_col, outputCol="_toks", pattern=r"\s+", toLowercase=True
+            ),
+            StopWordsRemover(inputCol="_toks", outputCol="_clean"),
+            HashingTF(inputCol="_clean", outputCol="_tf", numFeatures=1 << 12),
+            IDF(inputCol="_tf", outputCol="features"),
+            StringIndexer(inputCol=label_col, outputCol="label"),
+            LogisticRegression(maxIter=20, regParam=0.01, standardization=False),
+        ]
+    )
+
+
+def train_lang_classifier(df: DataFrame) -> PipelineModel:
+    return lang_classifier_pipeline().fit(df)

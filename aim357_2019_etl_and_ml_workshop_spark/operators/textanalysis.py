@@ -98,3 +98,30 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.md5(norm).alias("fp_md5"),
         F.xxhash64(norm).alias("fp_xx64"),
     )
+
+
+BPE_ISH_PATTERN = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """BPE-ish token counting (SURVEY.md §2.12 'whitespace + a BPE-ish
+    regex'): GPT2-style segmentation classes — letter runs, digit runs,
+    punctuation runs, each with optional leading space — via
+    regexp_extract_all (codegen, no UDF)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(F.lower(c), F.lit(BPE_ISH_PATTERN), F.lit(0)))
+
+
+def rolling_hash(text: Column | str, base: int = 131, mod: int = 1_000_000_007) -> Column:
+    """Polynomial rolling hash over character codes:
+    h = fold(chars, (acc*base + code) mod m). Deterministic, order-aware
+    (unlike bag-of-tokens hashes) — the document-fingerprinting primitive
+    for shift-detection; intermediate stays < 2^63 so it is exact in any
+    engine (no silent wrap)."""
+    c = F.col(text) if isinstance(text, str) else text
+    codes = F.transform(F.split(c, ""), lambda ch: F.ascii(ch).cast("bigint"))
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("bigint"),
+        lambda acc, x: (acc * base + x) % mod,
+    )

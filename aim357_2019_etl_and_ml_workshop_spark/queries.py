@@ -1390,3 +1390,114 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", 0.5, 10000).alias("approx_median"),
         _count(None),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup + advanced text fingerprints (SURVEY.md §2.12)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_neardup_blocked",
+    """
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                 6) AS sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.v, b.v)
+                / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                6) >= 0.42
+    """,
+)
+def embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup with label BLOCKING (the classic blocked-
+    dedup pattern: candidate pairs only within a blocking key, here the
+    label) — exact-oracle twin of the LSH-bucketed scale path
+    (operators.dedup.embedding_near_duplicates). Threshold applied on the
+    ROUNDED similarity so the cut is reproducible across engines."""
+    from .operators.similarity import as_double_vec, dot, norm
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double_vec("embedding").alias("v")
+    )
+    a = e.select(
+        F.col("vec_id").alias("id_a"), F.col("label"), F.col("v").alias("va")
+    ).withColumn("na", norm(F.col("va")))
+    b = e.select(
+        F.col("vec_id").alias("id_b"), F.col("label"), F.col("v").alias("vb")
+    ).withColumn("nb", norm(F.col("vb")))
+    pairs = a.join(b, "label").where(F.col("id_a") < F.col("id_b"))
+    sim = F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+    return (
+        pairs.select("id_a", "id_b", sim.alias("sim"))
+        .where(F.col("sim") >= 0.42)
+    )
+
+
+@register("embedding_neardup_lsh")
+def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed embedding near-dup — the unblocked scale path
+    (rows-only; recall vs the blocked exact oracle asserted in tests)."""
+    from .operators.dedup import embedding_near_duplicates
+    from .operators.similarity import as_double_vec
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_vec("embedding").alias("v")
+    )
+    return embedding_near_duplicates(e, "vec_id", "v", threshold=0.42)
+
+
+@register(
+    "bpe_token_count",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS INTEGER)
+               AS n_bpe
+    FROM documents
+    """,
+)
+def bpe_token_count_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting (operators.textanalysis.bpe_token_count)."""
+    from .operators.textanalysis import bpe_token_count
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", bpe_token_count("text").alias("n_bpe")
+    )
+
+
+@register(
+    "rolling_hash_fingerprint",
+    """
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                            list_transform(regexp_split_to_array(text, ''),
+                                           ch -> CAST(ascii(ch) AS BIGINT))),
+               (acc, x) -> (acc * 131 + x) % 1000000007
+           ) AS rhash
+    FROM documents
+    """,
+)
+def rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-aware polynomial rolling-hash fingerprint
+    (operators.textanalysis.rolling_hash); exact cross-engine (modular
+    arithmetic, no overflow)."""
+    from .operators.textanalysis import rolling_hash
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", rolling_hash("text").alias("rhash")
+    )
+
+
+@register("tfidf_features")
+def tfidf_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib TF-IDF featurization summary (Tokenizer -> StopWordsRemover ->
+    HashingTF -> IDF) — rows-only (vector weights are MLlib-internal;
+    structural checks in tests)."""
+    from .operators.mlpipeline import tfidf_features
+
+    return tfidf_features(_t(spark, sf_dir, "documents"), "text", "doc_id")

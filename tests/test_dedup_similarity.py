@@ -148,3 +148,22 @@ def test_ivf_deterministic(spark, sf_dir):
     a = sorted(map(tuple, ivf_topk(emb, q, k=3).collect()))
     b = sorted(map(tuple, ivf_topk(emb, q, k=3).collect()))
     assert a == b
+
+
+def test_embedding_neardup_lsh_recall(spark, sf_dir):
+    """The LSH-bucketed near-dup must recall the high-similarity pairs the
+    exact blocked oracle finds (restricted to same-label pairs, which is
+    what the blocked version can see)."""
+    from aim357_2019_etl_and_ml_workshop_spark import queries as q
+
+    exact = {
+        (r.id_a, r.id_b)
+        for r in q.queries()["embedding_neardup_blocked"](spark, sf_dir).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b)
+        for r in q.queries()["embedding_neardup_lsh"](spark, sf_dir).collect()
+    }
+    if exact:
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.5, f"embedding near-dup recall too low: {recall}"

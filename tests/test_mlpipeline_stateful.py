@@ -1,0 +1,99 @@
+"""MLlib pipeline surface + custom stateful streaming operator."""
+
+import os
+from datetime import datetime, timedelta
+
+import pandas as pd
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from aim357_2019_etl_and_ml_workshop_spark.operators.mlpipeline import (
+    tfidf_features,
+    train_lang_classifier,
+)
+from aim357_2019_etl_and_ml_workshop_spark.sources.io import read_testdata
+
+
+def test_tfidf_features(spark, sf_dir):
+    docs = read_testdata(spark, sf_dir, "documents")
+    out = tfidf_features(docs, "text", "doc_id")
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    for r in rows[:20]:
+        assert r.n_terms >= 0
+        assert r.weight_sum >= r.top_weight >= 0
+
+
+def test_lang_classifier_learns_separable_data(spark):
+    """The driver's documents carry lang labels UNCORRELATED with their text
+    (one shared vocabulary), so that task is unlearnable by construction —
+    verified: training there scores ~the majority prior. The estimator
+    contract is therefore tested on a separable corpus where vocabulary
+    determines the label."""
+    vocab = {
+        "en": "the quick brown fox jumps over lazy dog river stone",
+        "de": "der schnelle braune fuchs springt ueber faulen hund fluss stein",
+        "es": "el rapido zorro marron salta sobre perro perezoso rio piedra",
+    }
+    rows = []
+    for li, (lang, words) in enumerate(sorted(vocab.items())):
+        ws = words.split()
+        for i in range(40):
+            text = " ".join(ws[(i + j) % len(ws)] for j in range(6))
+            rows.append(Row(doc_id=li * 100 + i, text=text, lang=lang))
+    docs = spark.createDataFrame(rows)
+    model = train_lang_classifier(docs)
+    pred = model.transform(docs)
+    acc = pred.where(F.col("label") == F.col("prediction")).count() / docs.count()
+    assert acc >= 0.95, f"train accuracy too low on separable data: {acc}"
+
+
+def test_stateful_running_counts(spark, tmp_path):
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-key RUNNING event count maintained in GroupState across
+    micro-batches (SURVEY.md §2.9 'applyInPandasWithState for custom
+    stateful operators')."""
+    src = str(tmp_path / "st_src")
+    os.makedirs(src)
+    schema = "k string, ts timestamp"
+
+    def batch(rows):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+
+    batch([Row(k="a", ts=datetime(2024, 1, 1, 0, 0)),
+           Row(k="a", ts=datetime(2024, 1, 1, 0, 1)),
+           Row(k="b", ts=datetime(2024, 1, 1, 0, 2))])
+
+    def running_count(key, pdfs, state: GroupState):
+        total = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({"k": [key[0]], "total": [total]})
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = stream.groupBy("k").applyInPandasWithState(
+        running_count,
+        outputStructType="k string, total long",
+        stateStructType="total long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stateful_counts")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        batch([Row(k="a", ts=datetime(2024, 1, 1, 0, 5))])
+        q.processAllAvailable()
+        rows = spark.sql(
+            "select k, max(total) as total from stateful_counts group by k"
+        ).collect()
+        totals = {r.k: r.total for r in rows}
+    finally:
+        q.stop()
+    assert totals == {"a": 3, "b": 1}  # state carried across micro-batches

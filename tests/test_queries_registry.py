@@ -26,6 +26,8 @@ ROWS_ONLY = {
     "deepar_export",
     "forecast_quantiles",
     "approx_sketches",
+    "embedding_neardup_lsh",
+    "tfidf_features",
 }
 
 
