@@ -1501,3 +1501,112 @@ def tfidf_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.mlpipeline import tfidf_features
 
     return tfidf_features(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Temporal joins Spark lacks natively (SURVEY/prompt: as-of join, range join)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_join_last_signup",
+    """
+    WITH p AS (
+        SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+    ), s AS (
+        SELECT user_id, ts, value FROM events WHERE event_type = 'signup'
+    )
+    SELECT p.user_id, p.ts, p.event_id, s.value AS r_value
+    FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts
+    """,
+)
+def asof_join_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (point-in-time) join: each purchase gets the value of the same
+    user's LATEST signup at or before it (NULL if none). Spark has no native
+    ASOF JOIN; operators.temporal_joins.asof_join composes it as
+    union + per-key window carry-forward (one shuffle on user_id). Oracle:
+    DuckDB's native ASOF LEFT JOIN."""
+    from .operators.temporal_joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    signups = ev.where(F.col("event_type") == "signup").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(purchases, signups, "user_id", "ts", "ts", ["value"])
+
+
+@register(
+    "range_join_campaign_counts",
+    f"""
+    WITH f AS (SELECT {_EPOCH_SQL} AS epoch FROM events),
+         b AS (SELECT min(epoch) AS lo, max(epoch) AS hi FROM f),
+         spine AS (SELECT unnest(generate_series(lo, hi, 86400)) AS epoch FROM b),
+         campaigns AS (
+             SELECT make_timestamp(epoch * 1000000) AS cstart,
+                    make_timestamp((epoch + 259200) * 1000000) AS cend
+             FROM spine WHERE (epoch / 86400) % 5 = 0
+         )
+    SELECT c.cstart, count(*) AS n
+    FROM events e JOIN campaigns c
+      ON e.ts >= c.cstart AND e.ts < c.cend
+    GROUP BY c.cstart
+    """,
+)
+def range_join_campaign_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unkeyed range (interval) join: events matched into 3-day 'campaign'
+    windows that start every 5 days — via the bucketed range join
+    (operators.temporal_joins.range_join: interval rows explode to
+    overlapped day-buckets, facts get one bucket each, equi-join + exact
+    bounds filter; never an inequality cross join). Oracle: DuckDB
+    inequality join."""
+    from .operators.temporal_joins import range_join
+
+    facts = with_epoch(_t(spark, sf_dir, "events"), "ts")
+    lo, hi = epoch_bounds(facts)
+    campaigns = (
+        date_spine(spark, lo, hi)
+        .where((F.col("epoch") / 86400 % 5).cast("bigint") == 0)
+        .select(
+            F.col("epoch").cast("timestamp").alias("cstart"),
+            (F.col("epoch") + 259200).cast("timestamp").alias("cend"),
+        )
+    )
+    joined = range_join(
+        _t(spark, sf_dir, "events").select("event_id", "ts"),
+        campaigns,
+        "ts",
+        "cstart",
+        "cend",
+    )
+    return joined.groupBy("cstart").agg(_count(None))
+
+
+@register(
+    "latest_state_per_user",
+    """
+    SELECT user_id, ts, event_type, value FROM (
+        SELECT user_id, ts, event_type, value,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def latest_state_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC/SCD1 upsert materialization: latest row per key by (ts, id)
+    window — the MERGE-INTO emulation for engines without Delta (compact
+    state tables from append-only change streams)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.select("user_id", "ts", "event_type", "value",
+                  F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
