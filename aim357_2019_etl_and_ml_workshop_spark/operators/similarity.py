@@ -211,15 +211,27 @@ def ivf_centroids(
     tiny (sqrt-ish of N); each iteration is one shuffle of partial sums."""
     n = vectors.count()
     stride = max(n // n_centroids, 1)
+    # Stride over the id column directly (no full-order window — a global
+    # sort of all vectors just to pick k seeds would not survive scale-up).
+    # Falls back to a ranked pick only if the id stride under-fills (sparse
+    # or non-uniform ids).
     seeds = (
-        vectors.withColumn(
-            "_rank",
-            F.row_number().over(Window.orderBy(F.col(id_col))),
-        )
-        .where(((F.col("_rank") - 1) % stride == 0) & (F.col("_rank") <= stride * n_centroids))
+        vectors.where(F.col(id_col) % stride == 0)
+        .orderBy(id_col)
+        .limit(n_centroids)
         .select(vec_col)
         .collect()
     )
+    if len(seeds) < min(n_centroids, n):
+        seeds = (
+            vectors.withColumn(
+                "_rank", F.row_number().over(Window.orderBy(F.col(id_col)))
+            )
+            .where((F.col("_rank") - 1) % stride == 0)
+            .limit(n_centroids)
+            .select(vec_col)
+            .collect()
+        )
     cents = [list(r[vec_col]) for r in seeds]
     for _ in range(n_iters):
         assigned = _assign_cells(vectors, vec_col, cents).select(

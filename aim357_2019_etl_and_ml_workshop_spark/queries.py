@@ -1610,3 +1610,55 @@ def latest_state_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@register(
+    "cube_counts",
+    """
+    SELECT event_type, CAST(user_id % 2 AS BIGINT) AS user_parity, count(*) AS n
+    FROM events
+    GROUP BY CUBE(event_type, user_id % 2)
+    """,
+)
+def cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets: all 4 aggregation levels in one pass."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", (F.col("user_id") % 2).alias("user_parity")
+    )
+    return ev.cube("event_type", "user_parity").agg(_count(None))
+
+
+@register(
+    "array_functions_probe",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT vec_id,
+           CAST(len(v) AS INTEGER) AS dim,
+           round(list_max(v), 6) AS vmax,
+           round(list_min(v), 6) AS vmin,
+           round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), v[1:8]),
+                             (a, b) -> a + b), 6) AS head8_sum,
+           round(v[1], 6) AS first_el
+    FROM e
+    """,
+)
+def array_functions_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface: size/max/min/slice/fold/index — JVM
+    higher-order functions, fold order matched to the oracle's sequential
+    list_reduce so doubles are bit-identical."""
+    from .operators.similarity import as_double_vec
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_vec("embedding").alias("v")
+    )
+    head8 = F.aggregate(
+        F.slice(F.col("v"), 1, 8), F.lit(0.0), lambda a, b: a + b
+    )
+    return e.select(
+        "vec_id",
+        F.size("v").alias("dim"),
+        F.round(F.array_max("v"), 6).alias("vmax"),
+        F.round(F.array_min("v"), 6).alias("vmin"),
+        F.round(head8, 6).alias("head8_sum"),
+        F.round(F.element_at("v", 1), 6).alias("first_el"),
+    )

@@ -36,7 +36,12 @@ HEADLINE = [
     "ivf_ann_topk",
     "text_quality",
     "lang_id_heuristic",
+    "bpe_token_count",
+    "rolling_hash_fingerprint",
     "sessionize_user_counts",
+    "latest_state_per_user",
+    "asof_join_last_signup",
+    "range_join_campaign_counts",
     "forecast_quantiles",
 ]
 
