@@ -153,8 +153,18 @@ def minhash_near_duplicates(
 
     sh = exploded_shingles(df, text_col, id_col, shingle_n)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col(id_col).alias("id_a"), "sh")
-    b = sh.select(F.col(id_col).alias("id_b"), "sh")
+    # Restrict the shingle table to docs that appear in ANY candidate pair
+    # BEFORE the pair join — otherwise the join materializes the full
+    # all-pairs shingle intersection and the candidate filter arrives too
+    # late to save any work.
+    cand_ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .union(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh_c = sh.join(F.broadcast(cand_ids), id_col, "left_semi")
+    a = sh_c.select(F.col(id_col).alias("id_a"), "sh")
+    b = sh_c.select(F.col(id_col).alias("id_b"), "sh")
     inter = (
         a.join(b, "sh")
         .where(F.col("id_a") < F.col("id_b"))
@@ -259,7 +269,7 @@ def embedding_near_duplicates(
     pairs -> exact cosine filter at ``threshold``. Same banding trade-off as
     MinHash: candidates come from equi-joins on (table, bucket), never the
     O(n^2) cross product; exact cosine runs only on collisions."""
-    from .similarity import _multi_table_buckets, dot, hyperplanes, norm
+    from .similarity import _multi_table_buckets, _pair_cosine_udf, hyperplanes
 
     first = df.select(F.size(vec_col).alias("d")).first()
     all_planes = [
@@ -282,9 +292,7 @@ def embedding_near_duplicates(
         .select("id_a", "va", "id_b", "vb")
         .dropDuplicates(["id_a", "id_b"])
     )
-    sim = F.round(
-        dot(F.col("va"), F.col("vb")) / (norm(F.col("va")) * norm(F.col("vb"))), 6
-    )
+    sim = _pair_cosine_udf()("va", "vb")
     return cand.select("id_a", "id_b", sim.alias("sim")).where(
         F.col("sim") >= threshold
     )

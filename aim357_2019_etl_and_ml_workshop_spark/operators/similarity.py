@@ -85,6 +85,23 @@ def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> list[list[float
     return rng.randn(n_planes, dim).round(6).tolist()
 
 
+def _pair_cosine_udf():
+    """Vectorized cosine over candidate PAIRS (rows-only paths: LSH/IVF
+    re-rank, embedding near-dup). numpy row-wise dot per Arrow batch —
+    NOT used where a DuckDB oracle requires fold-order-identical doubles
+    (brute_force_topk keeps the JVM sequential fold)."""
+
+    @pandas_udf("double")
+    def pair_cos(qs: pd.Series, cs: pd.Series) -> pd.Series:
+        qm = np.stack(qs.to_numpy())
+        cm = np.stack(cs.to_numpy())
+        num = np.einsum("ij,ij->i", qm, cm)
+        den = np.linalg.norm(qm, axis=1) * np.linalg.norm(cm, axis=1)
+        return pd.Series(np.round(num / den, 6))
+
+    return pair_cos
+
+
 def with_lsh_bucket(
     df: DataFrame,
     vec_col: str,
@@ -180,11 +197,8 @@ def lsh_topk(
         .where(F.col("c_id") != F.col("q_id"))
         .select("q_id", "qv", "c_id", "cv")
         .dropDuplicates(["q_id", "c_id"])  # same pair may collide in many tables
-        .withColumn("qn", norm(F.col("qv")))
-        .withColumn("cn", norm(F.col("cv")))
     )
-    sim = F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6)
-    ranked = pairs.select("q_id", "c_id", sim.alias("sim")).withColumn(
+    ranked = pairs.select("q_id", "c_id", _pair_cosine_udf()("qv", "cv").alias("sim")).withColumn(
         "rn",
         F.row_number().over(
             Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id"))
@@ -295,15 +309,14 @@ def ivf_topk(
         candidates.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("cv")),
         "cv",
         cents,
-    ).withColumn("cn", norm(F.col("cv")))
-    q = (
-        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"))
-        .withColumn("qn", norm(F.col("qv")))
-        .withColumn("cell", F.explode(_probe_cells("qv", cents, n_probe)))
     )
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv")
+    ).withColumn("cell", F.explode(_probe_cells("qv", cents, n_probe)))
     pairs = c.join(F.broadcast(q), "cell").where(F.col("c_id") != F.col("q_id"))
-    sim = F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6)
-    ranked = pairs.select("q_id", "c_id", sim.alias("sim")).withColumn(
+    ranked = pairs.select(
+        "q_id", "c_id", _pair_cosine_udf()("qv", "cv").alias("sim")
+    ).withColumn(
         "rn",
         F.row_number().over(
             Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id"))
