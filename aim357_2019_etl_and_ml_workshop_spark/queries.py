@@ -1662,3 +1662,66 @@ def array_functions_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(head8, 6).alias("head8_sum"),
         F.round(F.element_at("v", 1), 6).alias("first_el"),
     )
+
+
+@register(
+    "orders_above_avg_price",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+    """,
+)
+def orders_above_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery shape: filter against a global aggregate. The
+    aggregate is computed once and broadcast into the predicate (cross-join
+    of a 1-row frame), not re-evaluated per row. Comparison against an
+    unrounded avg is safe here: sum(integral-cents doubles) is exact, so
+    both engines derive the identical threshold."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    avg_row = o.agg(F.avg("o_totalprice").alias("a"))
+    return (
+        o.crossJoin(F.broadcast(avg_row))
+        .where(F.col("o_totalprice") > F.col("a"))
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "having_active_users",
+    """
+    SELECT user_id, count(*) AS n FROM events
+    GROUP BY user_id HAVING count(*) > 70
+    """,
+)
+def having_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING shape: post-aggregation filter."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(_count(None))
+        .where(F.col("n") > 70)
+    )
+
+
+@register(
+    "value_bucket_histogram",
+    """
+    SELECT CASE WHEN value < 10 THEN 'low'
+                WHEN value < 100 THEN 'mid'
+                ELSE 'high' END AS bucket,
+           count(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def value_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE-WHEN bucketing histogram."""
+    bucket = (
+        F.when(F.col("value") < 10, "low")
+        .when(F.col("value") < 100, "mid")
+        .otherwise("high")
+    )
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(bucket.alias("bucket"))
+        .agg(_count(None))
+    )
