@@ -149,3 +149,16 @@ def resolve_choice_struct(df: DataFrame, column: str, cast_type: str = "bigint")
             F.when(casted.isNull(), F.col(column)).alias("string"),
         ),
     )
+
+
+def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Crawler-style profiling (S5 companion): one row of per-table stats —
+    row count plus per-column non-null counts and distinct counts. One
+    aggregation pass (map-side partials); the schema-hygiene sibling of
+    drop_null_fields."""
+    cols = columns or df.columns
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(F.count(F.col(c)).alias(f"nn_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"nd_{c}"))
+    return df.agg(*aggs)

@@ -296,3 +296,15 @@ def embedding_near_duplicates(
     return cand.select("id_a", "id_b", sim.alias("sim")).where(
         F.col("sim") >= threshold
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    seed: int = 42,
+) -> DataFrame:
+    """Seeded per-stratum sampling (training-data curation: rebalance
+    sources/languages). Deterministic for a fixed seed+partitioning;
+    distributed Bernoulli per row — no driver-side collection."""
+    return df.sampleBy(strata_col, fractions, seed)

@@ -125,3 +125,35 @@ def rolling_hash(text: Column | str, base: int = 131, mod: int = 1_000_000_007) 
         F.lit(0).cast("bigint"),
         lambda acc, x: (acc * base + x) % mod,
     )
+
+
+def chunk_tokens(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_size: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """LLM context chunking: split each document's token stream into
+    overlapping windows (chunk_size tokens every stride tokens) — one
+    output row per chunk: (id, chunk_idx, chunk_text, n_chunk_tokens).
+    Pure JVM ops (split once -> sequence of starts -> slice + concat_ws),
+    fan-out via explode; no Python in the row path."""
+    toks = df.select(
+        F.col(id_col), F.split(F.col(text_col), r"\s+").alias("_toks")
+    )
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("_toks") - 1, F.lit(0)), F.lit(stride)
+    )
+    chunks = toks.select(
+        id_col,
+        F.posexplode(starts).alias("chunk_idx", "_start"),
+        F.col("_toks"),
+    )
+    piece = F.slice(F.col("_toks"), F.col("_start") + 1, chunk_size)
+    return chunks.select(
+        id_col,
+        "chunk_idx",
+        F.concat_ws(" ", piece).alias("chunk_text"),
+        F.size(piece).alias("n_chunk_tokens"),
+    )

@@ -1725,3 +1725,91 @@ def value_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(bucket.alias("bucket"))
         .agg(_count(None))
     )
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline curation ops: chunking, vocabulary, profiling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "chunk_documents",
+    """
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM documents
+    ), c AS (
+        SELECT doc_id,
+               CAST(g.i / 24 AS INTEGER) AS chunk_idx,
+               array_to_string(toks[g.i + 1 : g.i + 32], ' ') AS chunk_text,
+               CAST(len(toks[g.i + 1 : g.i + 32]) AS INTEGER) AS n_chunk_tokens
+        FROM t, LATERAL unnest(generate_series(0, greatest(len(toks) - 1, 0), 24)) AS g(i)
+    )
+    SELECT doc_id, chunk_idx, chunk_text, n_chunk_tokens FROM c
+    """,
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM context chunking: 32-token windows every 24 tokens per document
+    (operators.textanalysis.chunk_tokens)."""
+    from .operators.textanalysis import chunk_tokens
+
+    return chunk_tokens(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", chunk_size=32, stride=24
+    )
+
+
+@register(
+    "top_terms",
+    """
+    SELECT t AS term, count(*) AS n
+    FROM documents, LATERAL unnest(string_split(lower(text), ' ')) AS u(t)
+    GROUP BY t ORDER BY n DESC, term LIMIT 50
+    """,
+)
+def top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: explode tokens -> count -> top-50 with term
+    tiebreak (the vocab-building primitive)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("term"))
+        .groupBy("term")
+        .agg(_count(None))
+        .orderBy(F.col("n").desc(), F.col("term"))
+        .limit(50)
+    )
+
+
+@register(
+    "profile_orders",
+    """
+    SELECT count(*) AS n_rows,
+           count(o_custkey) AS nn_o_custkey,
+           count(DISTINCT o_custkey) AS nd_o_custkey,
+           count(o_orderstatus) AS nn_o_orderstatus,
+           count(DISTINCT o_orderstatus) AS nd_o_orderstatus,
+           count(o_orderpriority) AS nn_o_orderpriority,
+           count(DISTINCT o_orderpriority) AS nd_o_orderpriority
+    FROM orders
+    """,
+)
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawler-style table profile (operators.canonicalize.profile_table):
+    row count + per-column non-null/distinct counts in one pass."""
+    from .operators.canonicalize import profile_table
+
+    return profile_table(
+        _t(spark, sf_dir, "orders"),
+        ["o_custkey", "o_orderstatus", "o_orderpriority"],
+    )
+
+
+@register("stratified_sample_docs")
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded stratified sample by language (rows-only: Bernoulli draws are
+    Spark-internal; fraction tolerances asserted in tests)."""
+    from .operators.dedup import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    fracs = {"en": 0.5, "de": 1.0, "es": 1.0, "fr": 1.0, "zh": 1.0}
+    return stratified_sample(docs, "lang", fracs, seed=42).select(
+        "doc_id", "lang"
+    )

@@ -28,6 +28,7 @@ ROWS_ONLY = {
     "approx_sketches",
     "embedding_neardup_lsh",
     "tfidf_features",
+    "stratified_sample_docs",
 }
 
 
@@ -92,3 +93,36 @@ def test_approx_sketches_accuracy(spark, sf_dir):
     for et, r in rows.items():
         assert abs(r.approx_users - exact[et].du) <= max(3, 0.1 * exact[et].du)
         assert abs(r.approx_median - exact[et].med) <= 0.2 * max(exact[et].med, 1)
+
+
+def test_stratified_sample_fractions(spark, sf_dir):
+    from aim357_2019_etl_and_ml_workshop_spark.sources.io import read_testdata
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    sampled = q.queries()["stratified_sample_docs"](spark, sf_dir)
+    base = {r.lang: r.n for r in docs.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    got = {r.lang: r.n for r in sampled.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    # non-en strata kept fully; en downsampled to ~half
+    for lang in ("de", "es", "fr", "zh"):
+        assert got[lang] == base[lang]
+    assert 0.25 * base["en"] <= got["en"] <= 0.75 * base["en"]
+
+
+def test_chunking_reconstructs_prefix(spark, sf_dir):
+    """chunk 0 must equal the first 32 tokens; strided chunks overlap by 8."""
+    from aim357_2019_etl_and_ml_workshop_spark.operators.textanalysis import (
+        chunk_tokens,
+    )
+    from aim357_2019_etl_and_ml_workshop_spark.sources.io import read_testdata
+
+    docs = read_testdata(spark, sf_dir, "documents").limit(5)
+    chunks = chunk_tokens(docs, "text", "doc_id").collect()
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, {})[r.chunk_idx] = r
+    for doc_id, idx in by_doc.items():
+        toks = texts[doc_id].split()
+        assert idx[0].chunk_text == " ".join(toks[:32])
+        if 1 in idx and len(toks) >= 32:
+            assert idx[1].chunk_text.split()[0] == toks[24]
