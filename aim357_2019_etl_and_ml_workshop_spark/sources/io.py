@@ -117,3 +117,24 @@ def write_json_lines(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """JSON Lines sink (S7): one JSON object per row, matching the
     reference's DeepAR export contract {"start": ..., "target": [...]}."""
     df.write.mode(mode).json(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 16,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table (the co-located-join lever from SURVEY §4 /
+    the 100TB posture): rows are hash-partitioned into ``num_buckets`` files
+    per partition ON WRITE, so joins/aggregations on the bucket columns
+    read pre-shuffled data — no Exchange at query time. Use for fact tables
+    joined repeatedly on the same key (lineitem x orders on orderkey)."""
+    writer = df.write.mode(mode).format("parquet").bucketBy(
+        num_buckets, *bucket_cols
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)

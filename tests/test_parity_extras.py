@@ -66,3 +66,39 @@ def test_forecast_evaluate_metrics(spark):
     assert metrics[("rmse", None)] >= 0
     for q in (0.1, 0.5, 0.9):
         assert metrics[("wQuantileLoss", q)] >= 0
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir):
+    """Both sides bucketed 8-ways on the join key -> the join plan contains
+    NO Exchange on either input (co-located join), vs the unbucketed plan
+    which shuffles both sides."""
+    from aim357_2019_etl_and_ml_workshop_spark.plans import formatted_plan
+    from aim357_2019_etl_and_ml_workshop_spark.sources.io import (
+        read_testdata,
+        write_bucketed_table,
+    )
+
+    li = read_testdata(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    orders = read_testdata(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    write_bucketed_table(li, "b_lineitem", ["l_orderkey"], 8)
+    write_bucketed_table(orders, "b_orders", ["o_orderkey"], 8)
+    try:
+        bl, bo = spark.table("b_lineitem"), spark.table("b_orders")
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = bl.join(bo, bl.l_orderkey == bo.o_orderkey)
+            plan = formatted_plan(joined)
+            assert "Exchange" not in plan, "bucketed join still shuffles"
+            assert joined.count() == li.count()  # inner FK join keeps all items
+            plain = li.join(orders, li.l_orderkey == orders.o_orderkey)
+            assert "Exchange" in formatted_plan(plain)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
