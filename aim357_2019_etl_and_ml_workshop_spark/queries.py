@@ -8,7 +8,11 @@ the same parquet for the hash-match gate.
 Determinism rules (SURVEY.md §5.2):
 - every computed column is aliased identically in Spark and SQL;
 - money sums go through DECIMAL so the aggregate is exact (order-independent)
-  in both engines, then cast to DOUBLE for a stable output type;
+  in both engines, then are ROUNDED IN DECIMAL SPACE (exact, same tie rule
+  for positives in both engines) before the final DOUBLE cast — casting an
+  unrounded wide decimal to double is NOT cross-engine stable (DuckDB's
+  decimal->double is not correctly rounded past ~17 significant digits;
+  observed at sf0.1);
 - sums of integral doubles (quantities, counts) are exact in IEEE754 already;
 - DuckDB's HUGEINT sums of integers are CAST back to BIGINT to match Spark;
 - session timezone pinned UTC (session.pin_session_conf).
@@ -548,12 +552,12 @@ def top3_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_returnflag, l_linestatus,
            sum(l_quantity) AS sum_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(8,4))) AS DOUBLE) AS sum_disc_price,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(8,4)) * CAST(1 + l_tax AS DECIMAL(8,4))) AS DOUBLE) AS sum_charge,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(8,4))), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(8,4)) * CAST(1 + l_tax AS DECIMAL(8,4))), 2) AS DOUBLE) AS sum_charge,
            sum(l_quantity) / count(*) AS avg_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_price,
-           CAST(sum(CAST(l_discount AS DECIMAL(8,6))) AS DOUBLE) / count(*) AS avg_disc,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) / count(*) AS avg_price,
+           CAST(round(sum(CAST(l_discount AS DECIMAL(8,6))), 4) AS DOUBLE) / count(*) AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -573,12 +577,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.count(F.lit(1))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.sum("l_quantity").alias("sum_qty"),
-        F.sum(_dec("l_extendedprice", 18, 4)).cast("double").alias("sum_base_price"),
-        F.sum(ep * disc).cast("double").alias("sum_disc_price"),
-        F.sum(ep * disc * tax).cast("double").alias("sum_charge"),
+        F.round(F.sum(_dec("l_extendedprice", 18, 4)), 2).cast("double").alias("sum_base_price"),
+        F.round(F.sum(ep * disc), 2).cast("double").alias("sum_disc_price"),
+        F.round(F.sum(ep * disc * tax), 2).cast("double").alias("sum_charge"),
         (F.sum("l_quantity") / n).alias("avg_qty"),
-        (F.sum(_dec("l_extendedprice", 18, 4)).cast("double") / n).alias("avg_price"),
-        (F.sum(F.col("l_discount").cast("decimal(8,6)")).cast("double") / n).alias(
+        (F.round(F.sum(_dec("l_extendedprice", 18, 4)), 2).cast("double") / n).alias("avg_price"),
+        (F.round(F.sum(F.col("l_discount").cast("decimal(8,6)")), 4).cast("double") / n).alias(
             "avg_disc"
         ),
         n.alias("count_order"),
@@ -589,7 +593,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "revenue_by_region",
     """
     SELECT r_name,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(8,4))) AS DOUBLE) AS revenue,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(8,4))), 2) AS DOUBLE) AS revenue,
            count(*) AS n_items
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
@@ -617,7 +621,7 @@ def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
         .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
         .groupBy("r_name")
-        .agg(F.sum(rev).cast("double").alias("revenue"), _count(None, "n_items"))
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"), _count(None, "n_items"))
     )
 
 
@@ -625,7 +629,7 @@ def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     "customer_order_stats",
     """
     SELECT c_custkey, count(o_orderkey) AS n_orders,
-           CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,4))), 0) AS DOUBLE) AS total_spend
+           CAST(round(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,4))), 0), 2) AS DOUBLE) AS total_spend
     FROM customer LEFT JOIN orders ON o_custkey = c_custkey
     GROUP BY c_custkey
     """,
@@ -642,7 +646,7 @@ def customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.coalesce(F.sum("o_price_dec"), F.lit(0))
+            F.round(F.coalesce(F.sum("o_price_dec"), F.lit(0)), 2)
             .cast("double")
             .alias("total_spend"),
         )
@@ -1265,7 +1269,7 @@ def sql_flagship_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
            CAST(month(o_orderdate) AS INTEGER) AS m,
            count(*) AS n,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
     FROM orders GROUP BY 1, 2
     """,
 )
@@ -1276,7 +1280,7 @@ def date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m")
     ).agg(
         _count(None),
-        F.sum(_dec("o_totalprice", 18, 4)).cast("double").alias("total"),
+        F.round(F.sum(_dec("o_totalprice", 18, 4)), 2).cast("double").alias("total"),
     )
 
 
@@ -1812,4 +1816,33 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fracs = {"en": 0.5, "de": 1.0, "es": 1.0, "fr": 1.0, "zh": 1.0}
     return stratified_sample(docs, "lang", fracs, seed=42).select(
         "doc_id", "lang"
+    )
+
+
+@register(
+    "unpivot_daily",
+    """
+    WITH w AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN 1 END), 0) AS BIGINT) AS click,
+               CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS BIGINT) AS purchase
+        FROM events GROUP BY 1
+    )
+    SELECT day, 'click' AS type, click AS n FROM w
+    UNION ALL
+    SELECT day, 'purchase' AS type, purchase AS n FROM w
+    """,
+)
+def unpivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (the inverse of A5): wide per-type columns back to long
+    (day, type, n) via stack() — one pass, no join."""
+    ev = _t(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .pivot("event_type", ["click", "purchase"])
+        .count()
+        .na.fill(0, ["click", "purchase"])
+    )
+    return wide.selectExpr(
+        "day", "stack(2, 'click', click, 'purchase', purchase) AS (type, n)"
     )

@@ -64,7 +64,16 @@ def read_testdata(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     rejects; with spark.sql.legacy.parquet.nanosAsLong the column arrives as
     bigint nanos, and we truncate to microseconds (``div 1000`` — floor for
     positive epochs), exactly matching DuckDB's ns->us read behavior so
-    oracle comparisons see identical timestamps."""
+    oracle comparisons see identical timestamps.
+
+    PUSHDOWN CAVEAT: because ``ts`` is now a DERIVED column, range
+    predicates on it cannot reach the parquet scan for this one table (they
+    evaluate post-projection). That is a property of the testdata's NANOS
+    encoding, not of the engine: production tables written by this engine
+    store microsecond timestamps (write_parquet), where predicates push
+    down — asserted by the plan tests on orders/lineitem scans. If a
+    NANOS-encoded source ever mattered at scale, filter on the raw bigint
+    (monotone: ts > T  <=>  raw_ns > T*1000) before converting."""
     if table not in TESTDATA_TABLES:
         raise ValueError(f"unknown table {table!r}; expected one of {TESTDATA_TABLES}")
     if table == "events":
