@@ -113,13 +113,35 @@ def register_catalog_table(
     database: str,
     table: str,
     path: str,
+    partition_by: list[str] | None = None,
 ) -> None:
     """Catalog database + external-table registration (S5/S6): the engine's
-    crawler equivalent. Schema comes from parquet footers, not sampling."""
+    crawler equivalent. Schema comes from parquet footers, not sampling.
+
+    Partitioned locations MUST declare ``partition_by``: a bare
+    ``CREATE TABLE ... LOCATION`` treats the dir as unpartitioned and reads
+    ZERO rows from type=x/ subdirs. With it, the table is created with an
+    explicit schema + PARTITIONED BY and partitions are recovered (MSCK) —
+    the crawler's partition-discovery step."""
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
-    spark.sql(
-        f"CREATE TABLE IF NOT EXISTS {database}.{table} USING parquet LOCATION '{path}'"
-    )
+    if partition_by:
+        df = spark.read.parquet(path)
+        data_cols = [f for f in df.schema.fields if f.name not in partition_by]
+        part_cols = [f for f in df.schema.fields if f.name in partition_by]
+        ddl = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in data_cols + part_cols
+        )
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {database}.{table} ({ddl}) "
+            f"USING parquet PARTITIONED BY ({', '.join(partition_by)}) "
+            f"LOCATION '{path}'"
+        )
+        spark.sql(f"MSCK REPAIR TABLE {database}.{table}")
+    else:
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {database}.{table} "
+            f"USING parquet LOCATION '{path}'"
+        )
 
 
 def write_json_lines(df: DataFrame, path: str, mode: str = "overwrite") -> None:

@@ -102,3 +102,20 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_catalog_partitioned_registration(spark, tmp_path):
+    """Partitioned external table: partition recovery (MSCK) makes the
+    catalog table see the partition-dir rows; bare registration would
+    read zero."""
+    from pyspark.sql import Row as R
+
+    path = str(tmp_path / "ptbl")
+    spark.createDataFrame(
+        [R(a=1, part="x"), R(a=2, part="y")]
+    ).write.partitionBy("part").parquet(path)
+    register_catalog_table(spark, "engdb", "t_part", path, ["part"])
+    got = spark.table("engdb.t_part")
+    assert got.count() == 2
+    assert set(got.columns) == {"a", "part"}
+    spark.sql("DROP TABLE engdb.t_part")
