@@ -93,6 +93,7 @@ def write_parquet(
     mode: str = "append",
     partition_by: list[str] | None = None,
     max_records_per_file: int | None = 5_000_000,
+    compression: str = "zstd",
 ) -> None:
     """Parquet sink (S4). ``mode='append'`` matches the reference's nightly
     incremental append. ``partition_by`` is the scale lever: the canonical
@@ -100,7 +101,7 @@ def write_parquet(
     prune instead of scanning 100TB. maxRecordsPerFile bounds file size
     without a coalesce() that would throttle write parallelism (the
     reference's green.py:45 coalesce(5) does not survive scale-up)."""
-    writer = df.write.mode(mode)
+    writer = df.write.mode(mode).option("compression", compression)
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     if partition_by:

@@ -119,3 +119,50 @@ def test_catalog_partitioned_registration(spark, tmp_path):
     assert got.count() == 2
     assert set(got.columns) == {"a", "part"}
     spark.sql("DROP TABLE engdb.t_part")
+
+
+def test_permissive_csv_corrupt_records(spark, tmp_path):
+    """Schema-on-read tolerance: malformed CSV rows land in the
+    _corrupt_record column instead of failing the scan (the crawler-era
+    'dirty data still loads' behavior, cf. the reference's year-2088 rows
+    surviving ingestion)."""
+    p = tmp_path / "dirty.csv"
+    p.write_text(
+        "a,b\n1,x\nnot-enough-columns\n3,z\n"
+    )
+    df = (
+        spark.read.option("header", True)
+        .schema("a string, b string, _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(str(p))
+    )
+    rows = df.collect()
+    assert len(rows) == 3
+    bad = [r for r in rows if r._corrupt_record is not None]
+    assert len(bad) == 1 and bad[0]._corrupt_record == "not-enough-columns"
+
+
+def test_session_window_batch(spark):
+    """session_window: gap-based session assignment as a native operator
+    (the streaming-native sibling of the lag-gap sessionization query)."""
+    from datetime import datetime, timedelta
+    from pyspark.sql import Row as R
+    from pyspark.sql import functions as F2
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        R(k="u1", ts=base),
+        R(k="u1", ts=base + timedelta(minutes=3)),   # same session (gap<5m)
+        R(k="u1", ts=base + timedelta(minutes=30)),  # new session
+        R(k="u2", ts=base + timedelta(minutes=1)),
+    ]
+    df = spark.createDataFrame(rows)
+    out = (
+        df.groupBy(F2.session_window("ts", "5 minutes").alias("w"), "k")
+        .count()
+        .select("k", F2.col("w.start").alias("start"), "count")
+        .orderBy("k", "start")
+        .collect()
+    )
+    assert [(r.k, r["count"]) for r in out] == [("u1", 2), ("u1", 1), ("u2", 1)]

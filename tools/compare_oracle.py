@@ -85,6 +85,12 @@ def main() -> int:
                 (name, f"columns {sorted(sdf.columns)} vs {sorted(ddf.columns)}")
             )
             continue
+        # dtype drift is a warning (pandas-level), the driver may normalize
+        # differently; values are the hard gate
+        for c in sdf.columns:
+            a, b = str(sdf[c].dtype), str(ddf[c].dtype)
+            if a != b and {a, b} not in ({"int32", "int64"}, {"datetime64[ns]", "datetime64[us]"}):
+                print(f"    ! {name}.{c}: dtype {a} vs {b}")
         a, b = canon_frame(sdf), canon_frame(ddf)
         if a != b:
             diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
