@@ -1846,3 +1846,88 @@ def unpivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.selectExpr(
         "day", "stack(2, 'click', click, 'purchase', purchase) AS (type, n)"
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming surface under the oracle gate
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streaming_hourly_counts",
+    """
+    SELECT make_timestamp(CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT) * 3600 * 1000000) AS bucket,
+           event_type, count(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCTURED STREAMING under the oracle gate: the events parquet is
+    consumed as an availableNow file stream, aggregated with watermarked
+    tumbling windows into a memory sink, and the drained result must
+    hash-match the same SQL run as a batch — Spark's unified-model claim,
+    actually checked. Exactly-once via a fresh checkpoint per run."""
+    import os
+    import tempfile
+    import uuid
+
+    from .streaming.windows import stream_from_directory, tumbling_counts
+
+    # the NANOS source needs the same conversion as the batch reader
+    raw_schema = (
+        "event_id bigint, ts bigint, user_id bigint, event_type string,"
+        " value double, props string"
+    )
+    # file streams need a DIRECTORY source; the testdata table is one file,
+    # so stage a symlink dir (zero-copy)
+    stream_dir = tempfile.mkdtemp(prefix="stream_src_")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(stream_dir, "events.parquet"),
+    )
+    src = stream_from_directory(spark, stream_dir, raw_schema).withColumn(
+        "ts", F.expr("timestamp_micros(ts div 1000)")
+    )
+    agg = tumbling_counts(src, "ts", "1 hour", "2 hours", ["event_type"])
+    qname = f"stream_hourly_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(qname)
+
+
+@register(
+    "sliding_window_counts",
+    """
+    WITH b AS (
+        SELECT min(CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT) * 3600) AS lo,
+               max(CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT) * 3600) AS hi
+        FROM events
+    ), starts AS (
+        SELECT unnest(generate_series(lo - 3600, hi, 3600)) AS s FROM b
+    )
+    SELECT make_timestamp(s * 1000000) AS bucket, count(*) AS n
+    FROM starts JOIN events e
+      ON floor(epoch(e.ts)) >= s AND floor(epoch(e.ts)) < s + 7200
+    GROUP BY s
+    """,
+)
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (2h window, 1h slide): every event lands in two
+    overlapping windows — F.window's slide parameter; oracle reconstructs
+    the same windows with a generated start grid + range join."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(_count(None))
+        .select(F.col("w.start").alias("bucket"), "n")
+    )

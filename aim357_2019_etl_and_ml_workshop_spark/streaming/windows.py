@@ -21,13 +21,18 @@ def stream_from_directory(
     schema: StructType | str,
     fmt: str = "parquet",
     max_files_per_trigger: int | None = None,
+    base_path: str | None = None,
 ) -> DataFrame:
     """File-source stream. Schema must be explicit (no inference race on a
     growing directory). maxFilesPerTrigger bounds per-batch work so state
-    checkpoints stay small at scale."""
+    checkpoints stay small at scale. When ``path`` is a glob/file rather
+    than a directory, pass ``base_path`` (the source requires a directory
+    basePath to resolve partitioning)."""
     reader = spark.readStream.format(fmt).schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if base_path:
+        reader = reader.option("basePath", base_path)
     return reader.load(path)
 
 
