@@ -42,6 +42,7 @@ HEADLINE = [
     "latest_state_per_user",
     "asof_join_last_signup",
     "range_join_campaign_counts",
+    "sliding_window_counts",
     "forecast_quantiles",
 ]
 

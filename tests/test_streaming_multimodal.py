@@ -191,3 +191,33 @@ def test_watermark_drops_late_rows(spark, tmp_path):
         q.stop()
     assert "fresh" in types      # on-time row emitted once its window closed
     assert "late" not in types   # beyond-watermark row dropped
+
+
+def test_stream_static_join_enrichment(spark, tmp_path):
+    """Stream-static join: a streaming fact source enriched against a static
+    dimension (the streaming feature-lookup pattern); counts per enriched
+    key match the batch twin."""
+    src = str(tmp_path / "ss_src")
+    _events(spark, range(12)).write.parquet(src)
+    dim = spark.createDataFrame(
+        [Row(event_type="click", family="engagement")],
+        "event_type string, family string",
+    )
+    stream = stream_from_directory(spark, src, EVENTS_SCHEMA)
+    enriched = stream.join(F.broadcast(dim), "event_type").groupBy("family").count()
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {r.family: r["count"] for r in spark.sql("select * from ss_join").collect()}
+    finally:
+        q.stop()
+    batch = {
+        r.family: r["count"]
+        for r in spark.read.parquet(src).join(dim, "event_type").groupBy("family").count().collect()
+    }
+    assert got == batch == {"engagement": 12}
