@@ -63,6 +63,18 @@ SOURCE_MAPPINGS: dict[str, list[tuple[str, str, str]]] = {
         ("pulocationid", "pulocationid", "bigint"),
         ("dolocationid", "dolocationid", "bigint"),
     ],
+    # 4th schema generation (GluePySparkMLFeatureEngineering.rst:460-469):
+    # the reference keeps fhvhv as its OWN table (separate schema, sr_flag
+    # mostly null -> DropNullFields candidate) and harmonizes only at the
+    # aggregate level (full_fhv = fhv + fhvhv, .rst:632) — reproduced by
+    # operators.timeseries.combine_columns_sum.
+    "fhvhv": [
+        ("hvfhs_license_num", "vendorid", "string"),
+        ("pickup_datetime", "pickup_datetime", "timestamp"),
+        ("dropoff_datetime", "dropoff_datetime", "timestamp"),
+        ("pulocationid", "pulocationid", "bigint"),
+        ("dolocationid", "dolocationid", "bigint"),
+    ],
 }
 
 

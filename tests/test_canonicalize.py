@@ -118,3 +118,40 @@ def test_try_cast_columns_null_on_error(spark):
     df = spark.createDataFrame([Row(v="12"), Row(v="nope")])
     out = try_cast_columns(df, {"v": "bigint"}).collect()
     assert [r.v for r in out] == [12, None]
+
+
+def test_fhvhv_generation_and_aggregate_harmonization(spark):
+    """4th schema generation: fhvhv keeps its own schema (sr_flag all-null
+    dropped), vendorid from hvfhs_license_num; harmonization happens at the
+    AGGREGATE level (full_fhv = fhv + fhvhv,
+    GluePySparkMLFeatureEngineering.rst:460-469,632)."""
+    from aim357_2019_etl_and_ml_workshop_spark.operators.timeseries import (
+        combine_columns_sum,
+    )
+
+    raw = spark.createDataFrame(
+        [
+            Row(
+                hvfhs_license_num="HV0003",
+                dispatching_base_num="B02867",
+                pickup_datetime="2019-02-01 10:00:00",
+                dropoff_datetime="2019-02-01 10:20:00",
+                pulocationid="5",
+                dolocationid="6",
+                sr_flag=None,
+            )
+        ],
+        "hvfhs_license_num string, dispatching_base_num string, "
+        "pickup_datetime string, dropoff_datetime string, "
+        "pulocationid string, dolocationid string, sr_flag string",
+    )
+    out = canonicalize(raw, "fhvhv").collect()
+    assert out[0].vendorid == "HV0003"
+    assert out[0].type == "fhvhv"
+    # aggregate-level harmonization
+    daily = spark.createDataFrame(
+        [Row(day=1, fhv=10, fhvhv=32), Row(day=2, fhv=7, fhvhv=None)]
+    )
+    full = {r.day: r.full_fhv for r in combine_columns_sum(
+        daily, "full_fhv", ["fhv", "fhvhv"]).collect()}
+    assert full == {1: 42, 2: 7}
