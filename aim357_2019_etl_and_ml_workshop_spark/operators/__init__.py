@@ -27,3 +27,6 @@ __all__ = [
     "pivot_by_type",
     "resample_daily",
 ]
+
+# Discoverability re-exports for the beyond-reference operator families
+from . import dedup, mlpipeline, multimodal, similarity, temporal_joins, textanalysis  # noqa: F401,E402
