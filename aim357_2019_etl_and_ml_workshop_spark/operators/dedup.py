@@ -308,3 +308,61 @@ def stratified_sample(
     sources/languages). Deterministic for a fixed seed+partitioning;
     distributed Bernoulli per row — no driver-side collection."""
     return df.sampleBy(strata_col, fractions, seed)
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Transitive closure of near-dup pairs -> (id, component) with
+    component = min id reachable — the clustering step real dedup needs
+    (A~B, B~C => one cluster even if A~C was never scored).
+
+    Iterative min-label propagation: each round every node adopts the
+    smallest label among itself and its neighbors; converges in
+    O(log(diameter)) rounds for typical near-dup clusters (chains are rare).
+    Driver loop with a distributed count per round — no collect of the
+    graph; each round is one join + one groupBy on the edge list."""
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .union(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("u").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.v == labels.id)
+            .groupBy("u")
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        new_labels = labels.join(
+            neighbor_min, labels.id == neighbor_min.u, "left"
+        ).select(
+            "id",
+            F.least(
+                F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))
+            ).alias("comp"),
+        )
+        # Iterative algorithms MUST truncate lineage each round: without
+        # this the logical plan nests once per iteration and analysis cost
+        # (and the plan string itself) grows exponentially — observed OOM
+        # at sf0.1 by round ~10. localCheckpoint materializes the frame and
+        # restarts the plan from its result.
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", "comp")

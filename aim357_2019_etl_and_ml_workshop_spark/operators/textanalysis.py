@@ -157,3 +157,34 @@ def chunk_tokens(
         F.concat_ws(" ", piece).alias("chunk_text"),
         F.size(piece).alias("n_chunk_tokens"),
     )
+
+
+SENTIMENT_LEXICON: dict[str, int] = {
+    # tiny illustrative polarity lexicon (SURVEY §2.12: sentiment via
+    # lexicon join); swap for AFINN/VADER wordlists on a real corpus
+    "fast": 1, "small": 1, "big": 1, "value": 1,
+    "slow": -1, "error": -1, "dup": -1, "filter": -1,
+}
+
+
+def sentiment_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Lexicon-join sentiment: explode tokens, broadcast-join the polarity
+    lexicon, average polarity per doc (missing words contribute nothing;
+    docs with no lexicon hits score 0). The lexicon is a broadcast dim —
+    the fact side shuffles only for the per-doc aggregate."""
+    spark = df.sparkSession
+    lex = spark.createDataFrame(
+        [(w, p) for w, p in sorted(SENTIMENT_LEXICON.items())],
+        "tok string, polarity int",
+    )
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+    )
+    scored = toks.join(F.broadcast(lex), "tok", "left")
+    return scored.groupBy(id_col).agg(
+        F.round(
+            F.coalesce(F.avg("polarity"), F.lit(0.0)), 4
+        ).alias("sentiment"),
+        F.count("polarity").alias("n_hits"),
+    )

@@ -1931,3 +1931,91 @@ def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(_count(None))
         .select(F.col("w.start").alias("bucket"), "n")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup clustering, sentiment, quantile bucketing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "neardup_clusters",
+    """
+    WITH RECURSIVE t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), s AS (
+        SELECT DISTINCT doc_id,
+               toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+        FROM t, LATERAL unnest(generate_series(1, len(toks) - 2)) AS g(i)
+    ), sz AS (
+        SELECT doc_id, count(*) AS sz FROM s GROUP BY doc_id
+    ), pair AS (
+        SELECT a.doc_id AS u, b.doc_id AS v, count(*) AS inter
+        FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), sim AS (
+        SELECT u, v FROM pair
+        JOIN sz za ON za.doc_id = u JOIN sz zb ON zb.doc_id = v
+        WHERE inter / (za.sz + zb.sz - inter) >= 0.05
+    ), edges AS (
+        SELECT u, v FROM sim UNION SELECT v, u FROM sim
+    ), nodes AS (
+        SELECT DISTINCT u AS id FROM edges
+    ), reach AS (
+        SELECT id AS src, id AS node FROM nodes
+        UNION
+        SELECT r.src, e.v FROM reach r JOIN edges e ON r.node = e.u
+    )
+    SELECT src AS id, min(node) AS comp FROM reach GROUP BY src
+    """,
+)
+def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive-closure dedup clustering: connected components over the
+    exact n-gram-Jaccard near-dup pairs (min-reachable-id as the canonical
+    label). Spark: iterative min-label propagation
+    (operators.dedup.connected_components); oracle: recursive CTE."""
+    from .operators.dedup import connected_components
+
+    pairs = ngram_jaccard_pairs(spark, sf_dir)
+    return connected_components(pairs, "doc_a", "doc_b")
+
+
+@register(
+    "sentiment_scores",
+    """
+    WITH lex(tok, polarity) AS (VALUES
+        ('big', 1), ('dup', -1), ('error', -1), ('fast', 1),
+        ('filter', -1), ('slow', -1), ('small', 1), ('value', 1)
+    ), t AS (
+        SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+        FROM documents
+    )
+    SELECT doc_id,
+           round(coalesce(avg(polarity), 0.0), 4) AS sentiment,
+           count(polarity) AS n_hits
+    FROM t LEFT JOIN lex USING (tok)
+    GROUP BY doc_id
+    """,
+)
+def sentiment_scores_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-join sentiment scoring (SURVEY §2.12; broadcast lexicon dim
+    against exploded tokens)."""
+    from .operators.textanalysis import sentiment_scores
+
+    return sentiment_scores(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@register(
+    "ntile_quartiles",
+    """
+    SELECT o_orderkey,
+           ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
+    FROM orders
+    """,
+)
+def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE quantile bucketing with a deterministic total order."""
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.ntile(4).over(w).alias("quartile")
+    )
