@@ -32,6 +32,10 @@ _RUNTIME_CONF = {
     # timestamp, so read as bigint nanos and convert (sources.io does the
     # div-1000 truncation that matches DuckDB's ns->us behavior).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Externally-created sessions (the driver's) default to 200 shuffle
+    # partitions — over-parallelized for local runs; runtime-settable, and
+    # AQE still coalesces below this at execution time.
+    "spark.sql.shuffle.partitions": "32",
 }
 
 
