@@ -86,10 +86,10 @@ def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> list[list[float
 
 
 def _pair_cosine_udf():
-    """Vectorized cosine over candidate PAIRS (rows-only paths: LSH/IVF
-    re-rank, embedding near-dup). numpy row-wise dot per Arrow batch —
-    NOT used where a DuckDB oracle requires fold-order-identical doubles
-    (brute_force_topk keeps the JVM sequential fold)."""
+    """Vectorized cosine over candidate PAIRS (rows-only paths: embedding
+    near-dup, where both sides are large). numpy row-wise dot per Arrow
+    batch — NOT used where a DuckDB oracle requires fold-order-identical
+    doubles (brute_force_topk keeps the JVM sequential fold)."""
 
     @pandas_udf("double")
     def pair_cos(qs: pd.Series, cs: pd.Series) -> pd.Series:
@@ -100,6 +100,27 @@ def _pair_cosine_udf():
         return pd.Series(np.round(num / den, 6))
 
     return pair_cos
+
+
+def _query_cosine_udf(qmap: dict):
+    """Cosine of each candidate vector against a SMALL query set carried in
+    the closure (queries are small by the top-k contract): Arrow ships only
+    (q_id, candidate vector) per pair — query vectors never ride the join
+    or the dedup shuffle."""
+    ids = sorted(qmap)
+    qm = np.stack([qmap[i] for i in ids])
+    qnorm = np.linalg.norm(qm, axis=1)
+    index = {i: k for k, i in enumerate(ids)}
+
+    @pandas_udf("double")
+    def qcos(qids: pd.Series, cvs: pd.Series) -> pd.Series:
+        cm = np.stack(cvs.to_numpy())
+        rows = qids.map(index).to_numpy()
+        num = np.einsum("ij,ij->i", qm[rows], cm)
+        den = qnorm[rows] * np.linalg.norm(cm, axis=1)
+        return pd.Series(np.round(num / den, 6))
+
+    return qcos
 
 
 def with_lsh_bucket(
@@ -187,18 +208,24 @@ def lsh_topk(
         "cv",
         all_planes,
     )
+    qmap = {
+        int(r[0]): np.asarray(r[1], dtype=np.float64)
+        for r in queries.select(id_col, vec_col).collect()
+    }
     q = _multi_table_buckets(
         queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv")),
         "qv",
         all_planes,
-    )
+    ).select("q_id", "table", "bucket")
     pairs = (
         c.join(F.broadcast(q), ["table", "bucket"])
         .where(F.col("c_id") != F.col("q_id"))
-        .select("q_id", "qv", "c_id", "cv")
+        .select("q_id", "c_id", "cv")
         .dropDuplicates(["q_id", "c_id"])  # same pair may collide in many tables
     )
-    ranked = pairs.select("q_id", "c_id", _pair_cosine_udf()("qv", "cv").alias("sim")).withColumn(
+    ranked = pairs.select(
+        "q_id", "c_id", _query_cosine_udf(qmap)("q_id", "cv").alias("sim")
+    ).withColumn(
         "rn",
         F.row_number().over(
             Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id"))
@@ -275,20 +302,6 @@ def _assign_cells(df: DataFrame, vec_col: str, cents: list[list[float]]) -> Data
     return df.withColumn("cell", assign(F.col(vec_col)))
 
 
-def _probe_cells(vec_col: str, cents: list[list[float]], n_probe: int) -> Column:
-    """Array of the n_probe nearest cell ids for a query vector."""
-    C = np.array(cents, dtype=np.float64)
-
-    @pandas_udf("array<int>")
-    def probe(vs: pd.Series) -> pd.Series:
-        v = np.stack(vs.to_numpy())
-        d = ((v[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-        order = np.argsort(d, axis=1, kind="stable")[:, :n_probe].astype("int32")
-        return pd.Series(list(order))
-
-    return probe(F.col(vec_col))
-
-
 def ivf_topk(
     candidates: DataFrame,
     queries: DataFrame,
@@ -310,12 +323,25 @@ def ivf_topk(
         "cv",
         cents,
     )
-    q = queries.select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv")
-    ).withColumn("cell", F.explode(_probe_cells("qv", cents, n_probe)))
+    # probe cells + query vectors are driver-side (queries are small by
+    # contract): build the (q_id, cell) probe table directly, no per-row
+    # pandas_udf pass over the query frame
+    qmap = {
+        int(r[0]): np.asarray(r[1], dtype=np.float64)
+        for r in queries.select(id_col, vec_col).collect()
+    }
+    C = np.array(cents, dtype=np.float64)
+    probe_rows = []
+    for qid in sorted(qmap):
+        d = ((qmap[qid][None, :] - C) ** 2).sum(axis=1)
+        for cell in np.argsort(d, kind="stable")[:n_probe]:
+            probe_rows.append((qid, int(cell)))
+    q = candidates.sparkSession.createDataFrame(
+        probe_rows, "q_id bigint, cell int"
+    )
     pairs = c.join(F.broadcast(q), "cell").where(F.col("c_id") != F.col("q_id"))
     ranked = pairs.select(
-        "q_id", "c_id", _pair_cosine_udf()("qv", "cv").alias("sim")
+        "q_id", "c_id", _query_cosine_udf(qmap)("q_id", "cv").alias("sim")
     ).withColumn(
         "rn",
         F.row_number().over(
