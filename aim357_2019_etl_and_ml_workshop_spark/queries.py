@@ -2019,3 +2019,167 @@ def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "orders").select(
         "o_orderkey", F.ntile(4).over(w).alias("quartile")
     )
+
+
+# ---------------------------------------------------------------------------
+# Classic relational shapes round-out: top-k revenue join, grouping sets,
+# correlated per-group comparison, map functions, conditional aggregation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "top_revenue_orders",
+    """
+    SELECT o_orderkey,
+           CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(8,4))), 2) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate  > TIMESTAMP '1998-01-01'
+    GROUP BY o_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped shipping-priority query: filtered 3-table join ->
+    per-order revenue -> deterministic top-10. The customer dimension is
+    filtered then broadcast (only the lineitem<->orders join can shuffle);
+    revenue is decimal-exact; the top-k is a TakeOrderedAndProject (no full
+    sort at scale)."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    rev = _dec("l_extendedprice", 12, 4) * (F.lit(1) - F.col("l_discount")).cast(
+        "decimal(8,4)"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "grouping_sets_counts",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           grouping(o_orderstatus) AS g_status,
+           grouping(o_orderpriority) AS g_prio,
+           count(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_sets_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond cube/rollup): two independent
+    single-column rollups + grand total in ONE pass over the fact table
+    (Spark Expand operator — one scan, not three). grouping() flags
+    disambiguate real NULLs from set placeholders."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               grouping(o_orderstatus) AS g_status,
+               grouping(o_orderpriority) AS g_prio,
+               count(*) AS n
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "orders_above_customer_avg",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM (
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               CAST(o_totalprice AS DECIMAL(18,4)) AS p,
+               sum(CAST(o_totalprice AS DECIMAL(18,4)))
+                   OVER (PARTITION BY o_custkey) AS tot,
+               count(*) OVER (PARTITION BY o_custkey) AS n
+        FROM orders
+    )
+    WHERE p * n > 1.5 * tot
+    """,
+)
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated comparison (each order vs ITS customer's average) without
+    a correlated subquery: one partitioned window pass. The avg comparison
+    is multiplied out (p*n > 1.5*tot) so it stays in exact decimal space —
+    no division, no float tie-break drift between engines. Scales as one
+    shuffle on the (already-grouped-at-scale) customer key."""
+    w = Window.partitionBy("o_custkey")
+    p = _dec("o_totalprice")
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            (p * F.count(F.lit(1)).over(w)).alias("pn"),
+            (F.lit("1.5").cast("decimal(2,1)") * F.sum(p).over(w)).alias("t15"),
+        )
+        .where(F.col("pn") > F.col("t15"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@register(
+    "map_functions_probe",
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_value,
+           CAST(len(json_keys(props)) AS INT) AS n_keys
+    FROM events
+    """,
+)
+def map_functions_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface (SURVEY §1.3 addition): parse the props JSON column
+    into map<string,bigint>, then element_at + map_keys — the typed-metadata
+    pattern the multimodal columns use. Oracle reads the same values via
+    DuckDB's JSON functions."""
+    m = F.from_json("props", "map<string,bigint>")
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.element_at(m, "k").alias("k_value"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+    )
+
+
+@register(
+    "conditional_agg_filter",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchases,
+           count(*) FILTER (WHERE event_type = 'error') AS errors,
+           count(*) AS total
+    FROM events
+    GROUP BY 1
+    """,
+)
+def conditional_agg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (SQL FILTER clause): several filtered counts
+    in ONE aggregation pass — the idiomatic Spark form is count(when(...)),
+    which compiles to the same single HashAggregate (no per-branch scans)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("purchases"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("errors"),
+        _count(None, "total"),
+    )
