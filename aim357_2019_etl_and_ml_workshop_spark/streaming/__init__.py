@@ -1,4 +1,4 @@
-from .windows import stream_from_directory, tumbling_counts
+from .windows import dedup_stream, stream_from_directory, tumbling_counts
 from .incremental import IncrementalIngest
 
-__all__ = ["stream_from_directory", "tumbling_counts", "IncrementalIngest"]
+__all__ = ["dedup_stream", "stream_from_directory", "tumbling_counts", "IncrementalIngest"]

@@ -59,6 +59,24 @@ def tumbling_counts(
     )
 
 
+def dedup_stream(
+    df: DataFrame,
+    id_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exactly-once event dedup on an unbounded stream (the streaming twin
+    of §2.12 exact dedup): duplicates of ``id_cols`` arriving within the
+    watermark horizon are dropped, and — the part plain dropDuplicates
+    can't do on a stream — the per-key state is EVICTED once the watermark
+    passes, so state stays bounded no matter how many distinct keys flow
+    through. On a batch frame this degrades to ordinary dropDuplicates
+    (same key-subset semantics), keeping the unified batch/stream model."""
+    if not df.isStreaming:
+        return df.dropDuplicates(id_cols)
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(id_cols)
+
+
 def run_stream_to_memory(
     result: DataFrame, query_name: str, mode: str = "update"
 ) -> "object":

@@ -221,3 +221,34 @@ def test_stream_static_join_enrichment(spark, tmp_path):
         for r in spark.read.parquet(src).join(dim, "event_type").groupBy("family").count().collect()
     }
     assert got == batch == {"engagement": 12}
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Streaming exactly-once dedup: duplicate event_ids arriving across
+    micro-batches within the watermark horizon are emitted once; batch twin
+    via dropDuplicates gives the same distinct key set."""
+    from aim357_2019_etl_and_ml_workshop_spark.streaming import dedup_stream
+
+    src = str(tmp_path / "dedup_src")
+    os.makedirs(src)
+    _events(spark, [0, 1, 2]).write.mode("append").parquet(src)
+    # duplicates of 1,2 plus a fresh id, delivered in a later micro-batch
+    _events(spark, [1, 2, 3]).write.mode("append").parquet(src)
+
+    stream = stream_from_directory(spark, src, EVENTS_SCHEMA, max_files_per_trigger=1)
+    deduped = dedup_stream(stream, ["event_id"], "ts", "1 hour")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = [r.event_id for r in spark.sql("select event_id from dedup_test").collect()]
+    finally:
+        q.stop()
+    assert sorted(got) == [0, 1, 2, 3]  # each id exactly once
+    # batch twin: same operator entry point on a static frame
+    batch = dedup_stream(spark.read.parquet(src), ["event_id"])
+    assert sorted(r.event_id for r in batch.select("event_id").collect()) == [0, 1, 2, 3]
