@@ -2183,3 +2183,84 @@ def conditional_agg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("event_type") == "error", 1)).alias("errors"),
         _count(None, "total"),
     )
+
+
+@register(
+    "rank_distribution_probe",
+    """
+    SELECT o_orderkey,
+           round(percent_rank() OVER
+               (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey), 6) AS pr,
+           round(cume_dist() OVER
+               (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey), 6) AS cd,
+           dense_rank() OVER
+               (PARTITION BY o_orderstatus ORDER BY o_orderpriority) AS dr
+    FROM orders
+    """,
+)
+def rank_distribution_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic rank family (percent_rank/cume_dist/dense_rank) over a
+    PARTITIONED window — scales because rank state never crosses the
+    o_orderstatus partition boundary (unlike global NTILE). The ratios are
+    integer divisions under a deterministic total order, so round(…,6) is
+    hash-stable across engines."""
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    wp = Window.partitionBy("o_orderstatus").orderBy("o_orderpriority")
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.dense_rank().over(wp).alias("dr"),
+    )
+
+
+@register(
+    "argmax_latest_event",
+    """
+    WITH m AS (
+        SELECT user_id,
+               max(struct_pack(ts := ts, event_id := event_id,
+                               event_type := event_type)) AS s
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, s.ts AS ts, s.event_id AS event_id,
+           s.event_type AS event_type
+    FROM m
+    """,
+)
+def argmax_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest event per user as a ONE-PASS struct-max aggregate (argmax) —
+    the scale-preferred twin of latest_state_per_user's row_number window:
+    partial aggregation combines map-side, so the shuffle carries one row
+    per (partition, user) instead of every event. Tie-broken by event_id
+    inside the comparison struct; both engines compare structs
+    lexicographically by field order."""
+    m = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.max(F.struct("ts", "event_id", "event_type")).alias("s"))
+    )
+    return m.select(
+        "user_id",
+        F.col("s.ts").alias("ts"),
+        F.col("s.event_id").alias("event_id"),
+        F.col("s.event_type").alias("event_type"),
+    )
+
+
+@register(
+    "except_all_user_bags",
+    """
+    SELECT user_id FROM events WHERE event_type = 'click'
+    EXCEPT ALL
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def except_all_user_bags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL multiset semantics (per-key count difference survives,
+    unlike distinct EXCEPT) — Spark's exceptAll compiles to an aggregate on
+    replicated counts, not a join per duplicate."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id")
+    buys = ev.where(F.col("event_type") == "purchase").select("user_id")
+    return clicks.exceptAll(buys)
