@@ -124,6 +124,51 @@ def decode_features(
     )
 
 
+def deterministic_fake_resizer(payload: bytes, width: int, height: int) -> bytes:
+    """Stand-in resize: a stable byte transform standing in for the pixel
+    resample (STUB — real path is PIL/libvips inside the same batch loop).
+    Output depends on (payload, target dims) only, so content-hash semantics
+    downstream stay testable."""
+    head = bytes([width % 256, height % 256])
+    stride = max(1, len(payload) // max(1, width * height // 64))
+    return head + payload[::stride]
+
+
+def resize_payloads(
+    df: DataFrame,
+    width: int,
+    height: int,
+    payload_col: str = "payload",
+    resizer: Callable[[bytes, int, int], bytes] = deterministic_fake_resizer,
+    batch_hint: int = 64,
+) -> DataFrame:
+    """mapInPandas resize: (content_hash, resized payload, new dims, and the
+    RE-COMPUTED content hash of the resized bytes — a resize is a new asset,
+    so it gets a new identity). Target dims ride in the closure, not in a
+    column, so the Arrow batches carry only bytes. Batches are smaller than
+    decode's (batch_hint) because rows are payload-heavy both in and out."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [resizer(p, width, height) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "content_hash": pdf["content_hash"],
+                    "payload": out,
+                    "width": width,
+                    "height": height,
+                    "resized_hash": [hashlib.md5(b).hexdigest() for b in out],
+                }
+            )
+
+    return df.select("content_hash", payload_col).mapInPandas(
+        run,
+        "content_hash string, payload binary, width int, height int, "
+        "resized_hash string",
+    )
+
+
 def frame_sample_plan(
     df: DataFrame, every_n: int = 2, payload_col: str = "payload"
 ) -> DataFrame:

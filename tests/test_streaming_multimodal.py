@@ -252,3 +252,24 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     # batch twin: same operator entry point on a static frame
     batch = dedup_stream(spark.read.parquet(src), ["event_id"])
     assert sorted(r.event_id for r in batch.select("event_id").collect()) == [0, 1, 2, 3]
+
+
+def test_resize_payloads_plumbing(media_df):
+    """Resize runs as Arrow-batched mapInPandas: stable output bytes for
+    identical (payload, dims), new content identity (resized_hash) differs
+    from the source hash, schema carries the target dims."""
+    from aim357_2019_etl_and_ml_workshop_spark.operators.multimodal import (
+        resize_payloads,
+    )
+
+    out = resize_payloads(media_df, 8, 8).collect()
+    assert len(out) == 3
+    by_src = {}
+    for r in out:
+        assert r.width == 8 and r.height == 8
+        assert isinstance(r.payload, (bytes, bytearray)) and len(r.payload) > 0
+        assert r.resized_hash != r.content_hash  # new asset, new identity
+        by_src.setdefault(r.content_hash, set()).add(r.resized_hash)
+    # identical source bytes (items 1 and 3) resize to identical outputs
+    assert all(len(v) == 1 for v in by_src.values())
+    assert len(by_src) == 2
