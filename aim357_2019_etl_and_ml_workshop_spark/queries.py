@@ -2264,3 +2264,172 @@ def except_all_user_bags(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = ev.where(F.col("event_type") == "click").select("user_id")
     buys = ev.where(F.col("event_type") == "purchase").select("user_id")
     return clicks.exceptAll(buys)
+
+
+@register(
+    "exists_late_lineitems",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def exists_late_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS with a non-equi correlated predicate (TPC-H Q4
+    shape) — compiles to LEFT SEMI join on the equi key with the inequality
+    as a join residual, so the probe side streams and no order row
+    duplicates regardless of matching-lineitem fan-out. At scale the semi
+    join shuffles both sides once on orderkey; the count aggregate then
+    partial-aggregates map-side."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    sel = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return sel.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+@register(
+    "null_safe_join_counts",
+    """
+    WITH e AS (SELECT nullif(event_type, 'error') AS k FROM events),
+         d AS (SELECT DISTINCT k FROM e)
+    SELECT d.k AS k, count(*) AS cnt
+    FROM e JOIN d ON e.k IS NOT DISTINCT FROM d.k
+    GROUP BY d.k
+    """,
+)
+def null_safe_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join: Spark `eqNullSafe` (<=>) == SQL
+    IS NOT DISTINCT FROM — NULL keys match each other instead of being
+    dropped, so the NULL bucket survives the join. Spark hashes <=> keys
+    like ordinary equi-keys (NULL gets a partition), so this stays a
+    hash join, not a nested-loop."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.expr("nullif(event_type, 'error')").alias("k")
+    )
+    dim = ev.distinct().withColumnRenamed("k", "dk")
+    return (
+        ev.join(dim, ev.k.eqNullSafe(dim.dk))
+        .groupBy("dk")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("dk").alias("k"), "cnt")
+    )
+
+
+@register(
+    "first_last_window_probe",
+    """
+    WITH w AS (
+        SELECT user_id,
+               first_value(event_type) OVER full_win AS first_type,
+               last_value(event_type)  OVER full_win AS last_type,
+               nth_value(event_type, 2) OVER full_win AS second_type,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+        WINDOW full_win AS (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+        )
+    )
+    SELECT user_id, first_type, last_type, second_type FROM w WHERE rn = 1
+    """,
+)
+def first_last_window_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over an explicit unbounded ROWS
+    frame (the frame matters: last_value under the default frame is just the
+    current row). Ordering is (ts, event_id) so ties are broken
+    deterministically in both engines. One window partition pass serves all
+    three functions plus the row_number dedup."""
+    full_win = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    rn_win = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        _t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.first("event_type").over(full_win).alias("first_type"),
+            F.last("event_type").over(full_win).alias("last_type"),
+            F.nth_value("event_type", 2).over(full_win).alias("second_type"),
+            F.row_number().over(rn_win).alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@register(
+    "sorted_sources_by_lang",
+    """
+    SELECT lang,
+           array_to_string(list_sort(list(DISTINCT source)), ',') AS sources,
+           count(DISTINCT source) AS n_sources
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def sorted_sources_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-deterministic array aggregation: collect_set is
+    arrival-order-nondeterministic in ANY distributed engine, so the only
+    hashable form is sort-then-serialize (sort_array + array_join). The
+    string form also sidesteps array-vs-list dtype mismatches between
+    engines."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("source")), ",").alias(
+                "sources"
+            ),
+            F.countDistinct("source").alias("n_sources"),
+        )
+    )
+
+
+@register(
+    "range_frame_peak_rate",
+    """
+    WITH e AS (
+        SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s FROM events
+    ),
+    w AS (
+        SELECT user_id,
+               count(*) OVER (
+                   PARTITION BY user_id ORDER BY epoch_s
+                   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+               ) AS c
+        FROM e
+    )
+    SELECT user_id, max(c) AS peak_1h FROM w GROUP BY user_id
+    """,
+)
+def range_frame_peak_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE (value-based) window frame — peak events per trailing hour per
+    user. Unlike ROWS frames, RANGE bounds are data values, so ties (peers
+    at the same epoch second) enter the frame together in both engines,
+    which is exactly what makes count-over-range hash-stable where
+    sum-of-float-over-range is not. One shuffle on user_id serves both the
+    window and the final max."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch_s")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return (
+        _t(spark, sf_dir, "events")
+        .select("user_id", F.unix_timestamp("ts").alias("epoch_s"))
+        .withColumn("c", F.count("*").over(w))
+        .groupBy("user_id")
+        .agg(F.max("c").alias("peak_1h"))
+    )
