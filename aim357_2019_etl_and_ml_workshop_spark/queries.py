@@ -2433,3 +2433,351 @@ def range_frame_peak_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.max("c").alias("peak_1h"))
     )
+
+
+@register(
+    "stats_moments_by_flag",
+    """
+    WITH s AS (
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(8,4))) AS DOUBLE) AS sq,
+               CAST(sum(CAST(l_quantity AS DECIMAL(8,4)) * CAST(l_quantity AS DECIMAL(8,4))) AS DOUBLE) AS sqq,
+               CAST(sum(CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) AS sd,
+               CAST(sum(CAST(l_discount AS DECIMAL(8,4)) * CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) AS sdd,
+               CAST(sum(CAST(l_quantity AS DECIMAL(8,4)) * CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) AS sqd
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round(sq / n, 6) AS avg_qty,
+           round(sqrt((sqq - sq * sq / n) / (n - 1)), 6) AS std_qty,
+           round((sqd - sq * sd / n)
+                 / sqrt((sqq - sq * sq / n) * (sdd - sd * sd / n)), 6) AS corr_qty_disc
+    FROM s
+    """,
+)
+def stats_moments_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (avg / sample stddev / Pearson corr) via EXACT
+    decimal moment sums. Built-in stddev/corr use streaming float merges
+    whose partial-merge order differs across engines and runs; instead the
+    five raw moments are summed in decimal (exact, order-independent,
+    < 17 significant digits so the double cast is value-preserving), then
+    the statistics are one deterministic double expression — the same
+    IEEE754 operation tree in both engines, so even unrounded bits match.
+    At scale this is ONE HashAggregate pass (all moments partial-aggregate
+    map-side); no second pass over the data, unlike naive avg-then-deviation
+    formulations."""
+    li = _t(spark, sf_dir, "lineitem")
+    q = _dec("l_quantity", 8, 4)
+    d = _dec("l_discount", 8, 4)
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).cast("double").alias("sq"),
+        F.sum(q * q).cast("double").alias("sqq"),
+        F.sum(d).cast("double").alias("sd"),
+        F.sum(d * d).cast("double").alias("sdd"),
+        F.sum(q * d).cast("double").alias("sqd"),
+    )
+    n, sq, sqq, sd, sdd, sqd = [F.col(c) for c in ["n", "sq", "sqq", "sd", "sdd", "sqd"]]
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(sq / n, 6).alias("avg_qty"),
+        F.round(F.sqrt((sqq - sq * sq / n) / (n - 1)), 6).alias("std_qty"),
+        F.round(
+            (sqd - sq * sd / n) / F.sqrt((sqq - sq * sq / n) * (sdd - sd * sd / n)), 6
+        ).alias("corr_qty_disc"),
+    )
+
+
+@register(
+    "forward_fill_last_value",
+    """
+    WITH v AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_type = 'purchase' THEN value END AS pv
+        FROM events
+    ),
+    f AS (
+        SELECT user_id, event_id, ts,
+               last_value(pv IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        FROM v
+    ),
+    r AS (
+        SELECT user_id, filled,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM f
+    )
+    SELECT user_id,
+           CAST(count(filled) AS BIGINT) AS cnt_filled,
+           round(max(CASE WHEN rn = 1 THEN filled END), 4) AS last_filled
+    FROM r GROUP BY user_id
+    """,
+)
+def forward_fill_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill (LOCF gap fill) via last_value IGNORE NULLS over a
+    running ROWS frame — the canonical sensor/CDC imputation operator.
+    Spark's `F.last(col, ignorenulls=True)` over the same frame is the
+    exact twin of SQL `last_value(x IGNORE NULLS)`. The carried value is a
+    raw float (never summed), so hashing is fold-order-safe; the per-user
+    summary keeps output at one row per user. One shuffle on user_id
+    serves both windows and the final aggregate."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wr = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        _t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.when(F.col("event_type") == "purchase", F.col("value")).alias("pv"),
+        )
+        .withColumn("filled", F.last("pv", ignorenulls=True).over(w))
+        .withColumn("rn", F.row_number().over(wr))
+        .groupBy("user_id")
+        .agg(
+            F.count("filled").alias("cnt_filled"),
+            F.round(F.max(F.when(F.col("rn") == 1, F.col("filled"))), 4).alias(
+                "last_filled"
+            ),
+        )
+    )
+
+
+_NOT_IN_SQL = """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt
+    FROM orders
+    WHERE o_custkey NOT IN (
+        SELECT c_custkey FROM customer WHERE c_acctbal < 0
+    )
+    GROUP BY o_orderpriority
+"""
+
+
+@register("not_in_null_aware_anti", _NOT_IN_SQL)
+def not_in_null_aware_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN subquery — Spark compiles this to a null-aware anti join
+    (BroadcastHashJoin LeftAnti with isNullAwareAntiJoin=true when the
+    filtered build side is small, as here: customers with negative
+    balance). Same SQL text runs on both engines via the SQL entry point
+    (SURVEY.md §3.2). NOT IN, unlike NOT EXISTS, must return zero rows if
+    the subquery yields any NULL — the null-aware plan checks that without
+    a cross product; with a broadcast build this costs one scan of orders
+    and no shuffle at any scale."""
+    from .sql_surface import engine_sql
+
+    return engine_sql(spark, sf_dir, _NOT_IN_SQL)
+
+
+@register(
+    "regexp_functions_probe",
+    """
+    SELECT lang,
+           CAST(count(CASE WHEN regexp_matches(text, '[0-9]') THEN 1 END) AS BIGINT)
+               AS docs_with_digit,
+           CAST(sum(length(regexp_replace(text, '[aeiou]', '', 'g'))) AS BIGINT)
+               AS novowel_chars,
+           CAST(count(DISTINCT regexp_extract(text, '^([A-Za-z]+)', 1)) AS BIGINT)
+               AS n_first_words
+    FROM documents GROUP BY lang
+    """,
+)
+def regexp_functions_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar surface: rlike match test, global regexp_replace,
+    group-capturing regexp_extract (no match -> '' in both engines).
+    Patterns stay in the character-class subset where Java regex and RE2
+    agree. All three run inside whole-stage codegen — no UDFs; Spark's
+    regexp_replace is global by default, DuckDB needs the 'g' flag."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.when(F.col("text").rlike("[0-9]"), 1)).alias("docs_with_digit"),
+        F.sum(F.length(F.regexp_replace("text", "[aeiou]", ""))).alias(
+            "novowel_chars"
+        ),
+        F.countDistinct(F.regexp_extract("text", "^([A-Za-z]+)", 1)).alias(
+            "n_first_words"
+        ),
+    )
+
+
+@register(
+    "posexplode_tokens",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, toks[i] AS tok
+    FROM t, generate_series(1, 5) g(i)
+    WHERE i <= len(toks) AND doc_id % 25 = 0
+    """,
+)
+def posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode (LATERAL VIEW posexplode) — each doc's first five
+    tokens with their ordinal, the building block for positional n-gram and
+    attention-window features. Spark's posexplode over a slice()d array is
+    one narrow Generate operator (no shuffle, no UDF); the ordinal comes
+    from the engine, not a window function, so it's partition-local and
+    scales linearly with input."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 25 == 0)
+    toks = F.slice(F.split("text", " "), 1, 5)
+    return d.select(
+        "doc_id", F.posexplode(toks).alias("pos", "tok")
+    ).select("doc_id", F.col("pos").cast("int").alias("pos"), "tok")
+
+
+@register(
+    "date_arithmetic_probe",
+    """
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(max(o_orderdate + INTERVAL 7 DAY) AS TIMESTAMP) AS max_plus7,
+           CAST(min(last_day(CAST(o_orderdate AS DATE))) AS TIMESTAMP) AS first_month_end,
+           CAST(max(date_diff('day', DATE '2019-01-01', o_orderdate)) AS BIGINT)
+               AS max_days_since
+    FROM orders GROUP BY date_trunc('month', o_orderdate)
+    """,
+)
+def date_arithmetic_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic surface: interval addition, last_day, day-granular
+    date_diff, month truncation. All outputs normalized to TIMESTAMP in
+    both engines (DuckDB DATE round-trips through pandas differently than
+    datetime.date from Spark). Everything is codegen scalar math on the
+    grouping key's month — one HashAggregate, no shuffle beyond it."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("mon")
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.max(F.date_add(F.col("o_orderdate").cast("date"), 7))
+        .cast("timestamp")
+        .alias("max_plus7"),
+        F.min(F.last_day(F.col("o_orderdate").cast("date")))
+        .cast("timestamp")
+        .alias("first_month_end"),
+        F.max(F.datediff(F.col("o_orderdate").cast("date"), F.lit("2019-01-01")))
+        .cast("long")
+        .alias("max_days_since"),
+    )
+
+
+_TREE_WALK_SQL = """
+    WITH RECURSIVE walk(k, depth) AS (
+        SELECT CAST(1 AS BIGINT) AS k, 0 AS depth
+        UNION ALL
+        SELECT p.p_partkey AS k, w.depth + 1 AS depth
+        FROM part p JOIN walk w
+          ON (p.p_partkey = 2 * w.k OR p.p_partkey = 2 * w.k + 1)
+        WHERE w.depth < 25
+    )
+    SELECT depth, CAST(count(*) AS BIGINT) AS n FROM walk GROUP BY depth
+"""
+
+
+@register("recursive_cte_tree_walk", _TREE_WALK_SQL)
+def recursive_cte_tree_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4.x WITH RECURSIVE) — BFS over the implicit
+    binary tree p_partkey -> {2k, 2k+1}, counting reachable parts per
+    depth. Each iteration is a join of the frontier against the part table;
+    Spark executes it as iterated UnionLoop steps, DuckDB as its native
+    recursive operator — an iterative-algorithm shape (graph reachability,
+    org charts, BOM explosion) that pure relational operators can't
+    express in one pass. Frontier stays small relative to the table, so
+    each step is a broadcast-able join at scale; depth cap bounds runtime."""
+    from .sql_surface import engine_sql
+
+    return engine_sql(spark, sf_dir, _TREE_WALK_SQL)
+
+
+@register(
+    "mode_event_type_per_user",
+    """
+    WITH c AS (
+        SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY user_id, event_type
+    ),
+    r AS (
+        SELECT user_id, event_type, cnt,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY cnt DESC, event_type ASC
+               ) AS rn
+        FROM c
+    )
+    SELECT user_id, event_type AS mode_type, cnt AS mode_cnt FROM r WHERE rn = 1
+    """,
+)
+def mode_event_type_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE aggregate: built-in mode() breaks frequency ties
+    arbitrarily in both engines, so the hashable form is count-then-rank
+    with an explicit (cnt DESC, value ASC) tie rule. Two hash aggregations
+    plus one window, all partitioned on user_id — a single shuffle; the
+    heavy count happens before the window so window state is one row per
+    (user, type), not per event."""
+    c = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("cnt"), F.asc("event_type"))
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("mode_type"),
+            F.col("cnt").alias("mode_cnt"),
+        )
+    )
+
+
+@register(
+    "decontaminate_ngram_overlap",
+    """
+    WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+    g AS (
+        SELECT doc_id,
+               toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+               toks[i+3] || ' ' || toks[i+4] AS sh
+        FROM t, generate_series(1, 200) s(i)
+        WHERE i + 4 <= len(toks)
+    ),
+    gd AS (SELECT DISTINCT doc_id, sh FROM g),
+    eval_sh AS (SELECT DISTINCT sh FROM gd WHERE doc_id % 97 = 0)
+    SELECT gd.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+    FROM gd JOIN eval_sh USING (sh)
+    WHERE gd.doc_id % 97 <> 0
+    GROUP BY gd.doc_id
+    """,
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the training-data hygiene op: flag corpus
+    documents sharing any 5-gram with a held-out eval set (here the
+    doc_id%97 pseudo-benchmark), reporting distinct overlapping shingles
+    per contaminated doc. Word 5-grams via one array transform (tokens
+    materialized once), exploded and distinct-ed; the eval shingle set is
+    tiny so Catalyst broadcasts it — at 100 TB this is a broadcast semi
+    join per shingle, never a shuffle of the corpus. Exact-match oracle;
+    MinHash (minhash_near_duplicates) is the probabilistic scale-out twin."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    sh = F.when(
+        F.size(toks) >= 5,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 4),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 5)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    gd = (
+        d.select("doc_id", F.explode(sh).alias("sh"))
+        .distinct()
+    )
+    eval_sh = gd.where(F.col("doc_id") % 97 == 0).select("sh").distinct()
+    return (
+        gd.where(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(eval_sh), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
