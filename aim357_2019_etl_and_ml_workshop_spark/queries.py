@@ -2781,3 +2781,35 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_overlap"))
     )
+
+
+@register(
+    "bool_argmax_agg_probe",
+    """
+    SELECT event_type,
+           bool_and(value > 0) AS all_pos,
+           bool_or(value > 100) AS any_big,
+           CAST(count(DISTINCT CASE WHEN value > 50 THEN user_id END) AS BIGINT)
+               AS big_spenders,
+           arg_max(user_id, event_id) AS last_user,
+           arg_min(user_id, event_id) AS first_user
+    FROM events GROUP BY event_type
+    """,
+)
+def bool_argmax_agg_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (every/any) and arg_max/arg_min (max_by/min_by)
+    keyed on the UNIQUE event_id — uniqueness is what makes argmax
+    hash-deterministic; on a tie-able key both engines pick arbitrarily.
+    Plus a filtered distinct count. All partial-aggregate map-side in one
+    HashAggregate pass except the distinct, which Spark expands to a
+    two-phase distinct aggregate on the same shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.bool_and(F.col("value") > 0).alias("all_pos"),
+        F.bool_or(F.col("value") > 100).alias("any_big"),
+        F.countDistinct(
+            F.when(F.col("value") > 50, F.col("user_id"))
+        ).alias("big_spenders"),
+        F.max_by("user_id", "event_id").alias("last_user"),
+        F.min_by("user_id", "event_id").alias("first_user"),
+    )

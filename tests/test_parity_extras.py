@@ -5,6 +5,7 @@ from datetime import datetime
 
 from pyspark.sql import Row
 from pyspark.sql import functions as F
+from pyspark.sql import Window
 
 from aim357_2019_etl_and_ml_workshop_spark.forecast import (
     SeasonalQuantileForecaster,
@@ -166,3 +167,41 @@ def test_session_window_batch(spark):
         .collect()
     )
     assert [(r.k, r["count"]) for r in out] == [("u1", 2), ("u1", 1), ("u2", 1)]
+
+
+def test_dynamic_partition_pruning(spark, sf_dir):
+    """DPP: joining a date-partitioned fact with a selectively-filtered dim
+    on the partition column injects a runtime `dynamicpruning` subquery
+    into the fact scan, so only matching partitions are read — the
+    mechanism that makes dim-filtered scans of a 100 TB partitioned
+    canonical table touch only the needed dates."""
+    import tempfile
+
+    from aim357_2019_etl_and_ml_workshop_spark.sources.io import read_testdata
+
+    with tempfile.TemporaryDirectory() as td:
+        ev = read_testdata(spark, sf_dir, "events")
+        fact_path, dim_path = f"{td}/ev_part", f"{td}/day_dim"
+        ev.withColumn("day", F.to_date("ts")).write.partitionBy("day").parquet(
+            fact_path
+        )
+        # dim: one row per day with a selective flag column on disk, so the
+        # optimizer sees a filtered scan (DPP requires a selective predicate
+        # on the filtering side)
+        ev.select(F.to_date("ts").alias("d_day")).distinct().withColumn(
+            "keep", (F.dense_rank().over(Window.orderBy("d_day")) <= 2).cast("int")
+        ).write.parquet(dim_path)
+        fact = spark.read.parquet(fact_path)
+        dim = spark.read.parquet(dim_path).where(F.col("keep") == 1)
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            # keep the fact from being the broadcast/build side at toy scale
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            joined = fact.join(F.broadcast(dim), fact.day == dim.d_day)
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "dynamicpruning" in plan.lower(), plan[:2000]
+            keep_days = [r.d_day for r in dim.select("d_day").collect()]
+            expect = fact.where(F.col("day").isin(keep_days)).count()
+            assert joined.count() == expect and expect > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
