@@ -2813,3 +2813,124 @@ def bool_argmax_agg_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("user_id", "event_id").alias("last_user"),
         F.min_by("user_id", "event_id").alias("first_user"),
     )
+
+
+@register(
+    "cumulative_daily_revenue",
+    """
+    WITH d AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+               sum(CAST(o_totalprice AS DECIMAL(18,4))) AS day_dec
+        FROM orders GROUP BY 1
+    )
+    SELECT day,
+           CAST(round(day_dec, 2) AS DOUBLE) AS day_total,
+           CAST(round(sum(day_dec) OVER (
+               ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 2) AS DOUBLE) AS cum_total
+    FROM d
+    """,
+)
+def cumulative_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running cumulative total — the dashboard staple. The heavy
+    aggregation happens FIRST (one shuffle, partial map-side), so the
+    unpartitioned running-sum window sees only ~one row per day; that's
+    the scale rule for global windows: never window the fact table, window
+    the aggregate. Sums stay decimal through the window (exact at any
+    order), rounded in decimal space before the double cast."""
+    d = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(F.sum(_dec("o_totalprice", 18, 4)).alias("day_dec"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return d.select(
+        "day",
+        F.round("day_dec", 2).cast("double").alias("day_total"),
+        F.round(F.sum("day_dec").over(w), 2).cast("double").alias("cum_total"),
+    )
+
+
+_LATERAL_SQL = """
+    WITH segs AS (SELECT DISTINCT c_mktsegment FROM customer)
+    SELECT s.c_mktsegment, l.c_custkey, l.c_acctbal
+    FROM segs s, LATERAL (
+        SELECT c_custkey, c_acctbal FROM customer c
+        WHERE c.c_mktsegment = s.c_mktsegment
+        ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+    ) l
+"""
+
+
+@register("lateral_top2_per_segment", _LATERAL_SQL)
+def lateral_top2_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-group ORDER BY ... LIMIT —
+    the SQL-standard spelling of top-k-per-group. Spark 4 plans the
+    correlated limit as a DomainJoin rewritten into a ranked window, so it
+    executes as one shuffle on the correlation key, same physical shape as
+    top3_per_status's explicit row_number — two spellings, one plan. The
+    tiebreak on c_custkey makes the k-th row deterministic; c_acctbal is
+    carried, never folded, so float hashing is safe."""
+    from .sql_surface import engine_sql
+
+    return engine_sql(spark, sf_dir, _LATERAL_SQL)
+
+
+@register(
+    "fuzzy_brand_distance",
+    """
+    SELECT levenshtein(p_brand, 'Brand#11') AS dist,
+           CAST(count(*) AS BIGINT) AS cnt,
+           min(p_brand) AS sample_brand
+    FROM part GROUP BY 1
+    """,
+)
+def fuzzy_brand_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance (Levenshtein) scalar — the fuzzy-match primitive for
+    entity resolution and near-dup candidate scoring. Grouping by the
+    distance histograms the whole column in one codegen pass; at corpus
+    scale the same scalar feeds a blocked similarity join (compare within
+    LSH/blocking buckets, never all-pairs)."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.select(F.levenshtein("p_brand", F.lit("Brand#11")).alias("dist"), "p_brand")
+        .groupBy("dist")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.min("p_brand").alias("sample_brand"))
+    )
+
+
+@register(
+    "pivot_multi_agg",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click_cnt,
+           round(min(value) FILTER (event_type = 'click'), 4) AS click_minv,
+           CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase_cnt,
+           round(min(value) FILTER (event_type = 'purchase'), 4) AS purchase_minv,
+           CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view_cnt,
+           round(min(value) FILTER (event_type = 'view'), 4) AS view_minv
+    FROM events GROUP BY 1
+    """,
+)
+def pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with MULTIPLE aggregates per spread value (count + min) —
+    Spark names pivot output {value}_{alias}, matched here by explicit
+    FILTER columns in the oracle. Explicit pivot values skip the
+    distinct-values pre-scan (SURVEY.md §4.1) and pin column order; min is
+    order-independent so the float is hash-safe where sum would not be.
+    Still one HashAggregate: pivot compiles to conditional aggregates,
+    not a join."""
+    ev = _t(spark, sf_dir, "events")
+    out = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .pivot("event_type", ["click", "purchase", "view"])
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.min("value"), 4).alias("minv"),
+        )
+    )
+    # pivot leaves count columns nullable-null for absent combos; count
+    # semantics in the FILTER oracle yield 0 — align
+    for t in ["click", "purchase", "view"]:
+        out = out.withColumn(f"{t}_cnt", F.coalesce(F.col(f"{t}_cnt"), F.lit(0)))
+    return out
