@@ -188,3 +188,30 @@ def sentiment_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         ).alias("sentiment"),
         F.count("polarity").alias("n_hits"),
     )
+
+
+# Redaction patterns kept in the character-class regex subset that Java
+# regex (Spark codegen) and RE2-style engines interpret identically.
+PII_PATTERNS: list[tuple[str, str]] = [
+    # email before phone/digits so usernames with digits collapse to [EMAIL]
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    # +1-555-123-4567 / (555) 123-4567 / 555 123 4567
+    (r"\+?[0-9]{1,3}[-. (]{0,2}[0-9]{3}[-. )]{0,2}[0-9]{3}[-. ]?[0-9]{4}", "[PHONE]"),
+    # IPv4
+    (r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "[IP]"),
+    # any remaining digit run of 4+ (account numbers, ids)
+    (r"[0-9]{4,}", "[NUM]"),
+]
+
+
+def redact_pii(text: Column | str, patterns: list[tuple[str, str]] | None = None) -> Column:
+    """Chain of codegen regexp_replace passes masking emails, phone
+    numbers, IPs, then residual long digit runs — the pre-training
+    text-scrub operator. Order matters (email first so its digits never
+    half-match the phone pattern). Pure JVM-side scalar work: at 100 TB
+    this runs inside the parquet scan's WholeStageCodegen with zero
+    shuffle and no Python."""
+    col = F.col(text) if isinstance(text, str) else text
+    for pat, tag in patterns or PII_PATTERNS:
+        col = F.regexp_replace(col, pat, tag)
+    return col

@@ -2934,3 +2934,43 @@ def pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ["click", "purchase", "view"]:
         out = out.withColumn(f"{t}_cnt", F.coalesce(F.col(f"{t}_cnt"), F.lit(0)))
     return out
+
+
+@register(
+    "pii_redaction_rollup",
+    r"""
+    WITH r AS (
+        SELECT c_name,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(c_name,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                     '\+?[0-9]{1,3}[-. (]{0,2}[0-9]{3}[-. )]{0,2}[0-9]{3}[-. ]?[0-9]{4}', '[PHONE]', 'g'),
+                   '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '[IP]', 'g'),
+                 '[0-9]{4,}', '[NUM]', 'g') AS redacted
+        FROM customer
+    )
+    SELECT redacted, CAST(count(*) AS BIGINT) AS cnt,
+           CAST(count(DISTINCT c_name) AS BIGINT) AS n_raw
+    FROM r GROUP BY redacted
+    """,
+)
+def pii_redaction_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (operators/textanalysis.redact_pii) applied to customer
+    names: every Customer#<9 digits> collapses to one [NUM]-masked form,
+    proving the email->phone->IP->digit-run replace chain behaves
+    identically in both engines (semantics unit-tested on real-looking
+    PII in test_redact_pii_semantics). The chain is stacked codegen
+    regexp_replace — scan-local at any scale."""
+    from .operators.textanalysis import redact_pii
+
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.select("c_name", redact_pii("c_name").alias("redacted"))
+        .groupBy("redacted")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.countDistinct("c_name").alias("n_raw"),
+        )
+    )

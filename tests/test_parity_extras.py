@@ -205,3 +205,21 @@ def test_dynamic_partition_pruning(spark, sf_dir):
             assert joined.count() == expect and expect > 0
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_redact_pii_semantics(spark):
+    """PII scrub masks emails, phones, IPs, and residual digit runs while
+    leaving clean text untouched."""
+    from aim357_2019_etl_and_ml_workshop_spark.operators.textanalysis import redact_pii
+
+    rows = [
+        ("mail me at jane.doe+x@example.co.uk today", "mail me at [EMAIL] today"),
+        ("call +1-555-123-4567 now", "call [PHONE] now"),
+        ("server 10.0.12.7 down", "server [IP] down"),
+        ("acct 123456789", "acct [NUM]"),
+        ("clean text stays", "clean text stays"),
+    ]
+    df = spark.createDataFrame(rows, "raw string, want string")
+    got = df.select("want", redact_pii("raw").alias("got")).collect()
+    for r in got:
+        assert r.got == r.want, (r.got, r.want)

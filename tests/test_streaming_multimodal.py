@@ -273,3 +273,57 @@ def test_resize_payloads_plumbing(media_df):
     # identical source bytes (items 1 and 3) resize to identical outputs
     assert all(len(v) == 1 for v in by_src.values())
     assert len(by_src) == 2
+
+
+def test_stream_stream_join(spark, tmp_path):
+    """Stream-stream inner join with watermarks + event-time range: click
+    events joined to purchase events of the same user within 30 minutes.
+    Both sides are file streams delivered across micro-batches; result
+    matches the batch twin of the same operator on static frames."""
+    from aim357_2019_etl_and_ml_workshop_spark.streaming import stream_stream_join
+
+    schema = "user_id long, ts timestamp, kind string"
+    lsrc, rsrc = str(tmp_path / "clicks"), str(tmp_path / "buys")
+    base = datetime(2024, 1, 2, 10, 0)
+
+    def mk(rows):
+        return spark.createDataFrame(rows, schema)
+
+    clicks = [
+        Row(user_id=1, ts=base, kind="click"),
+        Row(user_id=2, ts=base, kind="click"),
+    ]
+    buys = [
+        Row(user_id=1, ts=datetime(2024, 1, 2, 10, 10), kind="buy"),   # in range
+        Row(user_id=2, ts=datetime(2024, 1, 2, 11, 30), kind="buy"),   # too late
+    ]
+    mk(clicks).write.parquet(lsrc)
+    mk(buys).write.parquet(rsrc)
+
+    ls = stream_from_directory(spark, lsrc, schema)
+    rs = stream_from_directory(spark, rsrc, schema)
+    ls2 = ls.select("user_id", F.col("ts").alias("l_ts"))
+    rs2 = rs.select("user_id", F.col("ts").alias("r_ts"))
+    from aim357_2019_etl_and_ml_workshop_spark.streaming import (
+        stream_stream_join as ssj,
+    )
+
+    stream = ssj(ls2, rs2, "user_id", "l_ts", "r_ts")
+    q = (
+        stream.select(ls2.user_id, "l_ts", "r_ts")
+        .writeStream.format("memory")
+        .queryName("ssj_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {r.user_id for r in spark.sql("select * from ssj_test").collect()}
+    finally:
+        q.stop()
+    assert got == {1}  # user 2's purchase fell outside the 30-min lag bound
+    # batch twin: same operator, static frames
+    bl = spark.read.parquet(lsrc).select("user_id", F.col("ts").alias("l_ts"))
+    br = spark.read.parquet(rsrc).select("user_id", F.col("ts").alias("r_ts"))
+    batch = ssj(bl, br, "user_id", "l_ts", "r_ts")
+    assert {r.user_id for r in batch.collect()} == {1}
