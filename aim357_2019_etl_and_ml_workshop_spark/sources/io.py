@@ -57,6 +57,46 @@ def read_parquet(spark: SparkSession, path: str | list[str]) -> DataFrame:
     return spark.read.parquet(*(path if isinstance(path, list) else [path]))
 
 
+def read_json_lines(
+    spark: SparkSession,
+    path: str | list[str],
+    schema: StructType | None = None,
+) -> DataFrame:
+    """JSON-Lines scan (one object per line — the DeepAR export format and
+    the generic log-ingest format). PERMISSIVE mode: malformed lines land in
+    `_corrupt_record` instead of failing the job, mirroring the engine's
+    CSV tolerance. Pass an explicit schema on large inputs — schema
+    inference is a full pre-scan of 100 TB otherwise."""
+    reader = spark.read.option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt_record"
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_orc(spark: SparkSession, path: str | list[str]) -> DataFrame:
+    """ORC scan — same columnar/pushdown posture as parquet (vectorized
+    reader, predicate pushdown, column pruning) for shops standardized on
+    ORC at rest."""
+    return spark.read.orc(*(path if isinstance(path, list) else [path]))
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)
+
+
+def read_parquet_evolved(spark: SparkSession, path: str | list[str]) -> DataFrame:
+    """Schema-evolution read: mergeSchema unions the footers of all file
+    generations (fhv -> fhvhv style column additions); files missing a
+    column yield nulls. Footer merging is a driver-side listing cost —
+    on 100 TB prefer declaring the superset schema explicitly."""
+    return (
+        spark.read.option("mergeSchema", True)
+        .parquet(*(path if isinstance(path, list) else [path]))
+    )
+
+
 def read_testdata(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Load one driver-generated table from a scale-factor directory.
 

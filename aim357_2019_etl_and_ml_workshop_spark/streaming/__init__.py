@@ -1,5 +1,6 @@
 from .windows import (
     dedup_stream,
+    foreach_batch_parquet_sink,
     stream_from_directory,
     stream_stream_join,
     tumbling_counts,
@@ -8,6 +9,7 @@ from .incremental import IncrementalIngest
 
 __all__ = [
     "dedup_stream",
+    "foreach_batch_parquet_sink",
     "stream_from_directory",
     "stream_stream_join",
     "tumbling_counts",

@@ -122,3 +122,17 @@ def stream_stream_join(
         & (rw[right_ts] <= F.expr(f"{left_ts} + {max_lag}"))
     )
     return lw.join(rw, cond, "inner")
+
+
+def foreach_batch_parquet_sink(stream: DataFrame, path: str):
+    """Idempotent foreachBatch sink: each micro-batch overwrites its own
+    `batch_id=N` partition directory, so replaying a batch after a failure
+    rewrites the same files instead of duplicating rows — exactly-once
+    output on top of the checkpoint's at-least-once replay, the pattern
+    for sinks without native transactions. Returns the started query's
+    writer (caller .start()s it with a checkpoint location)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{path}/batch_id={batch_id}")
+
+    return stream.writeStream.foreachBatch(write_batch)

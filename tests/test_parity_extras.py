@@ -223,3 +223,48 @@ def test_redact_pii_semantics(spark):
     got = df.select("want", redact_pii("raw").alias("got")).collect()
     for r in got:
         assert r.got == r.want, (r.got, r.want)
+
+
+def test_json_orc_and_schema_evolution(spark, tmp_path):
+    """Source-format breadth: JSON Lines with corrupt-record capture, ORC
+    roundtrip, and parquet mergeSchema across file generations (the
+    fhv->fhvhv column-addition shape)."""
+    from aim357_2019_etl_and_ml_workshop_spark.sources.io import (
+        read_json_lines,
+        read_orc,
+        read_parquet_evolved,
+        write_orc,
+    )
+    from pyspark.sql.types import StructType
+
+    # JSON lines with one malformed row
+    jpath = str(tmp_path / "j")
+    with open(str(tmp_path / "data.jsonl"), "w") as f:
+        f.write('{"a": 1, "b": "x"}\n{"a": 2, "b": "y"}\n{not json\n')
+    import shutil, os
+    os.makedirs(jpath)
+    shutil.move(str(tmp_path / "data.jsonl"), jpath + "/data.jsonl")
+    schema = StructType.fromDDL("a long, b string, _corrupt_record string")
+    j = read_json_lines(spark, jpath, schema).cache()
+    j.count()  # materialize before filtering on corrupt col (Spark requires)
+    assert j.where(F.col("_corrupt_record").isNotNull()).count() == 1
+    assert j.where(F.col("a").isNotNull()).count() == 2
+
+    # ORC roundtrip preserves schema + values
+    opath = str(tmp_path / "o")
+    src = spark.createDataFrame([(1, "x"), (2, "y")], "k int, v string")
+    write_orc(src, opath)
+    back = read_orc(spark, opath)
+    assert back.schema == src.schema
+    assert sorted(r.k for r in back.collect()) == [1, 2]
+
+    # schema evolution: generation 2 adds a column; mergeSchema unions
+    ppath = str(tmp_path / "p")
+    spark.createDataFrame([(1,)], "k int").write.parquet(ppath + "/gen=1")
+    spark.createDataFrame([(2, "new")], "k int, extra string").write.parquet(
+        ppath + "/gen=2"
+    )
+    ev = read_parquet_evolved(spark, [ppath + "/gen=1", ppath + "/gen=2"])
+    assert set(ev.columns) == {"k", "extra"}
+    rows = {r.k: r.extra for r in ev.collect()}
+    assert rows == {1: None, 2: "new"}

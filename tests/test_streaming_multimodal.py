@@ -327,3 +327,32 @@ def test_stream_stream_join(spark, tmp_path):
     br = spark.read.parquet(rsrc).select("user_id", F.col("ts").alias("r_ts"))
     batch = ssj(bl, br, "user_id", "l_ts", "r_ts")
     assert {r.user_id for r in batch.collect()} == {1}
+
+
+def test_foreach_batch_idempotent_sink(spark, tmp_path):
+    """foreachBatch sink writes per-batch-id partition dirs with overwrite
+    semantics: re-running the same batch id replaces, never duplicates."""
+    from aim357_2019_etl_and_ml_workshop_spark.streaming import (
+        foreach_batch_parquet_sink,
+    )
+
+    src = str(tmp_path / "fb_src")
+    out = str(tmp_path / "fb_out")
+    ck = str(tmp_path / "fb_ck")
+    _events(spark, range(5)).write.parquet(src)
+    stream = stream_from_directory(spark, src, EVENTS_SCHEMA)
+    q = (
+        foreach_batch_parquet_sink(stream.select("event_id"), out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r.event_id for r in spark.read.parquet(out).collect())
+    assert got == [0, 1, 2, 3, 4]
+    # simulate replay of batch 0: writing again must replace, not append
+    spark.createDataFrame([(0,), (1,), (2,), (3,), (4,)], "event_id long").write.mode(
+        "overwrite"
+    ).parquet(out + "/batch_id=0")
+    again = sorted(r.event_id for r in spark.read.parquet(out).collect())
+    assert again == [0, 1, 2, 3, 4]
