@@ -44,6 +44,10 @@ HEADLINE = [
     "range_join_campaign_counts",
     "sliding_window_counts",
     "forecast_quantiles",
+    "stats_moments_by_flag",
+    "cumulative_daily_revenue",
+    "decontaminate_ngram_overlap",
+    "pii_redaction_rollup",
 ]
 
 

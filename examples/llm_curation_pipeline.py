@@ -1,0 +1,121 @@
+"""End-to-end LLM training-data curation pipeline on the engine — the
+beyond-reference operator suite (SURVEY.md §2.12) composed the way a
+pre-training data team would run it over 100 TB of raw text:
+
+1. profile + quality-score every document (length/stopword/alpha ratios)
+2. heuristic language-ID, keep confident languages
+3. PII scrub (email/phone/IP/digit-run masking, codegen regex chain)
+4. exact dedup on canonical content fingerprints
+5. MinHash-LSH near-dedup over the survivors
+6. benchmark decontamination: drop docs sharing 5-grams with an eval set
+7. stride-chunk the clean corpus into token windows
+8. stratified sample per language for the training mix
+9. export JSON Lines ready for a tokenizer/trainer
+
+Every stage is a DataFrame -> DataFrame operator; nothing collects to the
+driver except the final stage-count report. At scale the only shuffles are
+the dedup groupBys and the LSH band join — everything else is scan-local.
+
+Usage: python examples/llm_curation_pipeline.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from aim357_2019_etl_and_ml_workshop_spark.operators.dedup import (
+    canonical_dedup,
+    minhash_near_duplicates,
+    stratified_sample,
+)
+from aim357_2019_etl_and_ml_workshop_spark.operators.textanalysis import (
+    chunk_tokens,
+    lang_id,
+    quality_features,
+    redact_pii,
+)
+from aim357_2019_etl_and_ml_workshop_spark.session import get_spark
+from aim357_2019_etl_and_ml_workshop_spark.sources.io import (
+    read_testdata,
+    write_json_lines,
+)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("llm-curation-example")
+    docs = read_testdata(spark, sf_dir, "documents")
+    report: list[tuple[str, int]] = [("raw", docs.count())]
+
+    # 1-2. quality + language gates (scan-local scalar features)
+    q = quality_features(docs, "text", "doc_id")
+    lid = lang_id(docs, "text", "doc_id")
+    keep = (
+        docs.join(q.select("doc_id", "n_tokens", "stop_ratio"), "doc_id")
+        .join(lid.select("doc_id", "pred_lang"), "doc_id")
+        .where((F.col("n_tokens") >= 10) & (F.col("stop_ratio") <= 0.9))
+    )
+    report.append(("quality+lang gate", keep.count()))
+
+    # 3. PII scrub before anything persists
+    clean = keep.withColumn("text", redact_pii("text"))
+
+    # 4. exact dedup: canonical representative per content fingerprint
+    canon = canonical_dedup(clean, "text", "doc_id").select("doc_id")
+    exact = clean.join(canon, "doc_id")
+    report.append(("exact dedup", exact.count()))
+
+    # 5. near-dedup: drop the higher id of each MinHash near-dup pair
+    pairs = minhash_near_duplicates(exact, "text", "doc_id", threshold=0.7)
+    losers = pairs.select(F.greatest("id_a", "id_b").alias("doc_id")).distinct()
+    neardeduped = exact.join(losers, "doc_id", "left_anti")
+    report.append(("near dedup", neardeduped.count()))
+
+    # 6. decontamination vs a pseudo eval set (doc_id % 97)
+    toks = F.split(F.lower("text"), " ")
+    sh = F.when(
+        F.size(toks) >= 5,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 4),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 5)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    shingled = neardeduped.select("doc_id", F.explode(sh).alias("sh")).distinct()
+    eval_sh = shingled.where(F.col("doc_id") % 97 == 0).select("sh").distinct()
+    contaminated = (
+        shingled.join(F.broadcast(eval_sh), "sh")
+        .select("doc_id")
+        .distinct()
+    )
+    decontam = neardeduped.join(contaminated, "doc_id", "left_anti").where(
+        F.col("doc_id") % 97 != 0
+    )
+    report.append(("decontaminated", decontam.count()))
+
+    # 7. stride-chunk into token windows for the trainer
+    chunks = chunk_tokens(decontam, "text", "doc_id", chunk_size=32, stride=24)
+    report.append(("chunks", chunks.count()))
+
+    # 8. stratified language mix on the doc level
+    langs = [r.lang for r in decontam.select("lang").distinct().collect()]
+    mix = stratified_sample(decontam, "lang", {l: 0.8 for l in langs})
+    report.append(("sampled mix", mix.count()))
+
+    # 9. export
+    out = tempfile.mkdtemp(prefix="llm_export_")
+    write_json_lines(mix.select("doc_id", "lang", "source", "text"), out)
+    report.append(("exported jsonl rows", spark.read.json(out).count()))
+
+    width = max(len(k) for k, _ in report)
+    for k, v in report:
+        print(f"{k:<{width}} {v:>8}")
+
+
+if __name__ == "__main__":
+    main()
