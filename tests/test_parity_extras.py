@@ -268,3 +268,24 @@ def test_json_orc_and_schema_evolution(spark, tmp_path):
     assert set(ev.columns) == {"k", "extra"}
     rows = {r.k: r.extra for r in ev.collect()}
     assert rows == {1: None, 2: "new"}
+
+
+def test_observe_metrics(spark, sf_dir):
+    """df.observe(): accumulator-style pipeline metrics (row counts, sums)
+    collected DURING an action with zero extra passes — the production
+    pattern for data-quality counters on a 100 TB ETL job, replacing the
+    reference's separate count() queries (its golden-count eyeballing,
+    SURVEY.md §5.1)."""
+    from pyspark.sql import Observation
+    from aim357_2019_etl_and_ml_workshop_spark.sources.io import read_testdata
+
+    obs = Observation("etl_metrics")
+    ev = read_testdata(spark, sf_dir, "events")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.count(F.when(F.col("value") < 0, 1)).alias("neg_values"),
+    )
+    n = observed.count()
+    assert obs.get["rows_seen"] == n > 0
+    assert obs.get["neg_values"] >= 0
