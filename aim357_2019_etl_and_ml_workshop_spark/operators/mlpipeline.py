@@ -96,3 +96,28 @@ def lang_classifier_pipeline(
 
 def train_lang_classifier(df: DataFrame) -> PipelineModel:
     return lang_classifier_pipeline().fit(df)
+
+
+def cluster_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Seeded KMeans over an embedding column — cluster-based curation
+    (diversity sampling, topic balancing, cluster-level dedup) for
+    training-data pipelines. The array<float> column converts to an MLlib
+    vector JVM-side (array_to_vector, no Python); KMeans|| init is
+    distributed, each iteration one map-reduce over the vectors, so the
+    fit scales to corpus size × k. Returns (id, cluster) assignments."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = df.select(
+        id_col, array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=k, seed=seed, maxIter=20).fit(vecs)
+    return model.transform(vecs).select(
+        id_col, F.col("prediction").alias("cluster")
+    )

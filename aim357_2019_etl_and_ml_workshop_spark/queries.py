@@ -2974,3 +2974,19 @@ def pii_redaction_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("c_name").alias("n_raw"),
         )
     )
+
+
+@register("embedding_clusters")
+def embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-based curation head: seeded KMeans over the embeddings table
+    (operators/mlpipeline.cluster_embeddings), reporting cluster sizes.
+    Rows-only check — KMeans centroids aren't SQL-expressible; determinism
+    is covered by the same-seed reproducibility test."""
+    from .operators.mlpipeline import cluster_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        cluster_embeddings(emb, k=8)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -97,3 +97,21 @@ def test_stateful_running_counts(spark, tmp_path):
     finally:
         q.stop()
     assert totals == {"a": 3, "b": 1}  # state carried across micro-batches
+
+
+def test_cluster_embeddings(spark, sf_dir):
+    """Seeded KMeans assigns every embedding to one of k clusters and is
+    reproducible run-to-run with the same seed."""
+    from aim357_2019_etl_and_ml_workshop_spark.operators.mlpipeline import (
+        cluster_embeddings,
+    )
+    from aim357_2019_etl_and_ml_workshop_spark.sources.io import read_testdata
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    a = cluster_embeddings(emb, k=4)
+    n = emb.count()
+    assert a.count() == n
+    assert a.select("cluster").distinct().count() <= 4
+    b = cluster_embeddings(emb, k=4)
+    joined = a.withColumnRenamed("cluster", "c1").join(b, "vec_id")
+    assert joined.where(F.col("c1") != F.col("cluster")).count() == 0

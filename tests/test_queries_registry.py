@@ -29,6 +29,7 @@ ROWS_ONLY = {
     "embedding_neardup_lsh",
     "tfidf_features",
     "stratified_sample_docs",
+    "embedding_clusters",
 }
 
 
