@@ -54,10 +54,23 @@ def attach_multimodal(
 
 
 def dedup_payloads(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """Exact payload dedup on content_hash — the hash (not the bytes)
-    shuffles; one representative payload survives per hash via min-length
-    arbitrary-but-deterministic choice on the hash group."""
-    return df.dropDuplicates(["content_hash"])
+    """Exact payload dedup on content_hash: one representative row survives
+    per hash, chosen deterministically via ``min_by`` on (payload length,
+    md5 of the whole JSON-encoded row) — stable under any partitioning or
+    shuffle order, unlike ``dropDuplicates`` which keeps an arbitrary
+    first-seen row. Aggregation is a partial/final min_by, so only one
+    shuffle on the hash key and the map-side combine keeps a single
+    candidate row per hash per partition."""
+    cols = df.columns
+    order_key = F.struct(
+        F.length(F.col(payload_col)).alias("plen"),
+        F.md5(F.to_json(F.struct(*cols))).alias("tie"),
+    )
+    return (
+        df.groupBy("content_hash")
+        .agg(F.min_by(F.struct(*cols), order_key).alias("_rep"))
+        .select("_rep.*")
+    )
 
 
 def split_payload_table(

@@ -245,17 +245,25 @@ def ivf_centroids(
     n_centroids: int = 16,
     n_iters: int = 2,
     id_col: str = "vec_id",
+    sample_rows: int | None = None,
 ) -> list[list[float]]:
     """Deterministic mini-KMeans: seed centroids from an id-stride sample
     (reproducible, no RNG in the plan), then ``n_iters`` distributed Lloyd
     steps (assign via broadcast argmin -> mean per cell). Centroid count is
-    tiny (sqrt-ish of N); each iteration is one shuffle of partial sums."""
+    tiny (sqrt-ish of N); each iteration is one shuffle of partial sums.
+
+    ``sample_rows`` caps the Lloyd passes to a seeded sample of that many
+    vectors (the 100TB path: centroids are model state — fit them on a sample
+    once, persist, pass via ``ivf_topk(centroids=...)``; the full table is
+    only ever touched by the single assign pass)."""
     n = vectors.count()
     stride = max(n // n_centroids, 1)
     # Stride over the id column directly (no full-order window — a global
     # sort of all vectors just to pick k seeds would not survive scale-up).
-    # Falls back to a ranked pick only if the id stride under-fills (sparse
-    # or non-uniform ids).
+    # If the id stride under-fills (sparse or non-uniform ids), fall back to
+    # a pseudo-random-but-deterministic pick: order by a hash of the id and
+    # take k — compiles to TakeOrderedAndProject (per-partition top-k, merge
+    # of k*partitions at the driver), never a global sort or window.
     seeds = (
         vectors.where(F.col(id_col) % stride == 0)
         .orderBy(id_col)
@@ -265,17 +273,18 @@ def ivf_centroids(
     )
     if len(seeds) < min(n_centroids, n):
         seeds = (
-            vectors.withColumn(
-                "_rank", F.row_number().over(Window.orderBy(F.col(id_col)))
-            )
-            .where((F.col("_rank") - 1) % stride == 0)
+            vectors.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
             .limit(n_centroids)
             .select(vec_col)
             .collect()
         )
     cents = [list(r[vec_col]) for r in seeds]
+    fit_on = vectors
+    if sample_rows is not None and n > sample_rows:
+        fit_on = vectors.sample(fraction=min(1.0, sample_rows / n), seed=42)
+        fit_on.persist()
     for _ in range(n_iters):
-        assigned = _assign_cells(vectors, vec_col, cents).select(
+        assigned = _assign_cells(fit_on, vec_col, cents).select(
             "cell", F.col(vec_col).alias("v")
         )
         dim = len(cents[0])
@@ -285,6 +294,8 @@ def ivf_centroids(
         )
         new = {int(r["cell"]): [r[f"s{i}"] / r["cnt"] for i in range(dim)] for r in sums.collect()}
         cents = [new.get(i, c) for i, c in enumerate(cents)]
+    if fit_on is not vectors:
+        fit_on.unpersist()
     return cents
 
 
@@ -311,13 +322,20 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     n_iters: int = 2,
+    centroids: list[list[float]] | None = None,
+    fit_sample_rows: int | None = None,
 ) -> DataFrame:
     """IVF ANN: partition vectors into centroid cells, probe each query's
     ``n_probe`` nearest cells, exact cosine re-rank inside probed cells.
     Candidate fraction ~ n_probe/n_centroids; the join is an equi-join on
     cell id (shuffle on cell keys). Centroids are model state — at 100TB,
-    compute them once on a sample and persist."""
-    cents = ivf_centroids(candidates, vec_col, n_centroids, n_iters, id_col)
+    fit them once (``ivf_centroids`` on a sample, or pass precomputed
+    ``centroids=``) and persist; then the only full-table work is the single
+    assign pass + the cell equi-join."""
+    cents = centroids if centroids is not None else ivf_centroids(
+        candidates, vec_col, n_centroids, n_iters, id_col,
+        sample_rows=fit_sample_rows,
+    )
     c = _assign_cells(
         candidates.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("cv")),
         "cv",

@@ -127,6 +127,69 @@ def read_testdata(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return df
 
 
+def _utc_micros(ts: str) -> int:
+    """Epoch microseconds of an ISO timestamp/date string, UTC (the session
+    timezone is pinned to UTC by pin_session_conf)."""
+    import calendar
+    from datetime import datetime
+
+    dt = datetime.fromisoformat(ts)
+    return calendar.timegm(dt.timetuple()) * 1_000_000 + dt.microsecond
+
+
+def read_events_ts_range(
+    spark: SparkSession,
+    sf_dir: str,
+    lower: str | None = None,
+    upper: str | None = None,
+    *,
+    lower_inclusive: bool = False,
+    upper_inclusive: bool = False,
+) -> DataFrame:
+    """Events scan with a ts-range predicate PUSHED INTO the parquet reader.
+
+    ``read_testdata`` derives ``ts`` post-scan (``timestamp_micros(ts div
+    1000)`` over the NANOS-encoded raw column), so predicates written against
+    the derived column evaluate after projection and never reach the scan.
+    ``floor(ns/1000)`` is monotone, so a bound T (micros ``T_us``) translates
+    exactly to the raw bigint column:
+
+        ts >  T  <=>  raw_ns >= (T_us+1)*1000       ts >= T  <=>  raw_ns >= T_us*1000
+        ts <  T  <=>  raw_ns <   T_us*1000          ts <= T  <=>  raw_ns <  (T_us+1)*1000
+
+    The raw-column filter sits directly on the scan (PushedFilters in the
+    plan — asserted by tests/test_parity_extras.py), and the min/max
+    row-group statistics prune at the reader. At 100 TB this is the
+    difference between reading the whole table and reading the matching
+    row groups only. Identical result semantics to filtering the derived
+    ``ts`` — verified by the unchanged oracle hashes of the range queries."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    if dict(df.dtypes).get("ts") == "bigint":
+        if lower is not None:
+            lo_us = _utc_micros(lower)
+            df = df.where(
+                F.col("ts") >= (lo_us if lower_inclusive else lo_us + 1) * 1000
+            )
+        if upper is not None:
+            hi_us = _utc_micros(upper)
+            df = df.where(
+                F.col("ts") < (hi_us + 1 if upper_inclusive else hi_us) * 1000
+            )
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # micros-encoded events (engine-written tables): plain pushdown-able filters
+    if lower is not None:
+        lo = F.lit(lower).cast("timestamp")
+        df = df.where(F.col("ts") >= lo if lower_inclusive else F.col("ts") > lo)
+    if upper is not None:
+        hi = F.lit(upper).cast("timestamp")
+        df = df.where(F.col("ts") <= hi if upper_inclusive else F.col("ts") < hi)
+    return df
+
+
 def write_parquet(
     df: DataFrame,
     path: str,

@@ -34,6 +34,30 @@ def test_catalog_registration_roundtrip(spark, tmp_path):
     assert "t_cat" in [t.name for t in spark.catalog.listTables("engdb")]
 
 
+def test_events_range_scan_pushdown(spark, sf_dir):
+    """read_events_ts_range translates ts bounds to the raw bigint nanos
+    column (monotone floor-div), so the range predicate reaches the parquet
+    reader — PushedFilters on the events scan — while plain read_testdata's
+    derived-column filter cannot push down."""
+    from aim357_2019_etl_and_ml_workshop_spark.plans import formatted_plan
+    from aim357_2019_etl_and_ml_workshop_spark.sources.io import (
+        read_events_ts_range,
+        read_testdata,
+    )
+
+    pushed = read_events_ts_range(spark, sf_dir, "2024-01-10", "2024-01-12")
+    plan = formatted_plan(pushed)
+    assert "PushedFilters: [" in plan
+    # the raw-nanos bounds (not just IsNotNull) must be in the pushed set
+    assert "GreaterThanOrEqual(ts" in plan and "LessThan(ts" in plan
+    # identical semantics to the naive post-conversion filter
+    naive = read_testdata(spark, sf_dir, "events").where(
+        (F.col("ts") > F.lit("2024-01-10").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-12").cast("timestamp"))
+    )
+    assert pushed.count() == naive.count()
+
+
 def test_salted_join_equivalence(spark):
     big = spark.createDataFrame(
         [Row(k="hot", x=i) for i in range(50)] + [Row(k="cold", x=-1)]

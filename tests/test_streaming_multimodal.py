@@ -117,6 +117,24 @@ def test_split_payload_table_indirection(media_df):
     assert payloads.count() == 2  # dup bytes stored once
 
 
+def test_dedup_payloads_deterministic_under_repartition(media_df):
+    from aim357_2019_etl_and_ml_workshop_spark.operators.multimodal import (
+        dedup_payloads,
+    )
+
+    def keys(df):
+        return sorted(
+            (r.content_hash, r.item_id) for r in dedup_payloads(df).collect()
+        )
+
+    base = keys(media_df)
+    assert len(base) == 2  # one representative per distinct payload
+    # representative choice must not depend on physical layout
+    for n in (1, 3, 7):
+        assert keys(media_df.repartition(n)) == base
+    assert keys(media_df.orderBy(F.col("item_id").desc())) == base
+
+
 def test_decode_features_mapinpandas(media_df):
     out = decode_features(media_df).collect()
     assert len(out) == 3
