@@ -113,6 +113,12 @@ def minhash_lsh_candidates(
     """(id_a, id_b) candidate pairs: docs whose signatures agree on ALL rows
     of at least one band. Join key is (band_idx, band_hash) — pure equi-join,
     shuffle on band buckets, never all-pairs."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands}); "
+            "trailing signature hashes would otherwise be silently ignored, "
+            "weakening candidate recall"
+        )
     rows = num_hashes // bands
     banded = sigs.select(
         F.col(id_col),

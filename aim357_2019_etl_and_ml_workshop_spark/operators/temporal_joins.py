@@ -106,7 +106,18 @@ def range_join(
     """Unkeyed interval join: each point row matched to every interval with
     start <= point_ts < end. Intervals explode to their overlapped buckets
     (intervals are few and short relative to the data — the fact side gets
-    ONE bucket per row, no explosion)."""
+    ONE bucket per row, no explosion).
+
+    ``how`` supports 'inner' and 'left' (left = preserve unmatched points;
+    each point carries exactly one bucket, so null-extension is per point
+    row). 'right'/'full' are rejected: the interval side is replicated per
+    bucket, so unmatched intervals would be emitted once per replica."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"range_join supports how='inner'|'left', got {how!r} "
+            "(interval side is bucket-replicated; outer-preserving it would "
+            "duplicate unmatched intervals)"
+        )
     p = points.withColumn(
         "_bucket",
         (F.col(point_ts).cast("bigint") / bucket_seconds).cast("bigint"),
@@ -126,7 +137,13 @@ def range_join(
             )
         ),
     )
-    joined = p.join(iv, "_bucket", how).where(
-        (F.col(point_ts) >= F.col(start_col)) & (F.col(point_ts) < F.col(end_col))
+    # bounds folded INTO the join condition (not a post-join .where) so a
+    # left join preserves unmatched points instead of filtering their null
+    # interval columns back out
+    cond = (
+        (p["_bucket"] == iv["_bucket"])
+        & (p[point_ts] >= iv[start_col])
+        & (p[point_ts] < iv[end_col])
     )
-    return joined.drop("_bucket")
+    joined = p.join(iv, cond, how).drop(iv["_bucket"]).drop(p["_bucket"])
+    return joined

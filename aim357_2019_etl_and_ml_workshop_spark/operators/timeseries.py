@@ -162,7 +162,17 @@ def salted_join(
     ``n_salts`` sub-keys (deterministic hash of the whole row, no rand()),
     the small side replicates per salt — so one skewed key's rows land on
     n_salts reducers instead of one. AQE's skew-join handles moderate skew
-    automatically; this is the explicit fallback for pathological keys."""
+    automatically; this is the explicit fallback for pathological keys.
+
+    Only 'inner' and 'left' are supported: the small side is replicated once
+    per salt, so a right/full outer join would emit every unmatched
+    small-side row n_salts times."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r} "
+            "(small side is salt-replicated; outer-preserving it would "
+            "duplicate unmatched rows)"
+        )
     big_cols = [F.col(c) for c in big.columns]
     salted_big = big.withColumn(
         "_salt", F.pmod(F.xxhash64(*big_cols), F.lit(n_salts)).cast("int")

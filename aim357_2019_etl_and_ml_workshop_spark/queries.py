@@ -978,7 +978,11 @@ def quality_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("minhash_near_duplicates")
 def minhash_near_duplicates_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates verified by exact Jaccard — the
-    linear-scale replacement for the all-pairs shingle join."""
+    linear-scale replacement for the all-pairs shingle join. Rows-only
+    WAIVER: band-bucket membership is hash-dependent, so the recalled pair
+    set is not SQL-predictable; the precision/recall contract is
+    driver-checked via the oracle-backed minhash_recall_check twin against
+    the exact ngram_jaccard_pairs ground truth."""
     from .operators.dedup import minhash_near_duplicates
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -989,8 +993,10 @@ def minhash_near_duplicates_query(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @register("simhash_fingerprints")
 def simhash_fingerprints_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash fingerprints per document (rows-only: deterministic,
-    validated structurally in tests)."""
+    """64-bit SimHash fingerprints per document. Rows-only WAIVER: the
+    fingerprint is built from Spark xxhash64 token hashes, which DuckDB
+    cannot reproduce (different hash family/seeding); determinism and
+    banding behavior are covered structurally in tests."""
     from .operators.dedup import simhash_fingerprints
 
     return simhash_fingerprints(
@@ -1001,7 +1007,10 @@ def simhash_fingerprints_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("lsh_ann_topk")
 def lsh_ann_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate top-k neighbors (bucket join + exact
-    re-rank); recall vs the brute-force oracle is asserted in tests."""
+    re-rank). Rows-only WAIVER: bucket membership is hash-dependent, so the
+    reported pair set is not SQL-predictable; the accuracy contract is
+    driver-checked via the oracle-backed lsh_recall_check twin (recall vs
+    the exact embedding_cosine_topk), plus pytest recall assertions."""
     from .operators.similarity import as_double_vec, lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings").select(
@@ -1011,10 +1020,26 @@ def lsh_ann_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, q, k=5, n_tables=16, n_bits=4)
 
 
-@register("deepar_export")
+@register(
+    "deepar_export",
+    """
+    SELECT event_type,
+           strftime(CAST(min(date_trunc('day', ts)) AS TIMESTAMP),
+                    '%Y-%m-%d %H:%M:%S') AS start,
+           CAST(count(DISTINCT date_trunc('day', ts)) AS INTEGER) AS target_len,
+           CAST(count(*) AS BIGINT) AS target_sum
+    FROM events GROUP BY 1
+    """,
+)
 def deepar_export_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DeepAR JSON Lines export of the daily per-type series (format
-    golden-tested in tests/test_forecast.py)."""
+    """DeepAR JSON Lines export round-trip under an exact derived oracle:
+    the JSON Lines are produced by to_deepar_jsonlines (byte format
+    golden-tested in tests/test_forecast.py), then parsed BACK with
+    from_json, and the parsed contract — start stamp, target length, target
+    sum — is recomputed independently by the oracle from the raw events.
+    Catches serialization drift (ordering, start formatting, missing days)
+    with hash-exact comparison; target values are integer counts so the
+    left-fold sum is exact."""
     from .forecast import to_deepar_jsonlines
 
     daily = (
@@ -1024,13 +1049,72 @@ def deepar_export_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(_count(None))
     )
-    return to_deepar_jsonlines(daily, "event_type", "day", "n")
+    export = to_deepar_jsonlines(daily, "event_type", "day", "n")
+    parsed = export.select(
+        "event_type",
+        F.from_json(
+            "jsonline", "start string, target array<double>"
+        ).alias("j"),
+    )
+    return parsed.select(
+        "event_type",
+        F.col("j.start").alias("start"),
+        F.size("j.target").alias("target_len"),
+        F.aggregate("j.target", F.lit(0.0), lambda a, x: a + x)
+        .cast("bigint")
+        .alias("target_sum"),
+    )
 
 
-@register("forecast_quantiles")
+@register(
+    "forecast_quantiles",
+    """
+    WITH daily AS (
+        SELECT event_type AS series,
+               CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               CAST(count(*) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 2
+    ), mx AS (
+        SELECT series, max(day) AS last_day FROM daily GROUP BY 1
+    ), resid AS (
+        SELECT d.series, d.v - p.v AS r
+        FROM daily d
+        JOIN mx m ON m.series = d.series
+        JOIN daily p ON p.series = d.series AND p.day = d.day - INTERVAL 7 DAY
+        WHERE d.day > m.last_day - 7 * INTERVAL 1 DAY
+    ), rq AS (
+        SELECT series,
+               quantile_cont(r, 0.1) AS r10,
+               quantile_cont(r, 0.5) AS r50,
+               quantile_cont(r, 0.9) AS r90
+        FROM resid GROUP BY 1
+    ), hs AS (
+        SELECT unnest(generate_series(1, 14)) AS h
+    ), fc AS (
+        SELECT m.series,
+               CAST(m.last_day + hs.h * INTERVAL 1 DAY AS TIMESTAMP) AS ts,
+               d.v AS base, rq.r10, rq.r50, rq.r90
+        FROM mx m
+        CROSS JOIN hs
+        JOIN daily d ON d.series = m.series
+           AND d.day = m.last_day - (6 - ((hs.h - 1) % 7)) * INTERVAL 1 DAY
+        JOIN rq ON rq.series = m.series
+    )
+    SELECT series, ts, 0.1 AS quantile, round(base + r10, 4) AS value FROM fc
+    UNION ALL
+    SELECT series, ts, 0.5 AS quantile, round(base + r50, 4) AS value FROM fc
+    UNION ALL
+    SELECT series, ts, 0.9 AS quantile, round(base + r90, 4) AS value FROM fc
+    """,
+)
 def forecast_quantiles_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """14-day p10/p50/p90 forecast per event_type series (contract checks —
-    monotone quantiles, horizon length — in tests/test_forecast.py)."""
+    """14-day p10/p50/p90 forecast per event_type series, under a FULL exact
+    oracle: the seasonal-naive model is deterministic arithmetic — base =
+    same-weekday value from the last season, plus empirical residual
+    quantiles over the 14-day context (np.quantile 'linear' == DuckDB
+    quantile_cont) — so the oracle SQL re-derives the whole forecast and the
+    values hash-match after decimal rounding. Monotonicity/horizon contract
+    checks remain in tests/test_forecast.py."""
     from .forecast import SeasonalQuantileForecaster
 
     daily = (
@@ -1043,7 +1127,10 @@ def forecast_quantiles_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     fc = SeasonalQuantileForecaster(
         time_freq="D", context_length=14, prediction_length=14
     )
-    return fc.predict(daily, "event_type", "day", "n")
+    out = fc.predict(daily, "event_type", "day", "n")
+    return out.select(
+        "series", "ts", "quantile", F.round("value", 4).alias("value")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1212,10 +1299,13 @@ _IVF_CENTROID_CACHE: dict = {}
 def ivf_ann_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) ANN: deterministic mini-KMeans cells + n_probe
     nearest-cell search + exact re-rank (rows-only: recall vs brute force
-    asserted in tests). Centroids are model state: fitted once per sf_dir on
-    a seeded sample and memoized, so repeat invocations (bench loops, the
-    conformance gate) pay only the assign pass + cell equi-join — the same
-    fit-once-persist shape the operator prescribes at 100TB."""
+    asserted in tests). Rows-only WAIVER: cell assignment depends on fitted
+    centroids, so the pair set is not SQL-predictable; the accuracy contract
+    is driver-checked via the oracle-backed ivf_recall_check twin. Centroids
+    are model state: fitted once per sf_dir on a seeded sample and memoized,
+    so repeat invocations (bench loops, the conformance gate) pay only the
+    assign pass + cell equi-join — the same fit-once-persist shape the
+    operator prescribes at 100TB."""
     from .operators.similarity import as_double_vec, ivf_centroids, ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings").select(
@@ -1387,16 +1477,46 @@ def parse_timestamp_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_sketches")
+@register(
+    "approx_sketches",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS hll_err_le_5pct,
+           TRUE AS median_in_p40_p60
+    FROM events GROUP BY 1
+    """,
+)
 def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate sketches — the 100TB substitutes for exact DISTINCT /
-    quantiles (rows-only: HLL++/GK results are engine-specific; accuracy
-    bounds vs exact values are asserted in tests)."""
+    quantiles — under a DERIVED oracle: the sketch values themselves are
+    engine-specific (HLL++/GK), so the query emits the EXACT ground truths
+    (hash-checked against the oracle) plus booleans asserting the sketches
+    landed inside their accuracy bounds (HLL relative error <= 5% at rsd
+    0.02; approx median between the exact p40 and p60). A sketch regression
+    flips a boolean and fails the hash."""
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    agg = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
         F.percentile_approx("value", 0.5, 10000).alias("approx_median"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.expr("percentile(value, 0.4)").alias("p40"),
+        F.expr("percentile(value, 0.6)").alias("p60"),
         _count(None),
+    )
+    rel_err = F.abs(F.col("approx_users") - F.col("exact_users")) / F.col(
+        "exact_users"
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        "exact_users",
+        (rel_err <= 0.05).alias("hll_err_le_5pct"),
+        (
+            (F.col("approx_median") >= F.col("p40"))
+            & (F.col("approx_median") <= F.col("p60"))
+        ).alias("median_in_p40_p60"),
     )
 
 
@@ -1448,8 +1568,10 @@ def embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("embedding_neardup_lsh")
 def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed embedding near-dup — the unblocked scale path
-    (rows-only; recall vs the blocked exact oracle asserted in tests)."""
+    """LSH-bucketed embedding near-dup — the unblocked scale path. Rows-only
+    WAIVER: hyperplane buckets aren't SQL-reproducible; its exact-oracle
+    twin is embedding_neardup_blocked (green oracle row), with recall vs
+    that exact pair set asserted in tests."""
     from .operators.dedup import embedding_near_duplicates
     from .operators.similarity import as_double_vec
 
@@ -1504,8 +1626,9 @@ def rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("tfidf_features")
 def tfidf_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib TF-IDF featurization summary (Tokenizer -> StopWordsRemover ->
-    HashingTF -> IDF) — rows-only (vector weights are MLlib-internal;
-    structural checks in tests)."""
+    HashingTF -> IDF). Rows-only WAIVER: HashingTF bucket indices and IDF
+    weights are MLlib-internal (murmur3 feature hashing) and not
+    SQL-reproducible; structural checks in tests."""
     from .operators.mlpipeline import tfidf_features
 
     return tfidf_features(_t(spark, sf_dir, "documents"), "text", "doc_id")
@@ -1812,8 +1935,9 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("stratified_sample_docs")
 def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded stratified sample by language (rows-only: Bernoulli draws are
-    Spark-internal; fraction tolerances asserted in tests)."""
+    """Seeded stratified sample by language. Rows-only WAIVER: Bernoulli
+    draws are Spark-internal RNG; the sampling-fraction contract is
+    driver-checked via the oracle-backed stratified_sample_contract twin."""
     from .operators.dedup import stratified_sample
 
     docs = _t(spark, sf_dir, "documents")
@@ -1870,8 +1994,12 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumed as an availableNow file stream, aggregated with watermarked
     tumbling windows into a memory sink, and the drained result must
     hash-match the same SQL run as a batch — Spark's unified-model claim,
-    actually checked. Exactly-once via a fresh checkpoint per run."""
+    actually checked. Exactly-once via a fresh checkpoint per run. The
+    staging/checkpoint dirs and the memory-sink view are torn down before
+    returning (bench/conformance loops must not accumulate them); the small
+    drained aggregate is re-materialized as a local DataFrame."""
     import os
+    import shutil
     import tempfile
     import uuid
 
@@ -1904,9 +2032,14 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         q.processAllAvailable()
+        sink = spark.table(qname)
+        rows, schema = sink.collect(), sink.schema
     finally:
         q.stop()
-    return spark.table(qname)
+        spark.catalog.dropTempView(qname)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(stream_dir, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
 
 
 @register(
@@ -3026,8 +3159,10 @@ def pii_redaction_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-based curation head: seeded KMeans over the embeddings table
     (operators/mlpipeline.cluster_embeddings), reporting cluster sizes.
-    Rows-only check — KMeans centroids aren't SQL-expressible; determinism
-    is covered by the same-seed reproducibility test."""
+    Rows-only WAIVER: KMeans centroids aren't SQL-expressible; the
+    assignment-totals/k-bound contract is driver-checked via the
+    oracle-backed embedding_clusters_contract twin, and same-seed
+    determinism is covered by the reproducibility test."""
     from .operators.mlpipeline import cluster_embeddings
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -3035,4 +3170,156 @@ def embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         cluster_embeddings(emb, k=8)
         .groupBy("cluster")
         .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Derived-contract twins: put the approx-vs-exact relationship itself under
+# the driver's oracle gate. Each approximate operator keeps its real output
+# registered rows-only (the useful result), while its twin here emits
+# SQL-recomputable ground truths (hash-checked hard) plus booleans asserting
+# the accuracy contract — a recall/precision regression flips a boolean and
+# fails the hash, so the driver's CORRECTNESS artifact carries a green row
+# for the approximate path too.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lsh_recall_check",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_queries, 5 AS k, TRUE AS recall_ge_05
+    FROM embeddings WHERE vec_id % 50 = 0
+    """,
+)
+def lsh_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN recall vs the brute-force exact top-k (both
+    computed in Spark; the exact side is itself oracle-verified as
+    embedding_cosine_topk). n_queries is recomputed by the oracle from the
+    query-set predicate; the recall threshold matches the pytest contract."""
+    exact = embedding_cosine_topk(spark, sf_dir).select("q_id", "c_id")
+    approx = lsh_ann_topk_query(spark, sf_dir).select("q_id", "c_id")
+    total = exact.count()
+    hits = exact.join(approx, ["q_id", "c_id"]).count()
+    n_queries = exact.select("q_id").distinct().count()
+    return spark.createDataFrame(
+        [(n_queries, 5, hits / total >= 0.5)],
+        "n_queries bigint, k int, recall_ge_05 boolean",
+    )
+
+
+@register(
+    "ivf_recall_check",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_queries, 5 AS k, TRUE AS recall_ge_04
+    FROM embeddings WHERE vec_id % 50 = 0
+    """,
+)
+def ivf_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN recall vs the brute-force exact top-k — same derived contract
+    as lsh_recall_check (threshold matches the pytest contract for isotropic
+    embeddings at n_probe=6/16)."""
+    exact = embedding_cosine_topk(spark, sf_dir).select("q_id", "c_id")
+    approx = ivf_ann_topk_query(spark, sf_dir).select("q_id", "c_id")
+    total = exact.count()
+    hits = exact.join(approx, ["q_id", "c_id"]).count()
+    n_queries = exact.select("q_id").distinct().count()
+    return spark.createDataFrame(
+        [(n_queries, 5, hits / total >= 0.4)],
+        "n_queries bigint, k int, recall_ge_04 boolean",
+    )
+
+
+@register(
+    "minhash_recall_check",
+    f"""
+    WITH ex AS ({_ORACLE["ngram_jaccard_pairs"]})
+    SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+           TRUE AS subset_of_exact,
+           TRUE AS recall_ge_05
+    FROM ex
+    """,
+)
+def minhash_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup vs the exact n-gram Jaccard pair set (the exact
+    side is oracle-verified as ngram_jaccard_pairs; its SQL is inlined here
+    so the oracle recomputes the ground-truth pair count). subset_of_exact
+    checks the verify step's precision=1 guarantee (every reported pair
+    truly has Jaccard >= threshold); recall_ge_05 matches the pytest
+    recall contract for the banding parameters."""
+    from .operators.dedup import minhash_near_duplicates
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    approx = minhash_near_duplicates(
+        docs, "text", "doc_id", threshold=0.05, num_hashes=32, bands=16
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    exact = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    n_exact = exact.count()
+    n_approx = approx.count()
+    hits = approx.join(exact, ["doc_a", "doc_b"]).count()
+    return spark.createDataFrame(
+        [(n_exact, hits == n_approx, hits / n_exact >= 0.5)],
+        "n_exact_pairs bigint, subset_of_exact boolean, recall_ge_05 boolean",
+    )
+
+
+@register(
+    "stratified_sample_contract",
+    """
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_total, TRUE AS frac_ok
+    FROM documents GROUP BY lang
+    """,
+)
+def stratified_sample_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded stratified sampling contract: per-stratum totals are
+    recomputed exactly by the oracle; frac_ok asserts the realized sampling
+    fraction sits within Bernoulli tolerance of the requested fraction
+    (exact-1.0 strata must be complete; the 0.5 stratum within +/-0.2)."""
+    from .operators.dedup import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    fracs = {"en": 0.5, "de": 1.0, "es": 1.0, "fr": 1.0, "zh": 1.0}
+    sampled = stratified_sample(docs, "lang", fracs, seed=42)
+    tot = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(_count(None)).collect()
+    }
+    smp = {
+        r["lang"]: r["n"]
+        for r in sampled.groupBy("lang").agg(_count(None)).collect()
+    }
+    rows = []
+    for lang in sorted(tot):
+        realized = smp.get(lang, 0) / tot[lang]
+        tol = 0.2 if fracs[lang] < 1.0 else 0.0
+        rows.append((lang, tot[lang], abs(realized - fracs[lang]) <= tol))
+    return spark.createDataFrame(
+        rows, "lang string, n_total bigint, frac_ok boolean"
+    )
+
+
+@register(
+    "embedding_clusters_contract",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_points, TRUE AS k_le_8
+    FROM embeddings
+    """,
+)
+def embedding_clusters_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded-KMeans clustering contract: every vector is assigned to
+    exactly one cluster (sum of cluster sizes is hash-checked against the
+    oracle's table count) and at most k clusters exist. Centroid positions
+    stay rows-only (not SQL-expressible); same-seed determinism is covered
+    by pytest."""
+    from .operators.mlpipeline import cluster_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings")
+    sizes = (
+        cluster_embeddings(emb, k=8)
+        .groupBy("cluster")
+        .agg(_count(None))
+        .collect()
+    )
+    n_points = sum(r["n"] for r in sizes)
+    return spark.createDataFrame(
+        [(n_points, len(sizes) <= 8)], "n_points bigint, k_le_8 boolean"
     )

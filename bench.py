@@ -5,7 +5,13 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Timing uses a noop sink so we measure plan execution, not driver collect
 bandwidth; each query runs once after a warmup of the session.
-"""
+
+The line also carries an "oracle" block: the same headline suite executed by
+DuckDB (each query's oracle SQL, same parquet, same thread count) — the
+single-node denominator that makes "within 2x of a native engine" a
+measurable ratio instead of a design argument. Headline queries without an
+oracle SQL (hash-dependent approximate ops) are listed in
+oracle.skipped."""
 
 from __future__ import annotations
 
@@ -51,6 +57,43 @@ HEADLINE = [
 ]
 
 
+def duckdb_suite(sf_dir: str, names: list[str]) -> dict:
+    """Time each headline query's oracle SQL in DuckDB over the same parquet
+    at the same thread count — the native single-node denominator."""
+    import duckdb
+
+    from aim357_2019_etl_and_ml_workshop_spark.sources.io import (
+        TESTDATA_TABLES,
+    )
+
+    threads = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {threads}")
+    for t in TESTDATA_TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+            )
+    oracles = q.oracle_sql()
+    timings: dict[str, float] = {}
+    skipped: list[str] = []
+    for name in names:
+        if name not in oracles:
+            skipped.append(name)
+            continue
+        t0 = time.perf_counter()
+        con.execute(oracles[name]).fetchall()
+        timings[name] = round(time.perf_counter() - t0, 4)
+    return {
+        "engine": "duckdb",
+        "threads": threads,
+        "value": round(sum(timings.values()), 4),
+        "queries": timings,
+        "skipped": skipped,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -68,6 +111,9 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(timings.values()), 4)
+    oracle = duckdb_suite(sf_dir, HEADLINE)
+    covered = [n for n in HEADLINE if n in oracle["queries"]]
+    spark_covered = round(sum(timings[n] for n in covered), 4)
     print(
         json.dumps(
             {
@@ -76,6 +122,13 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "oracle": oracle,
+                "spark_on_oracle_covered_sec": spark_covered,
+                "spark_vs_oracle_ratio": (
+                    round(spark_covered / oracle["value"], 3)
+                    if oracle["value"]
+                    else None
+                ),
             }
         )
     )
