@@ -137,6 +137,11 @@ def _utc_micros(ts: str) -> int:
     return calendar.timegm(dt.timetuple()) * 1_000_000 + dt.microsecond
 
 
+# raw-events reader memo: immutable plan, reused across range queries to
+# skip repeated listing/footer reads
+_RAW_EVENTS_CACHE: dict = {}
+
+
 def read_events_ts_range(
     spark: SparkSession,
     sf_dir: str,
@@ -167,7 +172,12 @@ def read_events_ts_range(
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
-    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    key = (spark, sf_dir)
+    if key not in _RAW_EVENTS_CACHE:
+        _RAW_EVENTS_CACHE[key] = spark.read.parquet(
+            os.path.join(sf_dir, "events.parquet")
+        )
+    df = _RAW_EVENTS_CACHE[key]
     if dict(df.dtypes).get("ts") == "bigint":
         if lower is not None:
             lo_us = _utc_micros(lower)
