@@ -92,6 +92,15 @@ def minhash_signatures(
     h_i(s) = xxhash64(s, seed=i); signature[i] = min over shingles.
     Deterministic (seeded), JVM-side, one explode + one groupBy."""
     sh = exploded_shingles(df, text_col, id_col, shingle_n)
+    return minhash_signatures_from_shingles(sh, id_col, num_hashes)
+
+
+def minhash_signatures_from_shingles(
+    sh: DataFrame, id_col: str, num_hashes: int = 32
+) -> DataFrame:
+    """Signatures from a pre-built (id, sh) shingle table — lets pipelines
+    that also need the shingle table for exact verification build it ONCE
+    and share it (see minhash_near_duplicates)."""
     hashes = sh.select(
         id_col,
         *[F.xxhash64(F.col("sh"), F.lit(i)).alias(f"h{i}") for i in range(num_hashes)],
@@ -153,11 +162,18 @@ def minhash_near_duplicates(
     """Full near-dup pipeline: LSH candidates verified with EXACT Jaccard
     over distinct shingles (computed only for candidate pairs via a
     shingle-intersection join restricted by a semi-join on candidates).
-    Output: (id_a, id_b, jaccard) with jaccard >= threshold."""
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
-    cand = minhash_lsh_candidates(sigs, id_col, num_hashes, bands)
+    Output: (id_a, id_b, jaccard) with jaccard >= threshold.
 
-    sh = exploded_shingles(df, text_col, id_col, shingle_n)
+    The shingle table feeds the signature pipeline, the per-doc sizes, and
+    both sides of the verification join; the candidate table feeds the
+    id-restriction and the pair semi-join. Both are persisted so each is
+    computed once — the unshared plan re-scanned the source 14 times (plan
+    audit). Same posture at 100TB: shingle/candidate tables are the natural
+    materialization points of the pipeline."""
+    sh = exploded_shingles(df, text_col, id_col, shingle_n).persist()
+    sigs = minhash_signatures_from_shingles(sh, id_col, num_hashes)
+    cand = minhash_lsh_candidates(sigs, id_col, num_hashes, bands).persist()
+
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     # Restrict the shingle table to docs that appear in ANY candidate pair
     # BEFORE the pair join — otherwise the join materializes the full
