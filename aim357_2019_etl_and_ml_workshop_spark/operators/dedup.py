@@ -42,23 +42,28 @@ def canonical_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles from a PRE-MATERIALIZED token array
-    column. Callers must compute the token array in its own projection
-    (``.select(F.split(text, ' ').alias('toks'))``) so the split runs once
-    per row — inlining the split here would re-evaluate it per shingle
-    index (O(tokens^2) splits/row, a ~30x slowdown measured at sf0.1)."""
+def ngram_array(toks: Column, n: int = 3) -> Column:
+    """ALL word n-grams (order-preserving, duplicates kept) from a
+    PRE-MATERIALIZED token array column. Callers must compute the token
+    array in its own projection (``.select(F.split(text, ' ')
+    .alias('toks'))``) so the split runs once per row — inlining the split
+    here would re-evaluate it per shingle index (O(tokens^2) splits/row, a
+    ~30x slowdown measured at sf0.1)."""
 
     def gram(i: Column) -> Column:
         return F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)])
 
     # sequence(a, b) is DESCENDING when a > b, so short texts need an
     # explicit empty-array branch, not a clamped bound.
-    return F.array_distinct(
-        F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
-            F.transform(F.sequence(F.lit(0), F.size(toks) - n), gram)
-        )
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(F.sequence(F.lit(0), F.size(toks) - n), gram)
     )
+
+
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (see ngram_array for the
+    pre-materialization contract)."""
+    return F.array_distinct(ngram_array(toks, n))
 
 
 def word_shingles(text_col: str, n: int = 3) -> Column:
@@ -388,3 +393,33 @@ def connected_components(
         if changed == 0:
             break
     return labels.select("id", "comp")
+
+
+def cluster_representatives(
+    components: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    weight_col: str = "n_chars",
+) -> DataFrame:
+    """Pick ONE surviving document per near-dup cluster — the step that
+    turns clustering into an actual dedup'd corpus. Representative = the
+    member with the largest ``weight_col`` (ties -> lowest id), the common
+    keep-longest policy for near-dup groups.
+
+    ``components`` is (id, comp) from connected_components; ``docs``
+    supplies the weight. One broadcast-able join (components ~ cluster
+    members only, far smaller than the corpus) + one map-side-combinable
+    max_by aggregation — no windows, no per-cluster sorts."""
+    m = components.join(
+        docs.select(F.col(id_col).alias("id"), F.col(weight_col).alias("_w")),
+        "id",
+    )
+    return (
+        m.groupBy(F.col("comp").alias("cluster"))
+        .agg(
+            F.max_by(
+                "id", F.struct(F.col("_w"), (-F.col("id")).alias("_negid"))
+            ).alias("rep_doc_id"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+    )

@@ -121,3 +121,62 @@ def cluster_embeddings(
     return model.transform(vecs).select(
         id_col, F.col("prediction").alias("cluster")
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    strata_col: str = "lang",
+    budget_tokens: int = 512,
+    shard_size: int = 1000,
+) -> DataFrame:
+    """Greedy contiguous sequence packing for training export: documents are
+    packed into bins of ~``budget_tokens`` whitespace tokens, in
+    deterministic (stratum, shard, id) order — bin = floor(preceding
+    cumulative tokens / budget).
+
+    Scale design: the running sum is windowed by (stratum, shard) where
+    shard = id div ``shard_size``, so no partition exceeds ``shard_size``
+    rows no matter how skewed the strata are (a bare PARTITION BY lang
+    would put all of 'en' in one task at 100TB). Packing is local to a
+    shard by construction — exactly how training shards are materialized in
+    practice."""
+    from pyspark.sql import Window
+
+    d = df.select(
+        F.col(id_col),
+        F.col(strata_col),
+        F.floor(F.col(id_col) / shard_size).cast("bigint").alias("shard"),
+        F.size(F.split(F.col(text_col), " ")).cast("bigint").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy(strata_col, "shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tok").over(w)
+    return d.select(
+        id_col,
+        strata_col,
+        "shard",
+        "n_tok",
+        F.floor((cum - F.col("n_tok")) / budget_tokens)
+        .cast("bigint")
+        .alias("bin"),
+    )
+
+
+def shard_assign(
+    df: DataFrame, id_col: str = "doc_id", n_shards: int = 8
+) -> DataFrame:
+    """Deterministic, engine-portable shard assignment for training export:
+    shard = ascii(first hex digit of md5(id)) % n_shards. md5 is the one
+    hash both Spark and standard SQL engines compute identically, so the
+    assignment is reproducible outside Spark (unlike xxhash64/crc32
+    partitioning). Linear, zero-shuffle projection."""
+    shard = (
+        F.ascii(F.substring(F.md5(F.col(id_col).cast("string")), 1, 1))
+        % n_shards
+    ).cast("bigint")
+    return df.withColumn("shard", shard)

@@ -215,3 +215,39 @@ def redact_pii(text: Column | str, patterns: list[tuple[str, str]] | None = None
     for pat, tag in patterns or PII_PATTERNS:
         col = F.regexp_replace(col, pat, tag)
     return col
+
+
+def repetition_filter(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    max_ratio: float = 0.2,
+) -> DataFrame:
+    """Intra-document repetition quality filter (the C4/Gopher-style
+    repeated-n-gram heuristic): rep_ratio = 1 - distinct/total word
+    n-grams; documents above ``max_ratio`` are flagged for removal.
+
+    Pure built-ins over a single projection (tokens materialized once per
+    row, then array transforms) — zero shuffles, linear scan, whole-stage
+    codegen. The keep decision uses the ROUNDED ratio so the threshold cut
+    is reproducible across engines."""
+    from .dedup import ngram_array
+
+    toks = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_toks")
+    )
+    grams = ngram_array(F.col("_toks"), n)
+    with_counts = toks.select(
+        id_col,
+        F.size(grams).alias("_total"),
+        F.size(F.array_distinct(grams)).alias("_distinct"),
+    )
+    ratio = F.when(F.col("_total") <= 0, F.lit(0.0)).otherwise(
+        F.round(1 - F.col("_distinct") / F.col("_total"), 6)
+    )
+    return with_counts.select(
+        id_col,
+        ratio.alias("rep_ratio"),
+        (ratio <= max_ratio).alias("keep"),
+    )

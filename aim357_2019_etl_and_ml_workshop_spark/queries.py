@@ -3353,3 +3353,131 @@ def embedding_clusters_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(n_points, len(sizes) <= 8)], "n_points bigint, k_le_8 boolean"
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-export curation round-out: repetition quality filter, cluster
+# representative selection, sequence packing, deterministic sharding
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "repetition_filter",
+    """
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), g AS (
+        SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+        FROM t, LATERAL unnest(generate_series(1, len(toks) - 2)) AS u(i)
+    ), agg AS (
+        SELECT doc_id, count(*) AS total, count(DISTINCT sh) AS dist
+        FROM g GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           coalesce(round(1 - dist / CAST(total AS DOUBLE), 6), 0.0)
+               AS rep_ratio,
+           coalesce(round(1 - dist / CAST(total AS DOUBLE), 6), 0.0) <= 0.2
+               AS keep
+    FROM t LEFT JOIN agg ON agg.doc_id = t.doc_id
+    """,
+)
+def repetition_filter_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style intra-document repetition filter: repeated word-3-gram
+    fraction per document, keep decision on the rounded ratio. Zero-shuffle
+    linear scan (operators.textanalysis.repetition_filter)."""
+    from .operators.textanalysis import repetition_filter
+
+    return repetition_filter(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", n=3, max_ratio=0.2
+    )
+
+
+@register(
+    "neardup_representatives",
+    f"""
+    WITH comp AS ({_ORACLE["neardup_clusters"]}),
+    m AS (
+        SELECT c.comp, c.id, d.n_chars
+        FROM comp c JOIN documents d ON d.doc_id = c.id
+    ), r AS (
+        SELECT comp, id,
+               row_number() OVER (
+                   PARTITION BY comp ORDER BY n_chars DESC, id
+               ) AS rn,
+               count(*) OVER (PARTITION BY comp) AS n
+        FROM m
+    )
+    SELECT comp AS cluster, id AS rep_doc_id, CAST(n AS BIGINT) AS n_members
+    FROM r WHERE rn = 1
+    """,
+)
+def neardup_representatives_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-longest representative per near-dup cluster (the step that turns
+    clustering into a dedup'd corpus): max_by on (n_chars, -id) per
+    component — map-side-combinable aggregation, no windows
+    (operators.dedup.cluster_representatives). Oracle re-derives the
+    clusters with the recursive CTE and ranks members in SQL."""
+    from .operators.dedup import cluster_representatives
+
+    comps = neardup_clusters(spark, sf_dir)
+    return cluster_representatives(
+        comps, _t(spark, sf_dir, "documents"), "doc_id", "n_chars"
+    )
+
+
+@register(
+    "sequence_packing",
+    """
+    WITH d AS (
+        SELECT doc_id, lang,
+               CAST(floor(doc_id / 1000) AS BIGINT) AS shard,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents
+    )
+    SELECT doc_id, lang, shard, n_tok,
+           CAST(floor(
+               (sum(n_tok) OVER (
+                    PARTITION BY lang, shard ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) - n_tok) / 512.0
+           ) AS BIGINT) AS bin
+    FROM d
+    """,
+)
+def sequence_packing_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy contiguous sequence packing into ~512-token bins per
+    (lang, shard) — deterministic training-shard materialization; the
+    window partition is bounded by shard size regardless of strata skew
+    (operators.mlpipeline.pack_sequences)."""
+    from .operators.mlpipeline import pack_sequences
+
+    return pack_sequences(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        "lang",
+        budget_tokens=512,
+        shard_size=1000,
+    )
+
+
+@register(
+    "shard_assignment_counts",
+    """
+    SELECT CAST(ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) % 8
+                AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n
+    FROM documents GROUP BY 1
+    """,
+)
+def shard_assignment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-based shard assignment (engine-portable, unlike
+    xxhash64/crc32) with per-shard counts — verifies bit-identical md5 hex
+    across engines (operators.mlpipeline.shard_assign)."""
+    from .operators.mlpipeline import shard_assign
+
+    return (
+        shard_assign(_t(spark, sf_dir, "documents"), "doc_id", 8)
+        .groupBy("shard")
+        .agg(_count(None))
+    )

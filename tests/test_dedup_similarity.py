@@ -167,3 +167,86 @@ def test_embedding_neardup_lsh_recall(spark, sf_dir):
     if exact:
         recall = len(exact & approx) / len(exact)
         assert recall >= 0.5, f"embedding near-dup recall too low: {recall}"
+
+
+def test_cluster_representatives_keep_longest(spark):
+    from pyspark.sql import Row
+
+    from aim357_2019_etl_and_ml_workshop_spark.operators.dedup import (
+        cluster_representatives,
+    )
+
+    comps = spark.createDataFrame(
+        [Row(id=1, comp=1), Row(id=2, comp=1), Row(id=3, comp=1),
+         Row(id=7, comp=7), Row(id=8, comp=7)]
+    )
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, n_chars=10), Row(doc_id=2, n_chars=50),
+         Row(doc_id=3, n_chars=50), Row(doc_id=7, n_chars=5),
+         Row(doc_id=8, n_chars=5)]
+    )
+    reps = {
+        r.cluster: (r.rep_doc_id, r.n_members)
+        for r in cluster_representatives(comps, docs).collect()
+    }
+    assert reps[1] == (2, 3)  # longest wins, tie -> lowest id
+    assert reps[7] == (7, 2)  # tie at 5 chars -> lowest id
+
+
+def test_repetition_filter_flags_repeats(spark):
+    from pyspark.sql import Row
+
+    from aim357_2019_etl_and_ml_workshop_spark.operators.textanalysis import (
+        repetition_filter,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b c d e f g h"),          # all distinct
+            Row(doc_id=2, text="x y z x y z x y z x y z"),  # heavy repeat
+            Row(doc_id=3, text="one two"),                  # < n tokens
+        ]
+    )
+    out = {r.doc_id: r for r in repetition_filter(docs, "text", "doc_id").collect()}
+    assert out[1].rep_ratio == 0.0 and out[1].keep
+    assert out[2].rep_ratio > 0.5 and not out[2].keep
+    assert out[3].rep_ratio == 0.0 and out[3].keep  # no grams -> clean
+
+
+def test_pack_sequences_bins_respect_order_and_budget(spark):
+    from pyspark.sql import Row
+
+    from aim357_2019_etl_and_ml_workshop_spark.operators.mlpipeline import (
+        pack_sequences,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, lang="en", text=" ".join(["t"] * 100)) for i in range(10)]
+    )
+    out = pack_sequences(
+        docs, "doc_id", "text", "lang", budget_tokens=300, shard_size=1000
+    ).collect()
+    bins = {r.doc_id: r.bin for r in out}
+    # 100 tokens/doc, 300/bin -> docs 0-2 bin 0, 3-5 bin 1, ...
+    for i in range(10):
+        assert bins[i] == i // 3
+    # bins are contiguous in id order within the shard
+    assert all(bins[i] <= bins[i + 1] for i in range(9))
+
+
+def test_shard_assign_deterministic_and_covering(spark):
+    from pyspark.sql import Row
+
+    from aim357_2019_etl_and_ml_workshop_spark.operators.mlpipeline import (
+        shard_assign,
+    )
+
+    docs = spark.createDataFrame([Row(doc_id=i) for i in range(200)])
+    a = {r.doc_id: r.shard for r in shard_assign(docs, "doc_id", 8).collect()}
+    b = {
+        r.doc_id: r.shard
+        for r in shard_assign(docs.repartition(7), "doc_id", 8).collect()
+    }
+    assert a == b  # layout-independent
+    assert set(a.values()) <= set(range(8))
+    assert len(set(a.values())) >= 6  # md5 spreads over most shards
