@@ -217,13 +217,21 @@ def lsh_topk(
         "qv",
         all_planes,
     ).select("q_id", "table", "bucket")
+    # Dedup collisions on BARE id pairs (same pair may collide in many
+    # tables), then re-attach each candidate vector once via an equi-join —
+    # vectors never ride the dedup shuffle (at 100TB the duplicate factor is
+    # up to n_tables, so shuffling ids-only is the difference between
+    # shuffling 16 bytes/pair and 16x the vector payload).
     pairs = (
         c.join(F.broadcast(q), ["table", "bucket"])
         .where(F.col("c_id") != F.col("q_id"))
-        .select("q_id", "c_id", "cv")
-        .dropDuplicates(["q_id", "c_id"])  # same pair may collide in many tables
+        .select("q_id", "c_id")
+        .dropDuplicates(["q_id", "c_id"])
     )
-    ranked = pairs.select(
+    cvecs = candidates.select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("cv")
+    )
+    ranked = pairs.join(cvecs, "c_id").select(
         "q_id", "c_id", _query_cosine_udf(qmap)("q_id", "cv").alias("sim")
     ).withColumn(
         "rn",

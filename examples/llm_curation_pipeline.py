@@ -2,15 +2,18 @@
 beyond-reference operator suite (SURVEY.md §2.12) composed the way a
 pre-training data team would run it over 100 TB of raw text:
 
-1. profile + quality-score every document (length/stopword/alpha ratios)
+1. profile + quality-score every document (length/stopword/alpha/repeated-
+   n-gram ratios)
 2. heuristic language-ID, keep confident languages
 3. PII scrub (email/phone/IP/digit-run masking, codegen regex chain)
 4. exact dedup on canonical content fingerprints
-5. MinHash-LSH near-dedup over the survivors
+5. MinHash-LSH near-dedup clustered transitively, keep-longest
+   representative per cluster
 6. benchmark decontamination: drop docs sharing 5-grams with an eval set
 7. stride-chunk the clean corpus into token windows
 8. stratified sample per language for the training mix
-9. export JSON Lines ready for a tokenizer/trainer
+9. pack into token-budget bins + deterministic md5 shard assignment
+10. export JSON Lines ready for a tokenizer/trainer
 
 Every stage is a DataFrame -> DataFrame operator; nothing collects to the
 driver except the final stage-count report. At scale the only shuffles are
@@ -31,14 +34,21 @@ from pyspark.sql import functions as F
 
 from aim357_2019_etl_and_ml_workshop_spark.operators.dedup import (
     canonical_dedup,
+    cluster_representatives,
+    connected_components,
     minhash_near_duplicates,
     stratified_sample,
+)
+from aim357_2019_etl_and_ml_workshop_spark.operators.mlpipeline import (
+    pack_sequences,
+    shard_assign,
 )
 from aim357_2019_etl_and_ml_workshop_spark.operators.textanalysis import (
     chunk_tokens,
     lang_id,
     quality_features,
     redact_pii,
+    repetition_filter,
 )
 from aim357_2019_etl_and_ml_workshop_spark.session import get_spark
 from aim357_2019_etl_and_ml_workshop_spark.sources.io import (
@@ -56,12 +66,14 @@ def main() -> None:
     # 1-2. quality + language gates (scan-local scalar features)
     q = quality_features(docs, "text", "doc_id")
     lid = lang_id(docs, "text", "doc_id")
+    rep = repetition_filter(docs, "text", "doc_id", max_ratio=0.5)
     keep = (
         docs.join(q.select("doc_id", "n_tokens", "stop_ratio"), "doc_id")
         .join(lid.select("doc_id", "pred_lang"), "doc_id")
+        .join(rep.where(F.col("keep")).select("doc_id"), "doc_id")
         .where((F.col("n_tokens") >= 10) & (F.col("stop_ratio") <= 0.9))
     )
-    report.append(("quality+lang gate", keep.count()))
+    report.append(("quality+lang+repetition gate", keep.count()))
 
     # 3. PII scrub before anything persists
     clean = keep.withColumn("text", redact_pii("text"))
@@ -71,11 +83,19 @@ def main() -> None:
     exact = clean.join(canon, "doc_id")
     report.append(("exact dedup", exact.count()))
 
-    # 5. near-dedup: drop the higher id of each MinHash near-dup pair
+    # 5. near-dedup: cluster MinHash pairs transitively, keep ONE
+    # representative (longest) per cluster — pairwise drop-the-higher-id
+    # over-deletes when A~B and B~C but A!~C
     pairs = minhash_near_duplicates(exact, "text", "doc_id", threshold=0.7)
-    losers = pairs.select(F.greatest("id_a", "id_b").alias("doc_id")).distinct()
-    neardeduped = exact.join(losers, "doc_id", "left_anti")
-    report.append(("near dedup", neardeduped.count()))
+    comps = connected_components(pairs, "id_a", "id_b")
+    reps = cluster_representatives(
+        comps, exact.withColumn("n_chars", F.length("text")), "doc_id", "n_chars"
+    )
+    cluster_losers = comps.join(
+        reps.select(F.col("rep_doc_id").alias("id")), "id", "left_anti"
+    ).select(F.col("id").alias("doc_id"))
+    neardeduped = exact.join(cluster_losers, "doc_id", "left_anti")
+    report.append(("near dedup (cluster reps)", neardeduped.count()))
 
     # 6. decontamination vs a pseudo eval set (doc_id % 97)
     toks = F.split(F.lower("text"), " ")
@@ -107,9 +127,18 @@ def main() -> None:
     mix = stratified_sample(decontam, "lang", {l: 0.8 for l in langs})
     report.append(("sampled mix", mix.count()))
 
-    # 9. export
+    # 9. pack into token-budget bins and assign deterministic shards
+    packed = pack_sequences(mix, "doc_id", "text", "lang", budget_tokens=512)
+    sharded = shard_assign(
+        mix.join(packed.select("doc_id", "bin"), "doc_id"), "doc_id", 8
+    )
+    report.append(("packing bins", packed.select("lang", "shard", "bin").distinct().count()))
+
+    # 10. export, one directory tree partitioned by shard
     out = tempfile.mkdtemp(prefix="llm_export_")
-    write_json_lines(mix.select("doc_id", "lang", "source", "text"), out)
+    write_json_lines(
+        sharded.select("doc_id", "lang", "source", "shard", "bin", "text"), out
+    )
     report.append(("exported jsonl rows", spark.read.json(out).count()))
 
     width = max(len(k) for k, _ in report)
