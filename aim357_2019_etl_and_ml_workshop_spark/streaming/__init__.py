@@ -6,6 +6,7 @@ from .windows import (
     tumbling_counts,
 )
 from .incremental import IncrementalIngest
+from .stateful import running_counts, running_stats
 
 __all__ = [
     "dedup_stream",
@@ -14,4 +15,6 @@ __all__ = [
     "stream_stream_join",
     "tumbling_counts",
     "IncrementalIngest",
+    "running_counts",
+    "running_stats",
 ]

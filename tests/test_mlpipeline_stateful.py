@@ -65,21 +65,12 @@ def test_stateful_running_counts(spark, tmp_path):
            Row(k="a", ts=datetime(2024, 1, 1, 0, 1)),
            Row(k="b", ts=datetime(2024, 1, 1, 0, 2))])
 
-    def running_count(key, pdfs, state: GroupState):
-        total = state.get[0] if state.exists else 0
-        for pdf in pdfs:
-            total += len(pdf)
-        state.update((total,))
-        yield pd.DataFrame({"k": [key[0]], "total": [total]})
+    from aim357_2019_etl_and_ml_workshop_spark.streaming.stateful import (
+        running_counts,
+    )
 
     stream = spark.readStream.schema(schema).parquet(src)
-    out = stream.groupBy("k").applyInPandasWithState(
-        running_count,
-        outputStructType="k string, total long",
-        stateStructType="total long",
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
-    )
+    out = running_counts(stream, "k")
     q = (
         out.writeStream.format("memory")
         .queryName("stateful_counts")
@@ -96,7 +87,47 @@ def test_stateful_running_counts(spark, tmp_path):
         totals = {r.k: r.total for r in rows}
     finally:
         q.stop()
+        spark.catalog.dropTempView("stateful_counts")
     assert totals == {"a": 3, "b": 1}  # state carried across micro-batches
+
+
+def test_stateful_running_stats(spark, tmp_path):
+    """running_stats keeps per-key (n, sum, min, max) in GroupState; values
+    accumulate across micro-batches and min/max survive batch boundaries."""
+    from aim357_2019_etl_and_ml_workshop_spark.streaming.stateful import (
+        running_stats,
+    )
+
+    src = str(tmp_path / "rs_src")
+    os.makedirs(src)
+    schema = "k string, v double"
+
+    def batch(rows):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+
+    batch([Row(k="a", v=1.0), Row(k="a", v=5.0), Row(k="b", v=-2.0)])
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        running_stats(stream, "k", "v")
+        .writeStream.format("memory")
+        .queryName("stateful_stats")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        batch([Row(k="a", v=0.5)])
+        q.processAllAvailable()
+        rows = spark.sql(
+            "select k, max(n) n, max(v_max) mx, min(v_min) mn, "
+            "max(total) s from stateful_stats group by k"
+        ).collect()
+        got = {r.k: (r.n, r.mn, r.mx, r.s) for r in rows}
+    finally:
+        q.stop()
+        spark.catalog.dropTempView("stateful_stats")
+    assert got["a"] == (3, 0.5, 5.0, 6.5)
+    assert got["b"] == (1, -2.0, -2.0, -2.0)
 
 
 def test_cluster_embeddings(spark, sf_dir):
