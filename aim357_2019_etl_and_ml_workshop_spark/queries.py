@@ -2958,19 +2958,21 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny so Catalyst broadcasts it — at 100 TB this is a broadcast semi
     join per shingle, never a shuffle of the corpus. Exact-match oracle;
     MinHash (minhash_near_duplicates) is the probabilistic scale-out twin."""
-    d = _t(spark, sf_dir, "documents")
-    toks = F.split(F.lower("text"), " ")
+    # tokens materialized in their own projection: inlining the split inside
+    # the transform lambda re-evaluates it per shingle index (O(tokens^2))
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower("text"), " ").alias("_toks")
+    )
     sh = F.when(
-        F.size(toks) >= 5,
+        F.size("_toks") >= 5,
         F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 4),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, 5)),
+            F.sequence(F.lit(1), F.size("_toks") - 4),
+            lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i, 5)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    gd = (
-        d.select("doc_id", F.explode(sh).alias("sh"))
-        .distinct()
-    )
+    # the distinct shingle table feeds BOTH the eval-set subtree and the
+    # corpus side — persist so the explode+distinct runs once
+    gd = d.select("doc_id", F.explode(sh).alias("sh")).distinct().persist()
     eval_sh = gd.where(F.col("doc_id") % 97 == 0).select("sh").distinct()
     return (
         gd.where(F.col("doc_id") % 97 != 0)

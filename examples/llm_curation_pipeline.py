@@ -97,16 +97,20 @@ def main() -> None:
     neardeduped = exact.join(cluster_losers, "doc_id", "left_anti")
     report.append(("near dedup (cluster reps)", neardeduped.count()))
 
-    # 6. decontamination vs a pseudo eval set (doc_id % 97)
-    toks = F.split(F.lower("text"), " ")
+    # 6. decontamination vs a pseudo eval set (doc_id % 97); tokens are
+    # materialized in their own projection (inlining the split in the
+    # transform lambda re-evaluates it per shingle index)
+    tokenized = neardeduped.select(
+        "doc_id", F.split(F.lower("text"), " ").alias("_toks")
+    )
     sh = F.when(
-        F.size(toks) >= 5,
+        F.size("_toks") >= 5,
         F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 4),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, 5)),
+            F.sequence(F.lit(1), F.size("_toks") - 4),
+            lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i, 5)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    shingled = neardeduped.select("doc_id", F.explode(sh).alias("sh")).distinct()
+    shingled = tokenized.select("doc_id", F.explode(sh).alias("sh")).distinct()
     eval_sh = shingled.where(F.col("doc_id") % 97 == 0).select("sh").distinct()
     contaminated = (
         shingled.join(F.broadcast(eval_sh), "sh")
