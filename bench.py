@@ -97,21 +97,36 @@ def duckdb_suite(sf_dir: str, names: list[str]) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    # DuckDB denominator first, on a quiet machine — running it after the
+    # Spark suite measures it under JVM memory/CPU pressure instead.
+    oracle = duckdb_suite(sf_dir, HEADLINE)
+
     spark = get_spark("engine-bench")
     registry = q.queries()
 
     # Warmup: JVM + parquet footer caches, one tiny action.
     registry["global_count"](spark, sf_dir).collect()
 
+    # Best-of-2 per query (labeled in the output): single-run wall times on
+    # this box vary ±25% with unrelated load; the min reflects the plan's
+    # steady-state execution rather than scheduler luck. The cache is
+    # cleared between runs so every run pays its own intermediate
+    # materializations (queries that persist shared subtrees neither leak
+    # across runs nor coast on a previous run's cache).
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = None
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+            spark.catalog.clearCache()
+        timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
-    oracle = duckdb_suite(sf_dir, HEADLINE)
     covered = [n for n in HEADLINE if n in oracle["queries"]]
     spark_covered = round(sum(timings[n] for n in covered), 4)
     print(
@@ -122,6 +137,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "runs_per_query": runs,
+                "agg": "min",
                 "oracle": oracle,
                 "spark_on_oracle_covered_sec": spark_covered,
                 "spark_vs_oracle_ratio": (
