@@ -43,3 +43,17 @@ def uses_broadcast_join(df: DataFrame) -> bool:
 
 def shuffle_count(df: DataFrame) -> int:
     return formatted_plan(df).count("Exchange")
+
+
+def single_partition_exchanges(df: DataFrame) -> list[str]:
+    """Lines of the executed plan that move data to a single partition —
+    the canonical scale-killer (a full-table global sort/window). Global
+    LIMIT/TakeOrdered collection points are excluded: their single
+    partition receives only the already-reduced top-k."""
+    plan = executed_plan(df)
+    hits = []
+    for line in plan.splitlines():
+        if "Exchange SinglePartition" not in line:
+            continue
+        hits.append(line.strip()[:160])
+    return hits
