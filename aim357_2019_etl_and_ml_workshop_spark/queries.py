@@ -3483,3 +3483,46 @@ def shard_assignment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("shard")
         .agg(_count(None))
     )
+
+
+@register(
+    "time_grain_rollup",
+    """
+    SELECT 'hour' AS grain, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 2
+    UNION ALL
+    SELECT 'day', CAST(date_trunc('day', ts) AS TIMESTAMP), CAST(count(*) AS BIGINT)
+    FROM events GROUP BY 2
+    UNION ALL
+    SELECT 'month', CAST(date_trunc('month', ts) AS TIMESTAMP), CAST(count(*) AS BIGINT)
+    FROM events GROUP BY 2
+    """,
+)
+def time_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution time rollup (the hypertable continuous-aggregate
+    analogue): hourly, daily, and monthly event counts in ONE scan via
+    GROUPING SETS — Spark lowers it to a single Expand + partial/final
+    HashAggregate, so the fact table is read once for all three grains
+    (the naive 3-query UNION reads it three times). The oracle is the
+    equivalent UNION for clarity; results are identical."""
+    ev = _t(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("_ev_rollup")
+    out = spark.sql(
+        """
+        SELECT CASE
+                 WHEN h IS NOT NULL THEN 'hour'
+                 WHEN d IS NOT NULL THEN 'day'
+                 ELSE 'month'
+               END AS grain,
+               coalesce(h, d, m) AS bucket,
+               count(*) AS n
+        FROM (
+            SELECT date_trunc('hour', ts) AS h, date_trunc('day', ts) AS d,
+                   date_trunc('month', ts) AS m
+            FROM _ev_rollup
+        )
+        GROUP BY GROUPING SETS ((h), (d), (m))
+        """
+    )
+    return out
