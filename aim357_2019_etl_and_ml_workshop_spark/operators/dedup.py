@@ -105,10 +105,20 @@ def minhash_signatures_from_shingles(
 ) -> DataFrame:
     """Signatures from a pre-built (id, sh) shingle table — lets pipelines
     that also need the shingle table for exact verification build it ONCE
-    and share it (see minhash_near_duplicates)."""
-    hashes = sh.select(
+    and share it (see minhash_near_duplicates).
+
+    The hash family is derived from ONE string hash: h_i = xxhash64(base, i)
+    where base = xxhash64(sh). Hashing the variable-length shingle string k
+    times costs k full passes over the bytes; re-hashing the 8-byte base is
+    the standard one-strong-hash + derived-family construction with the
+    same pairwise-independence behavior for min-hash purposes."""
+    based = sh.select(id_col, F.xxhash64(F.col("sh")).alias("_bh"))
+    hashes = based.select(
         id_col,
-        *[F.xxhash64(F.col("sh"), F.lit(i)).alias(f"h{i}") for i in range(num_hashes)],
+        *[
+            F.xxhash64(F.col("_bh"), F.lit(i)).alias(f"h{i}")
+            for i in range(num_hashes)
+        ],
     )
     agg = hashes.groupBy(id_col).agg(
         *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]

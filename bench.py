@@ -54,6 +54,11 @@ HEADLINE = [
     "cumulative_daily_revenue",
     "decontaminate_ngram_overlap",
     "pii_redaction_rollup",
+    "repetition_filter",
+    "neardup_representatives",
+    "sequence_packing",
+    "shard_assignment_counts",
+    "time_grain_rollup",
 ]
 
 
