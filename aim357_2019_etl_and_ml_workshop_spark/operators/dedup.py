@@ -362,9 +362,22 @@ def connected_components(
     O(log(diameter)) rounds for typical near-dup clusters (chains are rare).
     Driver loop with a distributed count per round — no collect of the
     graph; each round is one join + one groupBy on the edge list."""
+    # both edge directions from ONE pass over the pair list (a union of two
+    # selects would execute the pairs subtree twice before the cache)
     edges = (
-        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
-        .union(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(a_col).alias("u"), F.col(b_col).alias("v")
+                    ),
+                    F.struct(
+                        F.col(b_col).alias("u"), F.col(a_col).alias("v")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
         .distinct()
         .cache()
     )
@@ -386,6 +399,9 @@ def connected_components(
             F.least(
                 F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))
             ).alias("comp"),
+            (F.coalesce(F.col("ncomp"), F.col("comp")) < F.col("comp")).alias(
+                "_changed"
+            ),
         )
         # Iterative algorithms MUST truncate lineage each round: without
         # this the logical plan nests once per iteration and analysis cost
@@ -393,13 +409,10 @@ def connected_components(
         # at sf0.1 by round ~10. localCheckpoint materializes the frame and
         # restarts the plan from its result.
         new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = new_labels
+        # convergence test reads the _changed flag off the materialized
+        # frame — no join-with-previous-labels shuffle per round
+        changed = new_labels.where(F.col("_changed")).count()
+        labels = new_labels.drop("_changed")
         if changed == 0:
             break
     return labels.select("id", "comp")
