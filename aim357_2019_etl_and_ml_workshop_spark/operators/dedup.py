@@ -392,16 +392,30 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("comp").alias("ncomp"))
         )
-        new_labels = labels.join(
+        prop = labels.join(
             neighbor_min, labels.id == neighbor_min.u, "left"
         ).select(
             "id",
+            F.col("comp").alias("_old"),
             F.least(
                 F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))
             ).alias("comp"),
-            (F.coalesce(F.col("ncomp"), F.col("comp")) < F.col("comp")).alias(
-                "_changed"
-            ),
+        )
+        # pointer jumping: comp <- comp's comp. Plain neighbor propagation
+        # needs O(diameter) rounds — a 1000-link near-dup chain at 100TB
+        # would mean 1000 shuffle rounds; compressing labels through one
+        # extra self-join halves chain heights every round (O(log d)).
+        lookup = prop.select(
+            F.col("id").alias("_cid"), F.col("comp").alias("_ccomp")
+        )
+        new_labels = prop.join(
+            lookup, prop.comp == F.col("_cid"), "left"
+        ).select(
+            "id",
+            F.coalesce(F.col("_ccomp"), F.col("comp")).alias("comp"),
+            (
+                F.coalesce(F.col("_ccomp"), F.col("comp")) < F.col("_old")
+            ).alias("_changed"),
         )
         # Iterative algorithms MUST truncate lineage each round: without
         # this the logical plan nests once per iteration and analysis cost

@@ -2275,8 +2275,8 @@ def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "grouping_sets_counts",
     """
     SELECT o_orderstatus, o_orderpriority,
-           grouping(o_orderstatus) AS g_status,
-           grouping(o_orderpriority) AS g_prio,
+           CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
            count(*) AS n
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
@@ -2291,8 +2291,8 @@ def grouping_sets_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT o_orderstatus, o_orderpriority,
-               grouping(o_orderstatus) AS g_status,
-               grouping(o_orderpriority) AS g_prio,
+               CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+               CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
                count(*) AS n
         FROM _gs_orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())

@@ -250,3 +250,21 @@ def test_shard_assign_deterministic_and_covering(spark):
     assert a == b  # layout-independent
     assert set(a.values()) <= set(range(8))
     assert len(set(a.values())) >= 6  # md5 spreads over most shards
+
+
+def test_connected_components_long_chain_pointer_jumping(spark):
+    """A 64-node path graph converges within max_iters=10: pointer jumping
+    compresses chain heights geometrically (plain propagation would need
+    ~63 rounds to carry the min label down the chain)."""
+    from pyspark.sql import Row
+
+    from aim357_2019_etl_and_ml_workshop_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [Row(id_a=i, id_b=i + 1) for i in range(63)]
+    )
+    comps = connected_components(pairs, max_iters=10).collect()
+    assert len(comps) == 64
+    assert {r.comp for r in comps} == {0}  # one component, min-label 0
