@@ -174,3 +174,22 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         aggs.append(F.count(F.col(c)).alias(f"nn_{c}"))
         aggs.append(F.count_distinct(F.col(c)).alias(f"nd_{c}"))
     return df.agg(*aggs)
+
+
+def upsert_snapshot(
+    current: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+) -> DataFrame:
+    """Latest-wins MERGE/upsert for snapshot tables (the maintenance step
+    the reference's nightly append never needed — appends duplicate on
+    reprocess; real canonical tables take keyed updates).
+
+    Copy-on-write shape: anti-join current against the update key set, then
+    union the updates — the same plan a Delta/Iceberg MERGE lowers to for
+    full-snapshot rewrite. The anti-join shuffles on the key (or broadcasts
+    when the update batch is small — the common case — left to AQE/auto-
+    broadcast); the union is shuffle-free."""
+    upd_keys = updates.select(*key_cols).distinct()
+    kept = current.join(upd_keys, key_cols, "left_anti")
+    return kept.unionByName(updates)

@@ -147,3 +147,56 @@ def range_join(
     )
     joined = p.join(iv, cond, how).drop(iv["_bucket"]).drop(p["_bucket"])
     return joined
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history build: collapse an event
+    stream into one row per (key, consecutive-state run) with
+    ``valid_from`` / ``valid_to`` (NULL = current). Gaps-and-islands via
+    per-key windows: a run starts where the state differs from its
+    predecessor; runs are numbered with a running sum, aggregated to their
+    first timestamp, and closed by the next run's start (lead).
+
+    All windows are partitioned by the key — scales with the per-key event
+    count, never a global sort. ``tiebreak_col`` makes same-timestamp
+    ordering deterministic."""
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    w = Window.partitionBy(key_col).orderBy(*order)
+    prev = F.lag(F.col(state_col)).over(w)
+    marked = df.select(
+        key_col,
+        ts_col,
+        state_col,
+        *([tiebreak_col] if tiebreak_col else []),
+        F.when(prev.isNull() | (prev != F.col(state_col)), 1)
+        .otherwise(0)
+        .alias("_new_run"),
+    )
+    runs = marked.withColumn(
+        "_run",
+        F.sum("_new_run").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    collapsed = runs.groupBy(key_col, "_run", state_col).agg(
+        F.min(ts_col).alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w2 = Window.partitionBy(key_col).orderBy("valid_from")
+    return collapsed.select(
+        key_col,
+        state_col,
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        "n_events",
+    )

@@ -3526,3 +3526,75 @@ def time_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return out
+
+
+@register(
+    "upsert_orders_snapshot",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 7 = 0 THEN 'U' ELSE o_orderstatus END
+               AS o_orderstatus,
+           CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders
+    """,
+)
+def upsert_orders_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins MERGE/upsert (operators.canonicalize.upsert_snapshot):
+    a keyed update batch (every 7th order re-priced and re-statused)
+    replaces matching snapshot rows, everything else passes through — the
+    copy-on-write plan a Delta/Iceberg MERGE lowers to. The oracle derives
+    the same final state with a CASE, so the anti-join ∪ updates plan is
+    hash-checked row-for-row."""
+    from .operators.canonicalize import upsert_snapshot
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = (
+        orders.where(F.col("o_orderkey") % 7 == 0)
+        .withColumn("o_orderstatus", F.lit("U"))
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1000)
+    )
+    return upsert_snapshot(orders, updates, ["o_orderkey"])
+
+
+@register(
+    "scd2_user_state",
+    """
+    WITH marked AS (
+        SELECT user_id, ts, event_type, event_id,
+               CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                    THEN 1 ELSE 0 END AS new_run
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), runs AS (
+        SELECT *, sum(new_run) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS run FROM marked
+    ), collapsed AS (
+        SELECT user_id, run, event_type,
+               min(ts) AS valid_from,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM runs GROUP BY user_id, run, event_type
+    )
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (
+               PARTITION BY user_id ORDER BY valid_from
+           ) AS valid_to,
+           n_events
+    FROM collapsed
+    """,
+)
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history build (operators.temporal_joins.scd2_intervals):
+    each user's event stream collapsed into consecutive-state validity
+    intervals (valid_from/valid_to, NULL = current) — the
+    gaps-and-islands warehouse pattern, windows partitioned by user only."""
+    from .operators.temporal_joins import scd2_intervals
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    return scd2_intervals(ev, "user_id", "ts", "event_type", "event_id")

@@ -84,3 +84,51 @@ def test_range_join_multiday_interval(spark):
     )
     out = range_join(points, intervals, "ts", "cstart", "cend").collect()
     assert len(out) == 1 and out[0].iv == "week"
+
+
+def test_scd2_intervals_collapse_and_close(spark):
+    from datetime import datetime
+
+    from pyspark.sql import Row
+
+    from aim357_2019_etl_and_ml_workshop_spark.operators.temporal_joins import (
+        scd2_intervals,
+    )
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)
+    rows = [
+        Row(k=1, ts=t(0), s="a", i=1),
+        Row(k=1, ts=t(1), s="a", i=2),   # same state -> collapses
+        Row(k=1, ts=t(2), s="b", i=3),   # state change
+        Row(k=1, ts=t(3), s="a", i=4),   # back to a -> NEW run, not merged
+        Row(k=2, ts=t(0), s="x", i=5),
+    ]
+    out = scd2_intervals(
+        spark.createDataFrame(rows), "k", "ts", "s", "i"
+    ).collect()
+    k1 = sorted(
+        [(r.s, r.valid_from, r.valid_to, r.n_events) for r in out if r.k == 1],
+        key=lambda r: r[1],
+    )
+    assert k1 == [
+        ("a", t(0), t(2), 2),
+        ("b", t(2), t(3), 1),
+        ("a", t(3), None, 1),
+    ]
+    k2 = [(r.s, r.valid_to) for r in out if r.k == 2]
+    assert k2 == [("x", None)]
+
+
+def test_upsert_snapshot_latest_wins(spark):
+    from pyspark.sql import Row
+
+    from aim357_2019_etl_and_ml_workshop_spark.operators.canonicalize import (
+        upsert_snapshot,
+    )
+
+    cur = spark.createDataFrame(
+        [Row(k=1, v="old1"), Row(k=2, v="old2"), Row(k=3, v="old3")]
+    )
+    upd = spark.createDataFrame([Row(k=2, v="new2"), Row(k=4, v="new4")])
+    got = {r.k: r.v for r in upsert_snapshot(cur, upd, ["k"]).collect()}
+    assert got == {1: "old1", 2: "new2", 3: "old3", 4: "new4"}
