@@ -25,7 +25,7 @@ Each Glue transform maps to a Catalyst-friendly equivalent:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Output contract: GluePySparkMLFeatureEngineering.rst:75-81.
@@ -193,3 +193,37 @@ def upsert_snapshot(
     upd_keys = updates.select(*key_cols).distinct()
     kept = current.join(upd_keys, key_cols, "left_anti")
     return kept.unionByName(updates)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+) -> DataFrame:
+    """Change-data-capture between two snapshots of the same schema:
+    one row per differing key with change_type in
+    ('insert', 'delete', 'update'). Unchanged rows are dropped.
+
+    Single full-outer join on the key; change detection compares the
+    md5 of the JSON-encoded non-key columns (one hash per side instead of
+    N column comparisons — and map/array columns compare correctly).
+    Shuffles once on the key; at 100TB bucket both snapshots on the key
+    and the join is co-located."""
+    non_key = [c for c in old.columns if c not in key_cols]
+    def fp(df: DataFrame) -> Column:
+        return F.md5(F.to_json(F.struct(*[F.col(c) for c in non_key])))
+
+    o = old.select(*key_cols, fp(old).alias("_old_fp"))
+    n = new.select(*key_cols, fp(new).alias("_new_fp"))
+    joined = o.join(n, key_cols, "full_outer")
+    return joined.select(
+        *key_cols,
+        F.when(F.col("_old_fp").isNull(), F.lit("insert"))
+        .when(F.col("_new_fp").isNull(), F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("change_type"),
+    ).where(
+        F.col("_old_fp").isNull()
+        | F.col("_new_fp").isNull()
+        | (F.col("_old_fp") != F.col("_new_fp"))
+    )

@@ -3598,3 +3598,38 @@ def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", "event_type", "event_id"
     )
     return scd2_intervals(ev, "user_id", "ts", "event_type", "event_id")
+
+
+@register(
+    "snapshot_diff_orders",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 11 = 0 THEN 'delete'
+                WHEN o_orderkey % 7 = 0 THEN 'update'
+           END AS change_type
+    FROM orders
+    WHERE o_orderkey % 11 = 0 OR o_orderkey % 7 = 0
+    """,
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture diff (operators.canonicalize.snapshot_diff):
+    the 'new' snapshot drops every 11th order and re-prices every 7th;
+    the diff must report exactly those keys as delete/update (deletes win
+    where both apply since the row is gone) and nothing else. One
+    full-outer join on the key with md5-row fingerprints; the oracle
+    derives the expected change set arithmetically."""
+    from .operators.canonicalize import snapshot_diff
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = (
+        orders.where(F.col("o_orderkey") % 11 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1000
+            ).otherwise(F.col("o_totalprice")),
+        )
+    )
+    return snapshot_diff(orders, new, ["o_orderkey"])

@@ -155,3 +155,22 @@ def test_fhvhv_generation_and_aggregate_harmonization(spark):
     full = {r.day: r.full_fhv for r in combine_columns_sum(
         daily, "full_fhv", ["fhv", "fhvhv"]).collect()}
     assert full == {1: 42, 2: 7}
+
+
+def test_snapshot_diff_change_types(spark):
+    from pyspark.sql import Row
+
+    from aim357_2019_etl_and_ml_workshop_spark.operators.canonicalize import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [Row(k=1, v="a"), Row(k=2, v="b"), Row(k=3, v="c")]
+    )
+    new = spark.createDataFrame(
+        [Row(k=1, v="a"), Row(k=2, v="B"), Row(k=4, v="d")]
+    )
+    got = {
+        r.k: r.change_type for r in snapshot_diff(old, new, ["k"]).collect()
+    }
+    assert got == {2: "update", 3: "delete", 4: "insert"}  # k=1 unchanged
