@@ -3633,3 +3633,75 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return snapshot_diff(orders, new, ["o_orderkey"])
+
+
+@register(
+    "asof_join_tolerance",
+    """
+    WITH p AS (
+        SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+    ), s AS (
+        SELECT user_id, ts, value FROM events WHERE event_type = 'signup'
+    ), j AS (
+        SELECT p.user_id, p.ts, p.event_id, s.value AS r_value, s.ts AS s_ts
+        FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts
+    )
+    SELECT user_id, ts, event_id,
+           CASE WHEN epoch(ts) - epoch(s_ts) <= 172800 THEN r_value END
+               AS r_value
+    FROM j
+    """,
+)
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a 48h tolerance: a matched signup older than the
+    tolerance is nulled rather than carried — the staleness guard real
+    point-in-time feature lookups need. Oracle: DuckDB native ASOF +
+    epoch-difference CASE."""
+    from .operators.temporal_joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    signups = ev.where(F.col("event_type") == "signup").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(
+        purchases, signups, "user_id", "ts", "ts", ["value"],
+        tolerance_seconds=172_800,
+    )
+
+
+@register(
+    "salted_join_revenue",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+               AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY o_orderpriority
+    """,
+)
+def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-salting operator under the oracle gate: the orders fact is
+    salted over 8 sub-keys and the (filtered) customer dim replicated per
+    salt, then joined and aggregated — results must be row-identical to the
+    plain join the oracle runs. Decimal-space sum for hash stability."""
+    from .operators.timeseries import salted_join
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_orderpriority", "o_totalprice"
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    joined = salted_join(orders, cust, "c_custkey", n_salts=8)
+    return joined.groupBy("o_orderpriority").agg(
+        _count(None),
+        F.round(F.sum(_dec("o_totalprice", 18, 4)), 2)
+        .cast("double")
+        .alias("revenue"),
+    )

@@ -6,7 +6,7 @@ from .windows import (
     tumbling_counts,
 )
 from .incremental import IncrementalIngest
-from .stateful import running_counts, running_stats
+from .stateful import running_counts, running_stats, sessionize_stream
 
 __all__ = [
     "dedup_stream",
@@ -17,4 +17,5 @@ __all__ = [
     "IncrementalIngest",
     "running_counts",
     "running_stats",
+    "sessionize_stream",
 ]

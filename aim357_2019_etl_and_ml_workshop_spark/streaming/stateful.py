@@ -93,3 +93,67 @@ def running_stats(
         outputMode="update",
         timeoutConf=timeout,
     )
+
+
+def sessionize_stream(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: int = 1800,
+    timeout: str = GroupStateTimeout.NoTimeout,
+) -> DataFrame:
+    """Stateful streaming sessionization: per-key events are grouped into
+    sessions separated by silences longer than ``gap_seconds``; a CLOSED
+    session row (key, session_start, session_end, n_events) is emitted as
+    soon as a later event proves the gap. The open tail session lives in
+    GroupState as three scalars (start, last, count) — state is O(keys),
+    not O(events), and survives micro-batch boundaries/restarts via the
+    checkpoint. The batch twin is sessionize (queries.py) — same gap rule
+    over a static frame."""
+
+    def step(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start, last, n = None, None, 0
+        closed: list[tuple] = []
+        ts_all: list[float] = []
+        for pdf in pdfs:
+            ts_all.extend(
+                t.timestamp() for t in pd.to_datetime(pdf[ts_col])
+            )
+        for t in sorted(ts_all):
+            if start is None:
+                start, last, n = t, t, 1
+            elif t - last > gap_seconds:
+                closed.append((key[0], start, last, n))
+                start, last, n = t, t, 1
+            else:
+                last, n = t, n + 1
+        state.update((start, last, n))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    key_col: [c[0] for c in closed],
+                    "session_start": [
+                        pd.Timestamp(c[1], unit="s") for c in closed
+                    ],
+                    "session_end": [
+                        pd.Timestamp(c[2], unit="s") for c in closed
+                    ],
+                    "n_events": [c[3] for c in closed],
+                }
+            )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        step,
+        outputStructType=(
+            f"{key_col} string, session_start timestamp, "
+            "session_end timestamp, n_events long"
+        ),
+        stateStructType="start double, last double, n long",
+        outputMode="append",
+        timeoutConf=timeout,
+    )

@@ -146,3 +146,44 @@ def test_cluster_embeddings(spark, sf_dir):
     b = cluster_embeddings(emb, k=4)
     joined = a.withColumnRenamed("cluster", "c1").join(b, "vec_id")
     assert joined.where(F.col("c1") != F.col("cluster")).count() == 0
+
+
+def test_stateful_sessionize_stream(spark, tmp_path):
+    """Closed sessions are emitted once a later event proves the gap; the
+    open tail session stays in state across micro-batches."""
+    from aim357_2019_etl_and_ml_workshop_spark.streaming.stateful import (
+        sessionize_stream,
+    )
+
+    src = str(tmp_path / "sess_src")
+    os.makedirs(src)
+    schema = "k string, ts timestamp"
+
+    def batch(rows):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+
+    # session 1: two events 10 min apart; gap of 2h to the next
+    batch([Row(k="a", ts=datetime(2024, 1, 1, 0, 0)),
+           Row(k="a", ts=datetime(2024, 1, 1, 0, 10))])
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        sessionize_stream(stream, "k", "ts", gap_seconds=1800)
+        .writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.table("sessions_out").count() == 0  # still open
+        batch([Row(k="a", ts=datetime(2024, 1, 1, 2, 0))])  # proves the gap
+        q.processAllAvailable()
+        rows = spark.table("sessions_out").collect()
+    finally:
+        q.stop()
+        spark.catalog.dropTempView("sessions_out")
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.k == "a" and r.n_events == 2
+    assert r.session_start == datetime(2024, 1, 1, 0, 0)
+    assert r.session_end == datetime(2024, 1, 1, 0, 10)
