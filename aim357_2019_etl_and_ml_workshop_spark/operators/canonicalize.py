@@ -227,3 +227,60 @@ def snapshot_diff(
         | F.col("_new_fp").isNull()
         | (F.col("_old_fp") != F.col("_new_fp"))
     )
+
+
+def quality_expectations(
+    df: DataFrame,
+    rules: list[dict],
+) -> DataFrame:
+    """Declarative data-quality checks (the Deequ/expectations pattern) in
+    ONE aggregation pass: every rule lowers to a conditional aggregate over
+    the same scan, so N checks cost one job, not N.
+
+    Each rule is a dict with ``name`` plus one of:
+      - ``{"not_null": col}``            -> null fraction must be 0
+      - ``{"unique": col}``              -> no duplicate values
+      - ``{"min": col, "value": v}``     -> min(col) >= v
+      - ``{"max": col, "value": v}``     -> max(col) <= v
+      - ``{"in_set": col, "values": [..]}`` -> all values in the set
+
+    Output: (check string, metric double, passed boolean) — one row per
+    rule, emitted via a single stack() over the aggregated scalars."""
+    aggs: list[Column] = [F.count(F.lit(1)).alias("_n")]
+    metric_expr: dict[str, tuple[str, str]] = {}
+    for i, r in enumerate(rules):
+        a = f"_m{i}"
+        if "not_null" in r:
+            aggs.append(
+                F.sum(F.col(r["not_null"]).isNull().cast("long")).alias(a)
+            )
+            metric_expr[r["name"]] = (a, f"{a} = 0")
+        elif "unique" in r:
+            c = r["unique"]
+            aggs.append(
+                (F.count(c) - F.countDistinct(c)).cast("long").alias(a)
+            )
+            metric_expr[r["name"]] = (a, f"{a} = 0")
+        elif "min" in r:
+            aggs.append(F.min(r["min"]).cast("double").alias(a))
+            metric_expr[r["name"]] = (a, f"{a} >= {float(r['value'])}")
+        elif "max" in r:
+            aggs.append(F.max(r["max"]).cast("double").alias(a))
+            metric_expr[r["name"]] = (a, f"{a} <= {float(r['value'])}")
+        elif "in_set" in r:
+            c = r["in_set"]
+            vals = ", ".join(f"'{v}'" for v in r["values"])
+            aggs.append(
+                F.sum((~F.col(c).isin(r["values"])).cast("long")).alias(a)
+            )
+            metric_expr[r["name"]] = (a, f"{a} = 0")
+        else:
+            raise ValueError(f"unknown rule shape: {r}")
+    agg = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', CAST({a} AS DOUBLE), {cond}"
+        for name, (a, cond) in metric_expr.items()
+    )
+    return agg.selectExpr(
+        f"stack({len(metric_expr)}, {stack_args}) AS (check, metric, passed)"
+    )

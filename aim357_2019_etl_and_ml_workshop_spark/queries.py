@@ -3705,3 +3705,44 @@ def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+@register(
+    "quality_expectations_orders",
+    """
+    WITH m AS (
+        SELECT CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS nullkeys,
+               CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS DOUBLE) AS dupkeys,
+               CAST(min(o_totalprice) AS DOUBLE) AS minprice,
+               CAST(sum(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END) AS DOUBLE) AS badstatus
+        FROM orders
+    )
+    SELECT 'orderkey_not_null' AS check, nullkeys AS metric, nullkeys = 0 AS passed FROM m
+    UNION ALL
+    SELECT 'orderkey_unique', dupkeys, dupkeys = 0 FROM m
+    UNION ALL
+    SELECT 'price_nonnegative', minprice, minprice >= 0.0 FROM m
+    UNION ALL
+    SELECT 'status_in_set', badstatus, badstatus = 0 FROM m
+    """,
+)
+def quality_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations (Deequ-style) over orders:
+    N checks lower to conditional aggregates in ONE pass + a stack() —
+    one job regardless of rule count
+    (operators.canonicalize.quality_expectations)."""
+    from .operators.canonicalize import quality_expectations
+
+    return quality_expectations(
+        _t(spark, sf_dir, "orders"),
+        [
+            {"name": "orderkey_not_null", "not_null": "o_orderkey"},
+            {"name": "orderkey_unique", "unique": "o_orderkey"},
+            {"name": "price_nonnegative", "min": "o_totalprice", "value": 0},
+            {
+                "name": "status_in_set",
+                "in_set": "o_orderstatus",
+                "values": ["F", "O", "P"],
+            },
+        ],
+    )

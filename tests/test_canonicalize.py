@@ -174,3 +174,31 @@ def test_snapshot_diff_change_types(spark):
         r.k: r.change_type for r in snapshot_diff(old, new, ["k"]).collect()
     }
     assert got == {2: "update", 3: "delete", 4: "insert"}  # k=1 unchanged
+
+
+def test_quality_expectations_failures_flagged(spark):
+    from pyspark.sql import Row
+
+    from aim357_2019_etl_and_ml_workshop_spark.operators.canonicalize import (
+        quality_expectations,
+    )
+
+    df = spark.createDataFrame(
+        [Row(k=1, v=5.0, s="ok"), Row(k=1, v=-1.0, s="bad"), Row(k=None, v=2.0, s="ok")]
+    )
+    out = {
+        r.check: (r.metric, r.passed)
+        for r in quality_expectations(
+            df,
+            [
+                {"name": "k_not_null", "not_null": "k"},
+                {"name": "k_unique", "unique": "k"},
+                {"name": "v_min", "min": "v", "value": 0},
+                {"name": "s_in_set", "in_set": "s", "values": ["ok"]},
+            ],
+        ).collect()
+    }
+    assert out["k_not_null"] == (1.0, False)   # one null key
+    assert out["k_unique"] == (1.0, False)     # k=1 duplicated
+    assert out["v_min"] == (-1.0, False)       # negative value
+    assert out["s_in_set"] == (1.0, False)     # one 'bad'
