@@ -283,3 +283,28 @@ def write_bucketed_table(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
+
+
+def write_parquet_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_by: list[str],
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    max_records_per_file: int | None = 5_000_000,
+    compression: str = "zstd",
+) -> None:
+    """Parquet sink with intra-file clustering: rows are sorted WITHIN each
+    task partition on ``cluster_by`` before writing, so parquet row-group
+    min/max statistics become narrow and selective range scans skip whole
+    row groups at the reader (the poor-man's Z-order for a single sort
+    dimension). sortWithinPartitions is a local sort — no shuffle, no
+    global order; write parallelism is unchanged. Combine with
+    ``partition_by`` for directory-level pruning on a second column."""
+    clustered = df.sortWithinPartitions(*cluster_by)
+    writer = clustered.write.mode(mode).option("compression", compression)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

@@ -313,3 +313,26 @@ def test_observe_metrics(spark, sf_dir):
     n = observed.count()
     assert obs.get["rows_seen"] == n > 0
     assert obs.get["neg_values"] >= 0
+
+
+def test_write_parquet_clustered_orders_rows_within_files(spark, tmp_path):
+    """Every output file must be internally sorted on the cluster key (the
+    property that makes row-group min/max stats selective)."""
+    import glob
+
+    from aim357_2019_etl_and_ml_workshop_spark.sources.io import (
+        write_parquet_clustered,
+    )
+
+    df = spark.range(0, 10_000).select(
+        (F.col("id") * 7919 % 10_000).alias("k"), F.col("id").alias("v")
+    ).repartition(4)
+    out = str(tmp_path / "clustered")
+    write_parquet_clustered(df, out, ["k"])
+    files = glob.glob(f"{out}/*.parquet")
+    assert len(files) >= 2  # parallel write preserved
+    for f in files:
+        ks = [r.k for r in spark.read.parquet(f).collect()]
+        assert ks == sorted(ks), f"file not internally sorted: {f}"
+    # nothing lost
+    assert spark.read.parquet(out).count() == 10_000
