@@ -3,8 +3,11 @@ from .canonicalize import (
     apply_mapping,
     canonicalize,
     drop_null_fields,
+    quality_expectations,
+    snapshot_diff,
     tag,
     try_cast_columns,
+    upsert_snapshot,
 )
 from .timeseries import (
     counts_by_day,
@@ -26,6 +29,9 @@ __all__ = [
     "epoch_day_bucket",
     "pivot_by_type",
     "resample_daily",
+    "quality_expectations",
+    "snapshot_diff",
+    "upsert_snapshot",
 ]
 
 # Discoverability re-exports for the beyond-reference operator families
