@@ -336,3 +336,37 @@ def test_write_parquet_clustered_orders_rows_within_files(spark, tmp_path):
         assert ks == sorted(ks), f"file not internally sorted: {f}"
     # nothing lost
     assert spark.read.parquet(out).count() == 10_000
+
+
+def test_pandas_api_plane(spark, sf_dir):
+    """The reference pulls aggregates into pandas for its local analysis
+    plane (%%local + pd.read_sql). pyspark.pandas provides that DataFrame
+    idiom WITHOUT leaving the cluster — verify the notebook-style
+    pivot/index workflow runs distributed and matches the SQL result."""
+    import pyspark.pandas as ps
+
+    from aim357_2019_etl_and_ml_workshop_spark.sources.io import read_testdata
+
+    ev = read_testdata(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+        )
+        .count()
+    )
+    import pandas as pd
+
+    pdf = daily.pandas_api()  # stays distributed (no toPandas collect)
+    wide = pdf.pivot_table(
+        index=["day"], columns="event_type", values="count", aggfunc="sum"
+    ).sort_index()
+    # same numbers as the SQL twin
+    expect = {
+        (r["day"], r["event_type"]): r["count"] for r in daily.collect()
+    }
+    got = wide.to_pandas()  # small aggregate — safe to localize, as in ref
+    assert len(got) == daily.select("day").distinct().count()
+    for day, row in got.iterrows():
+        for et, v in row.items():
+            if not pd.isna(v):
+                assert expect[(day.to_pydatetime(), et)] == int(v)
