@@ -5,7 +5,7 @@ from .windows import (
     stream_stream_join,
     tumbling_counts,
 )
-from .incremental import IncrementalIngest
+from .incremental import IncrementalAggregate, IncrementalIngest
 from .stateful import running_counts, running_stats, sessionize_stream
 
 __all__ = [
@@ -15,6 +15,7 @@ __all__ = [
     "stream_stream_join",
     "tumbling_counts",
     "IncrementalIngest",
+    "IncrementalAggregate",
     "running_counts",
     "running_stats",
     "sessionize_stream",

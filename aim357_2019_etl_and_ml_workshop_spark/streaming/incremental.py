@@ -61,3 +61,75 @@ class IncrementalIngest:
         if q.isActive:
             q.stop()
             raise TimeoutError("incremental ingest did not drain in time")
+
+
+class IncrementalAggregate:
+    """Incrementally-maintained keyed additive aggregate (count/sum) — the
+    continuous-rollup companion to IncrementalIngest: each ``run_once()``
+    drains only new files (checkpoint bookmark) and lands that micro-batch's
+    PARTIAL aggregate under ``batch_id=<n>``; the read path merges partials
+    with one groupBy. Exactly-once without transactions: a replayed batch
+    overwrites ITS OWN partition (idempotent), never double-counts — the
+    same per-batch-partition idempotency pattern as
+    foreach_batch_parquet_sink. Compaction (optional, any time) just
+    rewrites all partials into one partition; readers are unaffected
+    because merge is associative."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        input_path: str,
+        schema: StructType | str,
+        state_path: str,
+        checkpoint_path: str,
+        key_cols: list[str],
+        sum_cols: dict[str, str],
+        fmt: str = "parquet",
+    ) -> None:
+        self.spark = spark
+        self.input_path = input_path
+        self.schema = schema
+        self.state_path = state_path
+        self.checkpoint_path = checkpoint_path
+        self.key_cols = key_cols
+        self.sum_cols = dict(sum_cols)  # out_name -> input expr/col
+        self.fmt = fmt
+
+    def _write_partial(self, batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        partial = batch_df.groupBy(*self.key_cols).agg(
+            F.count(F.lit(1)).alias("_n"),
+            *[
+                F.sum(F.expr(src)).alias(out)
+                for out, src in self.sum_cols.items()
+            ],
+        )
+        (
+            partial.write.mode("overwrite").parquet(
+                f"{self.state_path}/batch_id={int(batch_id)}"
+            )
+        )
+
+    def run_once(self, timeout_sec: float = 300.0) -> None:
+        src = (
+            self.spark.readStream.format(self.fmt)
+            .schema(self.schema)
+            .load(self.input_path)
+        )
+        q = (
+            src.writeStream.foreachBatch(self._write_partial)
+            .option("checkpointLocation", self.checkpoint_path)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_sec)
+
+    def read(self) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        partials = self.spark.read.parquet(self.state_path)
+        return partials.groupBy(*self.key_cols).agg(
+            F.sum("_n").alias("n"),
+            *[F.sum(out).alias(out) for out in self.sum_cols],
+        )

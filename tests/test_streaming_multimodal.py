@@ -374,3 +374,42 @@ def test_foreach_batch_idempotent_sink(spark, tmp_path):
     ).parquet(out + "/batch_id=0")
     again = sorted(r.event_id for r in spark.read.parquet(out).collect())
     assert again == [0, 1, 2, 3, 4]
+
+
+def test_incremental_aggregate_exactly_once(spark, tmp_path):
+    """Per-batch partial-aggregate partitions merge to the right totals
+    across two bookmarked runs, and a REPLAYED batch overwrites its own
+    partition instead of double-counting."""
+    from aim357_2019_etl_and_ml_workshop_spark.streaming.incremental import (
+        IncrementalAggregate,
+    )
+
+    src = str(tmp_path / "ia_src")
+    os.makedirs(src)
+    schema = "k string, v double"
+
+    def land(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    agg = IncrementalAggregate(
+        spark,
+        input_path=src,
+        schema=schema,
+        state_path=str(tmp_path / "ia_state"),
+        checkpoint_path=str(tmp_path / "ia_ckpt"),
+        key_cols=["k"],
+        sum_cols={"v_sum": "v"},
+    )
+    land([Row(k="a", v=1.0), Row(k="a", v=2.0), Row(k="b", v=5.0)], "b0")
+    agg.run_once()
+    land([Row(k="a", v=10.0)], "b1")
+    agg.run_once()
+    got = {r.k: (r.n, r.v_sum) for r in agg.read().collect()}
+    assert got == {"a": (3, 13.0), "b": (1, 5.0)}
+    # crash-replay simulation: re-run batch 1's partial write — idempotent
+    replay = spark.createDataFrame([Row(k="a", v=10.0)], schema)
+    agg._write_partial(replay, 1)
+    got2 = {r.k: (r.n, r.v_sum) for r in agg.read().collect()}
+    assert got2 == got  # no double count
