@@ -370,3 +370,41 @@ def test_pandas_api_plane(spark, sf_dir):
         for et, v in row.items():
             if not pd.isna(v):
                 assert expect[(day.to_pydatetime(), et)] == int(v)
+
+
+def test_runtime_bloom_filter_join(spark, sf_dir):
+    """Runtime bloom-filter join pruning: with a selective dim filter and
+    broadcast disabled, Catalyst injects a bloom filter built from the dim
+    side into the fact scan — rows that cannot join are dropped BEFORE the
+    shuffle (the row-level sibling of dynamic partition pruning). At 100TB
+    this cuts shuffle volume by the dim's selectivity."""
+    from aim357_2019_etl_and_ml_workshop_spark.sources.io import read_testdata
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = read_testdata(spark, sf_dir, "lineitem")
+        sel = read_testdata(spark, sf_dir, "orders").where(
+            F.col("o_totalprice") > 400000
+        )
+        j = li.join(sel, li.l_orderkey == sel.o_orderkey)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom" in plan.lower(), "bloom filter not injected"
+        # pruning must not change results
+        for k, v in confs.items():
+            spark.conf.set(k, "false" if k.endswith("enabled") else v)
+        plain = li.join(sel, li.l_orderkey == sel.o_orderkey)
+        assert j.count() == plain.count()
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
