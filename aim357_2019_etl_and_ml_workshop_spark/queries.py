@@ -3746,3 +3746,19 @@ def quality_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             },
         ],
     )
+
+
+@register("simhash_near_duplicates")
+def simhash_near_duplicates_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pipeline end-to-end: pigeonhole chunk banding ->
+    candidate equi-join -> exact popcount verify (Hamming <= 8 over 64-bit
+    fingerprints; the loose bound surfaces textually-similar pairs in the
+    synthetic corpus). Rows-only WAIVER: fingerprints are Spark-xxhash64-
+    derived (not SQL-reproducible); banding completeness (every pair within
+    chunks-1 distance shares a chunk) and determinism are pytest-covered."""
+    from .operators.dedup import simhash_near_duplicates
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return simhash_near_duplicates(
+        docs, "text", "doc_id", max_hamming=8, chunks=4
+    )

@@ -25,6 +25,7 @@ ALL = sorted(q.queries())
 ROWS_ONLY = {
     "minhash_near_duplicates",
     "simhash_fingerprints",
+    "simhash_near_duplicates",
     "lsh_ann_topk",
     "ivf_ann_topk",
     "embedding_neardup_lsh",
