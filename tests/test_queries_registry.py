@@ -132,3 +132,17 @@ def test_chunking_reconstructs_prefix(spark, sf_dir):
         assert idx[0].chunk_text == " ".join(toks[:32])
         if 1 in idx and len(toks) >= 32:
             assert idx[1].chunk_text.split()[0] == toks[24]
+
+
+def test_minhash_plan_shares_shingle_table(spark, sf_dir):
+    """The MinHash pipeline persists its shingle and candidate tables so
+    every consumer subtree reads the cache instead of recomputing the
+    explode/banding from the source (pre-sharing, the plan re-scanned the
+    source 14 times with zero reuse). InMemoryTableScan nodes must appear
+    for all shared consumers (signatures/sizes/verify sides + candidate
+    uses)."""
+    df = q.queries()["minhash_near_duplicates"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 4, (
+        "shingle/candidate cache sharing regressed"
+    )
