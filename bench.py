@@ -16,6 +16,7 @@ oracle.skipped."""
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 import time
@@ -154,6 +155,24 @@ def main() -> None:
                 "spark_vs_oracle_ratio": (
                     round(spark_covered / oracle["value"], 3)
                     if oracle["value"]
+                    else None
+                ),
+                # geometric mean of per-query ratios: robust to any single
+                # query dominating either side's total
+                "spark_vs_oracle_geomean": (
+                    round(
+                        math.exp(
+                            sum(
+                                math.log(
+                                    timings[n] / oracle["queries"][n]
+                                )
+                                for n in covered
+                            )
+                            / len(covered)
+                        ),
+                        3,
+                    )
+                    if covered
                     else None
                 ),
             }
