@@ -3843,3 +3843,52 @@ def order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("o_orderkey").alias("n_orders"))
     )
     return per_cust.groupBy("n_orders").agg(_count(None, "n_customers"))
+
+
+@register(
+    "dormant_rich_customers",
+    """
+    WITH avg_bal AS (
+        SELECT avg(c_acctbal) AS v FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust,
+           CAST(round(sum(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE)
+               AS total_bal
+    FROM customer, avg_bal
+    WHERE c_acctbal > v
+      AND c_custkey NOT IN (
+          SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+      )
+    GROUP BY 1
+    """,
+)
+def dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped query: above-average-balance customers with NO
+    big-ticket order, counted per nation — scalar-subquery threshold
+    (broadcast single row) + anti join + aggregation. o_custkey is a
+    non-null FK so the plain left_anti matches the oracle's NOT IN (the
+    null-aware variant is exercised by not_in_null_aware_anti). The anti
+    join's subquery is pre-filtered so only big-order custkeys shuffle;
+    balances sum in decimal space for hash stability."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    avg_bal = (
+        cust.where(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("v"))
+    )
+    big_orders = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 400000)
+        .select("o_custkey")
+    )
+    rich = cust.join(F.broadcast(avg_bal)).where(F.col("c_acctbal") > F.col("v"))
+    dormant = rich.join(
+        big_orders, rich.c_custkey == big_orders.o_custkey, "left_anti"
+    )
+    return dormant.groupBy("c_nationkey").agg(
+        _count(None, "n_cust"),
+        F.round(F.sum(_dec("c_acctbal", 12, 2)), 2)
+        .cast("double")
+        .alias("total_bal"),
+    )
