@@ -23,6 +23,7 @@ WHITELIST = {
     "orders_above_avg_price": "broadcast scalar avg subquery gather",
     "profile_orders": "one-pass profile scalar agg gather",
     "quality_expectations_orders": "one-pass expectations scalar agg gather",
+    "dormant_rich_customers": "broadcast scalar avg-threshold subquery gather",
     # windows over PRE-AGGREGATED day-grain frames (~1 row/day): documented
     # safe — the fact table was reduced by groupBy(day) before the window
     "window_daily_diff": "post-agg daily window (~30 rows)",
