@@ -3892,3 +3892,183 @@ def dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_bal"),
     )
+
+
+@register(
+    "top_supplier_revenue",
+    """
+    WITH rev AS (
+        SELECT l_suppkey,
+               sum(CAST(l_extendedprice AS DECIMAL(12,4))
+                   * CAST(1 - l_discount AS DECIMAL(8,4))) AS r
+        FROM lineitem GROUP BY 1
+    )
+    SELECT s_suppkey, s_name,
+           CAST(round(r, 2) AS DOUBLE) AS total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE r = (SELECT max(r) FROM rev)
+    """,
+)
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped top-supplier query: per-supplier revenue, then keep
+    the supplier(s) whose revenue equals the global max — aggregate ->
+    scalar subquery over the SAME aggregate -> equality filter. The max is
+    a one-row broadcast; the winner set (~1 row) broadcasts into the
+    supplier dim join, so supplier never shuffles. Revenue stays in exact
+    decimal space until the final display cast, making the max-equality
+    tie-break engine-independent. At 100 TB you'd persist `rev` to avoid
+    the second lineitem scan; at bench scale the rescan is cheaper than
+    the cache write."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    rev_expr = _dec("l_extendedprice", 12, 4) * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(8,4)")
+    rev = li.groupBy("l_suppkey").agg(F.sum(rev_expr).alias("r"))
+    max_r = rev.agg(F.max("r").alias("max_r"))
+    top = rev.join(F.broadcast(max_r)).where(F.col("r") == F.col("max_r"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return supp.join(
+        F.broadcast(top), supp.s_suppkey == top.l_suppkey
+    ).select(
+        "s_suppkey",
+        "s_name",
+        F.round(F.col("r"), 2).cast("double").alias("total_revenue"),
+    )
+
+
+@register(
+    "large_quantity_orders",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(o_totalprice AS DOUBLE) AS total_price,
+           CAST(tot_qty AS DOUBLE) AS tot_qty
+    FROM orders JOIN (
+        SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(12,2))) AS tot_qty
+        FROM lineitem GROUP BY 1
+        HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 150
+    ) big ON o_orderkey = big.l_orderkey
+    """,
+)
+def large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped large-order query: join against a grouped-HAVING
+    subquery. The lineitem aggregation reduces ~4 lines/order to one row
+    BEFORE the join, and the HAVING prunes further, so the orders join sees
+    only qualifying keys — the semi-join-through-aggregation shape that
+    makes Q18 scale. Quantities sum in decimal for hash stability."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity", 12, 2)).alias("tot_qty"))
+        .where(F.col("tot_qty") > 150)
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    return orders.join(
+        big, orders.o_orderkey == big.l_orderkey
+    ).select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("total_price"),
+        F.col("tot_qty").cast("double").alias("tot_qty"),
+    )
+
+
+@register(
+    "part_revenue_concentration",
+    """
+    WITH rev AS (
+        SELECT l_partkey,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+                              * CAST(1 - l_discount AS DECIMAL(8,4))), 2)
+                    AS DECIMAL(18,2)) AS r2
+        FROM lineitem GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS DECIMAL(10,0)) AS cnt, sum(r2) AS total
+        FROM rev
+    )
+    SELECT l_partkey, CAST(r2 AS DOUBLE) AS revenue
+    FROM rev, tot
+    WHERE r2 * cnt > total
+    """,
+)
+def part_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shaped concentration query: per-part revenue kept only
+    where it exceeds the mean part revenue — HAVING against a global
+    aggregate of the same aggregation tree. The threshold compare is done
+    as `r2 * count > sum` entirely in decimal space (an exact rewrite of
+    `r2 > avg`): avg() returns double in DuckDB but decimal in Spark, so
+    comparing against avg directly could flip boundary rows between
+    engines. The (cnt, total) pair is a one-row broadcast."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    rev_expr = _dec("l_extendedprice", 12, 4) * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(8,4)")
+    rev = li.groupBy("l_partkey").agg(
+        F.round(F.sum(rev_expr), 2).cast("decimal(18,2)").alias("r2")
+    )
+    tot = rev.agg(
+        F.count(F.lit(1)).cast("decimal(10,0)").alias("cnt"),
+        F.sum("r2").alias("total"),
+    )
+    return (
+        rev.join(F.broadcast(tot))
+        .where(F.col("r2") * F.col("cnt") > F.col("total"))
+        .select("l_partkey", F.col("r2").cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "sole_return_supplier",
+    """
+    SELECT l1.l_suppkey AS s_suppkey,
+           CAST(count(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
+    FROM lineitem l1
+    WHERE l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY 1
+    """,
+)
+def sole_return_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped double-correlated query: suppliers who were the
+    ONLY supplier with a returned line on a multi-supplier order. The
+    oracle states it with EXISTS + NOT EXISTS; the Spark plan rewrites both
+    correlations into ONE aggregation over l_orderkey (distinct-supplier
+    count and distinct-returning-supplier count), turning two correlated
+    self-semi-joins over the fact table into a single keyed shuffle — the
+    rewrite that makes Q21 survive 100 TB. The R-line pairs and the
+    qualifying-order set are both partitioned by l_orderkey, so AQE reuses
+    the exchange for the final join."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_ret"),
+    )
+    sole = per_order.where(
+        (F.col("n_supp") > 1) & (F.col("n_ret") == 1)
+    ).select("l_orderkey")
+    r_pairs = (
+        li.where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        r_pairs.join(sole, "l_orderkey")
+        .groupBy(F.col("l_suppkey").alias("s_suppkey"))
+        .agg(_count(None, "numwait"))
+    )

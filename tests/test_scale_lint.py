@@ -24,6 +24,8 @@ WHITELIST = {
     "profile_orders": "one-pass profile scalar agg gather",
     "quality_expectations_orders": "one-pass expectations scalar agg gather",
     "dormant_rich_customers": "broadcast scalar avg-threshold subquery gather",
+    "top_supplier_revenue": "broadcast scalar max-over-agg subquery gather",
+    "part_revenue_concentration": "broadcast (count,sum)-over-agg gather",
     # windows over PRE-AGGREGATED day-grain frames (~1 row/day): documented
     # safe — the fact table was reduced by groupBy(day) before the window
     "window_daily_diff": "post-agg daily window (~30 rows)",
