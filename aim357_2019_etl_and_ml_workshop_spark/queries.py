@@ -4072,3 +4072,78 @@ def sole_return_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_suppkey").alias("s_suppkey"))
         .agg(_count(None, "numwait"))
     )
+
+
+@register(
+    "variant_extract_stats",
+    """
+    SELECT event_type,
+           CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+           CAST(count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS n_valid
+    FROM events GROUP BY event_type
+    """,
+)
+def variant_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured stats through Spark 4's VARIANT type: parse_json
+    once into the binary variant encoding, then typed variant_get paths —
+    the engine's answer to schemaless props columns at scale (parse once,
+    typed access; amenable to shredded columnar storage), vs
+    json_extract_sum's string-path get_json_object. Missing keys yield
+    NULL, which min/max/sum/count skip — same semantics both engines."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "bigint")
+    return ev.groupBy("event_type").agg(
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.sum(k).alias("k_sum"),
+        F.count(k).alias("n_valid"),
+    )
+
+
+@register(
+    "word_runs_udtf",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents WHERE doc_id % 25 = 0),
+    w AS (SELECT doc_id, i, toks[i] AS tok
+          FROM t, generate_series(1, 512) g(i) WHERE i <= len(toks)),
+    m AS (SELECT doc_id, i, tok,
+                 CASE WHEN lag(tok) OVER (PARTITION BY doc_id ORDER BY i)
+                      IS DISTINCT FROM tok THEN 1 ELSE 0 END AS brk
+          FROM w),
+    r AS (SELECT doc_id, i, tok,
+                 sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS grp
+          FROM m)
+    SELECT doc_id, CAST(grp - 1 AS INTEGER) AS run_idx, tok AS word,
+           CAST(count(*) AS INTEGER) AS run_len
+    FROM r GROUP BY doc_id, grp, tok
+    """,
+)
+def word_runs_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (Spark 4): run-length-encode each document's
+    word sequence with a LATERAL-correlated arrow-optimized table function
+    (operators/udtfs.py:WordRuns). The generator carries sequential state
+    per document — logic explode() can't express — and runs inside a
+    partition-local Generate node (no shuffle; scales linearly). The
+    oracle proves the imperative generator against a pure-SQL
+    gaps-and-islands rewrite (lag -> break flags -> running group id ->
+    group count), so the UDTF seam itself is hash-checked. The 512 bound
+    in the oracle's generate_series covers the corpus max of ~100 tokens
+    (DuckDB disallows lateral column refs in table functions)."""
+    from .operators.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 25 == 0)
+        .select("doc_id", "text")
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.run_idx, s.word, s.run_len
+        FROM {docs} d, LATERAL word_runs(d.text) s
+        """,
+        docs=docs,
+    )

@@ -408,3 +408,51 @@ def test_runtime_bloom_filter_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_word_runs_udtf_reconstructs_sequence(spark, sf_dir):
+    """The RLE generator must be lossless: expanding (word, run_len) runs
+    in run_idx order reproduces each document's exact token sequence, and
+    adjacent runs never share a word (runs are maximal)."""
+    from aim357_2019_etl_and_ml_workshop_spark import queries as q
+
+    out = q.queries()["word_runs_udtf"](spark, sf_dir)
+    runs = out.orderBy("doc_id", "run_idx").collect()
+    by_doc: dict[int, list] = {}
+    for r in runs:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    docs = {
+        r.doc_id: r.text
+        for r in q.queries()["token_count"](spark, sf_dir)
+        .sparkSession.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") % 25 == 0)
+        .select("doc_id", "text")
+        .collect()
+    }
+    assert set(by_doc) == set(docs)
+    for doc_id, doc_runs in by_doc.items():
+        assert [r.run_idx for r in doc_runs] == list(range(len(doc_runs)))
+        for a, b in zip(doc_runs, doc_runs[1:]):
+            assert a.word != b.word, "non-maximal adjacent runs"
+        expanded = [w for r in doc_runs for w in [r.word] * r.run_len]
+        assert expanded == docs[doc_id].split(" ")
+
+
+def test_variant_stats_agree_with_string_path(spark, sf_dir):
+    """VARIANT typed extraction and get_json_object string extraction must
+    agree on the aggregate (same keys, same sums) — two independent parse
+    paths over the same props column."""
+    from aim357_2019_etl_and_ml_workshop_spark import queries as q
+
+    reg = q.queries()
+    v = {
+        r.event_type: (r.k_sum, r.n_valid)
+        for r in reg["variant_extract_stats"](spark, sf_dir).collect()
+    }
+    s = {
+        r.event_type: r.k_sum
+        for r in reg["json_extract_sum"](spark, sf_dir).collect()
+    }
+    assert set(v) == set(s)
+    for et, (k_sum, _n) in v.items():
+        assert k_sum == s[et]
