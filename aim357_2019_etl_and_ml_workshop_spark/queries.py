@@ -2023,11 +2023,13 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .streaming.windows import stream_from_directory, tumbling_counts
 
-    # the NANOS source needs the same conversion as the batch reader
-    raw_schema = (
-        "event_id bigint, ts bigint, user_id bigint, event_type string,"
-        " value double, props string"
-    )
+    # file streams need an explicit schema; take it from the batch reader
+    # (footer read, memoized) so the NANOS-vs-MICROS testdata encoding is
+    # handled identically to the batch path
+    _t(spark, sf_dir, "events")  # pins session conf (nanosAsLong, NTZ-off)
+    raw_schema = spark.read.parquet(
+        os.path.join(sf_dir, "events.parquet")
+    ).schema
     # file streams need a DIRECTORY source; the testdata table is one file,
     # so stage a symlink dir (zero-copy)
     stream_dir = tempfile.mkdtemp(prefix="stream_src_")
@@ -2035,9 +2037,12 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(sf_dir, "events.parquet"),
         os.path.join(stream_dir, "events.parquet"),
     )
-    src = stream_from_directory(spark, stream_dir, raw_schema).withColumn(
-        "ts", F.expr("timestamp_micros(ts div 1000)")
-    )
+    src = stream_from_directory(spark, stream_dir, raw_schema)
+    ts_type = dict(src.dtypes).get("ts")
+    if ts_type == "bigint":  # NANOS encoding: same div-1000 as batch
+        src = src.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_type == "timestamp_ntz":
+        src = src.withColumn("ts", F.col("ts").cast("timestamp"))
     agg = tumbling_counts(src, "ts", "1 hour", "2 hours", ["event_type"])
     qname = f"stream_hourly_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="ckpt_")
@@ -4146,4 +4151,458 @@ def word_runs_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM {docs} d, LATERAL word_runs(d.text) s
         """,
         docs=docs,
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H shape completion: Q3/Q6/Q8/Q9/Q10/Q12/Q14/Q19 on the testdata star
+# schema (no partsupp table; no shipmode/commitdate columns — Q12 adapts to
+# ship-delay classes, Q9 profit is discount-revenue without supply cost)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "unshipped_priority_revenue",
+    """
+    SELECT l_orderkey,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+                          * CAST(1 - l_discount AS DECIMAL(8,4))), 2)
+                AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate  > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def unshipped_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped shipping-priority query: ordered-but-unshipped
+    revenue for one market segment, top 10. Scale shape: both date
+    predicates and the segment filter push into the scans (segment prunes
+    customers BEFORE the broadcast, so the fact join is against a reduced
+    dim); the final ORDER BY+LIMIT is a TakeOrderedAndProject — per
+    partition top-10 then a driver merge of 32x10 rows, never a global
+    sort. Extra o_orderkey tiebreak makes the limit deterministic."""
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    rev = _dec("l_extendedprice", 12, 4) * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(8,4)")
+    return (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "forecast_revenue_delta",
+    """
+    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+                          * CAST(l_discount AS DECIMAL(8,4))), 2)
+                AS DOUBLE) AS revenue_delta
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.05
+      AND l_quantity < 24
+    """,
+)
+def forecast_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped forecasting query: revenue increase if small
+    discounts were eliminated. The canonical scan-filter-aggregate: ALL
+    four predicates push to the parquet reader (row-group min/max pruning
+    on shipdate at rest), no join, no shuffle beyond the single scalar
+    gather. The plan IS the pushdown showcase."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.05)
+        & (F.col("l_quantity") < 24)
+    )
+    delta = _dec("l_extendedprice", 12, 4) * _dec("l_discount", 8, 4)
+    return li.agg(
+        F.round(F.sum(delta), 2).cast("double").alias("revenue_delta")
+    )
+
+
+@register(
+    "market_share_by_year",
+    """
+    SELECT o_year,
+           CAST(round(sum(CASE WHEN supp_nation = 'CHINA' THEN rev ELSE 0 END)
+                      / sum(rev), 6) AS DOUBLE) AS mkt_share
+    FROM (
+        SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+               CAST(l_extendedprice AS DECIMAL(12,4))
+                   * CAST(1 - l_discount AS DECIMAL(8,4)) AS rev,
+               n2.n_name AS supp_nation
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region   ON n1.n_regionkey = r_regionkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+    ) t
+    GROUP BY o_year ORDER BY o_year
+    """,
+)
+def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped national market share: one nation's fraction of
+    regional revenue for a part type, per year. The 8-table join graph
+    reduces to ONE fact shuffle (lineitem->orders): part, supplier,
+    customer, both nation roles, and region all broadcast after their
+    filters. The share division happens on the final tiny per-year
+    aggregate. Decimal revenue; round(6) for cross-engine float parity."""
+    part = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), "n_regionkey"
+    )
+    asia = (
+        _t(spark, sf_dir, "region")
+        .where(F.col("r_name") == "ASIA")
+        .select("r_regionkey")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    rev = (
+        _dec("l_extendedprice", 12, 4)
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)")
+    ).alias("rev")
+    t = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(asia), F.col("n_regionkey") == asia.r_regionkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            rev,
+            "supp_nation",
+        )
+    )
+    china = F.when(F.col("supp_nation") == "CHINA", F.col("rev")).otherwise(
+        F.lit(0).cast("decimal(12,4)")
+    )
+    return (
+        t.groupBy("o_year")
+        .agg(
+            F.round(F.sum(china) / F.sum("rev"), 6)
+            .cast("double")
+            .alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "nation_year_profit",
+    """
+    SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+                          * CAST(1 - l_discount AS DECIMAL(8,4))), 2)
+                AS DOUBLE) AS profit
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%bolt%'
+    GROUP BY 1, 2
+    """,
+)
+def nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped product-line profit by supplier nation and year
+    (profit = discounted revenue; the testdata schema has no partsupp
+    supply-cost side). The p_name LIKE '%bolt%' filter cannot push to
+    parquet (unanchored contains) but prunes the part dim to a fraction
+    BEFORE broadcast, so the fact table is filtered by the broadcast hash
+    join itself — the at-scale pattern for dimension-predicate queries."""
+    part = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_name").like("%bolt%"))
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    rev = _dec("l_extendedprice", 12, 4) * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(8,4)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("profit"))
+    )
+
+
+@register(
+    "returned_item_losses",
+    """
+    SELECT c_custkey, c_name,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+                          * CAST(1 - l_discount AS DECIMAL(8,4))), 2)
+                AS DOUBLE) AS revenue,
+           c_acctbal, n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-10-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def returned_item_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped returned-item ranking: top 20 customers by revenue
+    lost to returns in one quarter. Date range pushes to the orders scan,
+    returnflag to lineitem; the c_* attributes ride the broadcast customer
+    dim so the groupBy keys add no extra shuffle width; top-20 is
+    TakeOrderedAndProject (c_custkey tiebreak for determinism)."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1997-10-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = _dec("l_extendedprice", 12, 4) * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(8,4)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nat), F.col("c_nationkey") == nat.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "ship_delay_priority_counts",
+    """
+    SELECT delay_class,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM (
+        SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30
+                    THEN 'fast'
+                    WHEN date_diff('day', o_orderdate, l_shipdate) <= 90
+                    THEN 'normal' ELSE 'slow' END AS delay_class,
+               o_orderpriority
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+    ) t
+    GROUP BY delay_class ORDER BY delay_class
+    """,
+)
+def ship_delay_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped priority-vs-shipping query, adapted to the testdata
+    schema (no shipmode/commitdate): lines bucketed by order->ship delay
+    class, counting urgent vs non-urgent order priorities per class via
+    conditional aggregation — the CASE-sum pivot that avoids a second
+    grouping key shuffle. One fact-fact equi-join, shipdate range pushed."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_shipdate")
+    )
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    delay_class = (
+        F.when(delay <= 30, "fast").when(delay <= 90, "normal").otherwise("slow")
+    )
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(delay_class.alias("delay_class"), urgent.alias("is_urgent"))
+        .groupBy("delay_class")
+        .agg(
+            F.sum(F.when(F.col("is_urgent"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("high_line_count"),
+            F.sum(F.when(~F.col("is_urgent"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("low_line_count"),
+        )
+        .orderBy("delay_class")
+    )
+
+
+@register(
+    "promo_revenue_pct",
+    """
+    SELECT CAST(round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                       THEN CAST(l_extendedprice AS DECIMAL(12,4))
+                                            * CAST(1 - l_discount AS DECIMAL(8,4))
+                                       ELSE CAST(0 AS DECIMAL(12,4)) END)
+                      / sum(CAST(l_extendedprice AS DECIMAL(12,4))
+                            * CAST(1 - l_discount AS DECIMAL(8,4))), 6)
+                AS DOUBLE) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l_shipdate <  TIMESTAMP '1997-10-01'
+    """,
+)
+def promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped promotion effect: percent of one month's revenue
+    from promo parts. Month range pushes to the lineitem scan; part
+    broadcasts (only partkey+type read — column pruning keeps the
+    broadcast tiny); numerator and denominator come out of ONE aggregation
+    pass via conditional sum, no second scan."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+        )
+        .select("l_partkey", "l_extendedprice", "l_discount")
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = _dec("l_extendedprice", 12, 4) * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(8,4)")
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(12,4)")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(F.lit(100.0) * F.sum(promo) / F.sum(rev), 6)
+            .cast("double")
+            .alias("promo_pct")
+        )
+    )
+
+
+@register(
+    "disjunctive_brand_revenue",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+                          * CAST(1 - l_discount AS DECIMAL(8,4))), 2)
+                AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 25
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#33' AND p_size BETWEEN 1 AND 35
+           AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+)
+def disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped disjunctive predicate join: three OR'd
+    (brand, size, quantity) conjunctions across the join. Catalyst
+    extracts the common single-table residuals — the part side prunes to
+    the three brands before broadcast and the lineitem side gets the
+    derived quantity envelope (1..30) pushed to its scan — then applies
+    the full disjunction as the join residual; the at-scale win is that
+    neither side reads rows outside its envelope."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    q = F.col("l_quantity")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#11")
+            & F.col("p_size").between(1, 15)
+            & q.between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#22")
+            & F.col("p_size").between(1, 25)
+            & q.between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#33")
+            & F.col("p_size").between(1, 35)
+            & q.between(20, 30)
+        )
+    )
+    rev = _dec("l_extendedprice", 12, 4) * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(8,4)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .where(cond)
+        .agg(
+            _count(None, "n_lines"),
+            F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+        )
     )

@@ -32,6 +32,12 @@ _RUNTIME_CONF = {
     # timestamp, so read as bigint nanos and convert (sources.io does the
     # div-1000 truncation that matches DuckDB's ns->us behavior).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Parquet timestamps without isAdjustedToUTC read as TIMESTAMP (LTZ,
+    # session TZ = UTC above) rather than TIMESTAMP_NTZ: keeps instant
+    # semantics (epoch casts, unix_timestamp arithmetic) identical to
+    # engine-written micros tables and to DuckDB's naive-UTC read, and the
+    # column stays a scan column so ts predicates push into the reader.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # Externally-created sessions (the driver's) default to 200 shuffle
     # partitions — over-parallelized for local runs; runtime-settable, and
     # AQE still coalesces below this at execution time.

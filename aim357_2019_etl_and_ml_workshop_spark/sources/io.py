@@ -100,30 +100,35 @@ def read_parquet_evolved(spark: SparkSession, path: str | list[str]) -> DataFram
 def read_testdata(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Load one driver-generated table from a scale-factor directory.
 
-    events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized reader
-    rejects; with spark.sql.legacy.parquet.nanosAsLong the column arrives as
-    bigint nanos, and we truncate to microseconds (``div 1000`` — floor for
-    positive epochs), exactly matching DuckDB's ns->us read behavior so
-    oracle comparisons see identical timestamps.
-
-    PUSHDOWN CAVEAT: because ``ts`` is now a DERIVED column, range
-    predicates on it cannot reach the parquet scan for this one table (they
-    evaluate post-projection). That is a property of the testdata's NANOS
-    encoding, not of the engine: production tables written by this engine
-    store microsecond timestamps (write_parquet), where predicates push
-    down — asserted by the plan tests on orders/lineitem scans. If a
-    NANOS-encoded source ever mattered at scale, filter on the raw bigint
-    (monotone: ts > T  <=>  raw_ns > T*1000) before converting."""
+    events.parquet encoding varies by testdata generation:
+    - TIMESTAMP(MICROS) without isAdjustedToUTC (current): read as TIMESTAMP
+      (LTZ) via inferTimestampNTZ=false — a plain scan column, predicates
+      push down, instants match DuckDB's naive-UTC read exactly.
+    - TIMESTAMP(NANOS) (older): Spark's reader has no nanos type; with
+      spark.sql.legacy.parquet.nanosAsLong the column arrives as bigint
+      nanos and we truncate to micros (``div 1000`` — floor for positive
+      epochs), matching DuckDB's ns->us behavior. ``ts`` is then DERIVED, so
+      range predicates cannot reach the scan — use ``read_events_ts_range``,
+      which filters the raw bigint first (monotone transform)."""
     if table not in TESTDATA_TABLES:
         raise ValueError(f"unknown table {table!r}; expected one of {TESTDATA_TABLES}")
     if table == "events":
         try:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            # micros-encoded generations: read as TIMESTAMP (LTZ), not NTZ,
+            # so instant semantics match engine-written tables and filters
+            # stay pushdown-able scan predicates (session.py rationale).
+            spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         except Exception:
             pass
     df = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
-    if table == "events" and dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if table == "events" and ts_type == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif table == "events" and ts_type == "timestamp_ntz":
+        # Conf not applied before this scan (externally-built reader): cast
+        # NTZ -> LTZ under the pinned UTC session = the same instants.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
@@ -170,6 +175,7 @@ def read_events_ts_range(
     ``ts`` — verified by the unchanged oracle hashes of the range queries."""
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     except Exception:
         pass
     key = (spark, sf_dir)
@@ -178,7 +184,19 @@ def read_events_ts_range(
             os.path.join(sf_dir, "events.parquet")
         )
     df = _RAW_EVENTS_CACHE[key]
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "timestamp_ntz":
+        # NTZ scan (conf missed before the cached reader was built): compare
+        # against NTZ literals so the bounds STILL push into the scan, then
+        # cast to LTZ (UTC session = same instants) for downstream parity.
+        if lower is not None:
+            lo = F.lit(lower).cast("timestamp_ntz")
+            df = df.where(F.col("ts") >= lo if lower_inclusive else F.col("ts") > lo)
+        if upper is not None:
+            hi = F.lit(upper).cast("timestamp_ntz")
+            df = df.where(F.col("ts") <= hi if upper_inclusive else F.col("ts") < hi)
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    if ts_type == "bigint":
         if lower is not None:
             lo_us = _utc_micros(lower)
             df = df.where(

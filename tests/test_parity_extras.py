@@ -48,8 +48,11 @@ def test_events_range_scan_pushdown(spark, sf_dir):
     pushed = read_events_ts_range(spark, sf_dir, "2024-01-10", "2024-01-12")
     plan = formatted_plan(pushed)
     assert "PushedFilters: [" in plan
-    # the raw-nanos bounds (not just IsNotNull) must be in the pushed set
-    assert "GreaterThanOrEqual(ts" in plan and "LessThan(ts" in plan
+    # the range bounds (not just IsNotNull) must be in the pushed set; the
+    # spelling depends on the testdata encoding: raw-nanos bigint translates
+    # to >= / <, a native timestamp column pushes the strict > / < directly
+    assert ("GreaterThan(ts" in plan or "GreaterThanOrEqual(ts" in plan)
+    assert "LessThan(ts" in plan
     # identical semantics to the naive post-conversion filter
     naive = read_testdata(spark, sf_dir, "events").where(
         (F.col("ts") > F.lit("2024-01-10").cast("timestamp"))

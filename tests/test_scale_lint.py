@@ -26,6 +26,9 @@ WHITELIST = {
     "dormant_rich_customers": "broadcast scalar avg-threshold subquery gather",
     "top_supplier_revenue": "broadcast scalar max-over-agg subquery gather",
     "part_revenue_concentration": "broadcast (count,sum)-over-agg gather",
+    "forecast_revenue_delta": "scalar agg final gather",
+    "promo_revenue_pct": "scalar agg final gather",
+    "disjunctive_brand_revenue": "scalar agg final gather",
     # windows over PRE-AGGREGATED day-grain frames (~1 row/day): documented
     # safe — the fact table was reduced by groupBy(day) before the window
     "window_daily_diff": "post-agg daily window (~30 rows)",
