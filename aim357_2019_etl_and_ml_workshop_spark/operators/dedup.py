@@ -220,16 +220,40 @@ def minhash_near_duplicates(
     )
 
 
+def portable_hash60(col: Column | str) -> Column:
+    """60-bit deterministic hash reproducible across engines: the first 15
+    hex chars of standard MD5, parsed as an integer. Spark spells it
+    ``conv(substr(md5(x),1,15),16,10)``; DuckDB spells the identical value
+    ``('0x'||substr(md5(x),1,15))::BIGINT``. Use where a fingerprint must be
+    verifiable by an independent engine (oracle-checked simhash, portable
+    sharding); xxhash64 remains the default hot-path hash (one JVM op, no
+    hex-string round-trip)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
 def simhash_fingerprints(
-    df: DataFrame, text_col: str, id_col: str, bits: int = 64
+    df: DataFrame, text_col: str, id_col: str, bits: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """(id, simhash bigint): per-token xxhash64, each bit votes +1/-1,
+    """(id, simhash bigint): per-token hash, each bit votes +1/-1,
     fingerprint bit i set iff vote sum > 0. All JVM-side: explode tokens,
-    one groupBy with 64 conditional sums, bit-OR assembly."""
+    one groupBy with ``bits`` conditional sums, bit-OR assembly.
+
+    ``hash_fn='portable60'`` swaps xxhash64 for :func:`portable_hash60`
+    (use bits<=60) so the whole fingerprint is reproducible in ANSI SQL —
+    the oracle-checkable variant."""
     toks = df.select(
         F.col(id_col), F.explode(F.split(normalize_text(text_col), " ")).alias("tok")
     )
-    h = toks.select(id_col, F.xxhash64("tok").alias("h"))
+    if hash_fn == "portable60":
+        if bits > 60:
+            raise ValueError("portable60 provides 60 hash bits; use bits<=60")
+        h = toks.select(id_col, portable_hash60("tok").alias("h"))
+    elif hash_fn == "xxhash64":
+        h = toks.select(id_col, F.xxhash64("tok").alias("h"))
+    else:
+        raise ValueError(f"hash_fn must be 'xxhash64'|'portable60', got {hash_fn!r}")
     votes = h.groupBy(id_col).agg(
         *[
             F.sum(
@@ -255,13 +279,17 @@ def simhash_near_duplicates(
     id_col: str,
     max_hamming: int = 3,
     chunks: int = 4,
+    bits: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """Near-dups by Hamming distance <= max_hamming over 64-bit simhash.
-    Pigeonhole banding: split into ``chunks`` 16-bit chunks; any pair within
-    distance <= chunks-1 agrees on >=1 chunk, so candidates come from an
-    equi-join on (chunk_idx, chunk_value); exact popcount verifies."""
-    fps = simhash_fingerprints(df, text_col, id_col)
-    width = 64 // chunks
+    """Near-dups by Hamming distance <= max_hamming over ``bits``-bit
+    simhash. Pigeonhole banding: split into ``chunks`` equal chunks; any
+    pair within distance <= chunks-1 agrees on >=1 chunk, so candidates come
+    from an equi-join on (chunk_idx, chunk_value); exact popcount verifies.
+    With max_hamming <= chunks-1 the banding is COMPLETE (result identical
+    to the all-pairs scan) — the basis of the portable-hash oracle twin."""
+    fps = simhash_fingerprints(df, text_col, id_col, bits=bits, hash_fn=hash_fn)
+    width = bits // chunks
     mask = (1 << width) - 1
     chunked = fps.select(
         id_col,

@@ -77,6 +77,44 @@ def tfidf_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def tfidf_exact_features(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Explicit-vocabulary TF-IDF (the oracle-checkable twin of
+    :func:`tfidf_features`): tf from a (doc, term) count, document
+    frequency from a term count over that, smooth idf
+    ``ln((N+1)/(df+1)) + 1`` — no feature hashing, so every weight is
+    reproducible in ANSI SQL and the whole computation stays in plain
+    DataFrame ops.
+
+    Scale: two hash aggregations (doc×term, then term) plus one equi-join
+    of tf against the term-frequency table on the term key — the join is
+    shuffle-on-term (NOT broadcast: a 100TB corpus's vocabulary is itself
+    large), and the scalar doc count rides a broadcast crossJoin. Output
+    weights round(6) so cross-engine float fold-order stays invisible."""
+    from .dedup import normalize_text
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(text_col), " ")).alias("tok"),
+    ).where(F.col("tok") != "")
+    tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df_t"))
+    idf = F.log((F.col("n_docs") + 1) / (F.col("df_t") + 1)) + 1
+    weight = F.col("tf") * idf
+    return (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.round(F.max(weight), 6).alias("top_weight"),
+            F.round(F.sum(weight), 6).alias("weight_sum"),
+        )
+    )
+
+
 def lang_classifier_pipeline(
     text_col: str = "text", label_col: str = "lang", seed: int = 42
 ) -> Pipeline:

@@ -1009,8 +1009,10 @@ def minhash_near_duplicates_query(spark: SparkSession, sf_dir: str) -> DataFrame
 def simhash_fingerprints_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash fingerprints per document. Rows-only WAIVER: the
     fingerprint is built from Spark xxhash64 token hashes, which DuckDB
-    cannot reproduce (different hash family/seeding); determinism and
-    banding behavior are covered structurally in tests."""
+    cannot reproduce (different hash family/seeding); the identical
+    pipeline over the engine-portable md5 hash IS hash-exact verified as
+    simhash_portable_fingerprints, and determinism/banding behavior are
+    covered structurally in tests."""
     from .operators.dedup import simhash_fingerprints
 
     return simhash_fingerprints(
@@ -1646,7 +1648,8 @@ def tfidf_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib TF-IDF featurization summary (Tokenizer -> StopWordsRemover ->
     HashingTF -> IDF). Rows-only WAIVER: HashingTF bucket indices and IDF
     weights are MLlib-internal (murmur3 feature hashing) and not
-    SQL-reproducible; structural checks in tests."""
+    SQL-reproducible; the explicit-vocabulary formulation IS value-exact
+    verified as tfidf_exact_features, plus structural checks in tests."""
     from .operators.mlpipeline import tfidf_features
 
     return tfidf_features(_t(spark, sf_dir, "documents"), "text", "doc_id")
@@ -3759,7 +3762,9 @@ def simhash_near_duplicates_query(spark: SparkSession, sf_dir: str) -> DataFrame
     candidate equi-join -> exact popcount verify (Hamming <= 8 over 64-bit
     fingerprints; the loose bound surfaces textually-similar pairs in the
     synthetic corpus). Rows-only WAIVER: fingerprints are Spark-xxhash64-
-    derived (not SQL-reproducible); banding completeness (every pair within
+    derived (not SQL-reproducible); the identical banded pipeline over the
+    portable md5 hash is verified against an exact all-pairs oracle as
+    simhash_portable_neardups, and banding completeness (every pair within
     chunks-1 distance shares a chunk) and determinism are pytest-covered."""
     from .operators.dedup import simhash_near_duplicates
 
@@ -4605,4 +4610,133 @@ def disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             _count(None, "n_lines"),
             F.round(F.sum(rev), 2).cast("double").alias("revenue"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Portable-hash twins: the SimHash family and TF-IDF re-expressed over the
+# engine-portable 60-bit md5 hash / an explicit vocabulary, so the waivered
+# hash-dependent queries gain FULLY oracle-checked counterparts — DuckDB
+# recomputes the identical fingerprints and weights from scratch.
+# ---------------------------------------------------------------------------
+
+# Shared fingerprint CTE: must mirror operators.dedup.simhash_fingerprints
+# (hash_fn='portable60') token-for-token — normalize (lower + whitespace
+# collapse), split on single space KEEPING empties, 60-bit md5 hash, per-bit
+# +1/-1 votes over token INSTANCES, bit set iff vote sum > 0.
+_SIMHASH_PORTABLE_CTE = """
+    toks AS (
+        SELECT doc_id,
+               unnest(string_split(
+                   regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')) AS tok
+        FROM documents
+    ), th AS (
+        SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+        FROM toks
+    ), votes AS (
+        SELECT doc_id, b.bit,
+               sum(CASE WHEN ((h >> b.bit) & 1) = 1 THEN 1 ELSE -1 END) AS v
+        FROM th CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS bit) b
+        GROUP BY 1, 2
+    ), fps AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit)
+                             ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+        FROM votes GROUP BY doc_id
+    )
+"""
+
+
+@register(
+    "simhash_portable_fingerprints",
+    f"""
+    WITH {_SIMHASH_PORTABLE_CTE}
+    SELECT doc_id, simhash FROM fps
+    """,
+)
+def simhash_portable_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash fingerprints over the engine-portable md5 hash —
+    the oracle-checked twin of simhash_fingerprints (which keeps xxhash64
+    for the hot path: one JVM op vs md5's hex round-trip). The oracle
+    recomputes every fingerprint from raw text in SQL, so a hash-exact
+    match proves tokenization, hashing, bit votes, and assembly all agree
+    bit-for-bit across engines. Plan shape is identical to the xxhash64
+    variant: explode tokens -> one groupBy(doc) with 60 conditional sums,
+    zero joins."""
+    from .operators.dedup import simhash_fingerprints
+
+    return simhash_fingerprints(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"),
+        "text",
+        "doc_id",
+        bits=60,
+        hash_fn="portable60",
+    )
+
+
+@register(
+    "simhash_portable_neardups",
+    f"""
+    WITH {_SIMHASH_PORTABLE_CTE}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def simhash_portable_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pipeline under a COMPLETE exact oracle: with
+    max_hamming (3) <= chunks-1 (4-1), pigeonhole banding provably recalls
+    every pair within distance 3, so the banded candidate-join + popcount
+    verify must equal the all-pairs scan the oracle runs — the engine's
+    linear-scale path checked against the quadratic ground truth, exactly.
+    (The oracle's O(n^2) join is affordable only at conformance SF; the
+    engine side never materializes all pairs.)"""
+    from .operators.dedup import simhash_near_duplicates
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = simhash_near_duplicates(
+        docs, "text", "doc_id", max_hamming=3, chunks=4,
+        bits=60, hash_fn="portable60",
+    )
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+@register(
+    "tfidf_exact_features",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split(
+                   regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')) AS tok
+        FROM documents
+    ), tfq AS (
+        SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        FROM toks WHERE tok <> '' GROUP BY 1, 2
+    ), dfq AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS df_t FROM tfq GROUP BY 1
+    ), nd AS (
+        SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM documents
+    )
+    SELECT tfq.doc_id,
+           CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(round(max(tf * (ln((n_docs + 1.0) / (df_t + 1.0)) + 1)), 6)
+                AS DOUBLE) AS top_weight,
+           CAST(round(sum(tf * (ln((n_docs + 1.0) / (df_t + 1.0)) + 1)), 6)
+                AS DOUBLE) AS weight_sum
+    FROM tfq JOIN dfq ON tfq.tok = dfq.tok CROSS JOIN nd
+    GROUP BY tfq.doc_id
+    """,
+)
+def tfidf_exact_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit-vocabulary TF-IDF under a full value oracle — the checked
+    twin of tfidf_features (whose HashingTF bucket indices are not
+    SQL-reproducible). Smooth idf ln((N+1)/(df+1))+1; weights round(6) so
+    the cross-engine sum fold order stays invisible. Two hash aggregations
+    + one shuffle equi-join on the term key (vocabulary scales with the
+    corpus — deliberately NOT broadcast)."""
+    from .operators.mlpipeline import tfidf_exact_features
+
+    return tfidf_exact_features(
+        _t(spark, sf_dir, "documents"), "text", "doc_id"
     )

@@ -102,6 +102,35 @@ def test_simhash_near_dups(spark, docs_with_dups):
     assert pairs[(1, 2)] == 0
 
 
+def test_simhash_portable_hash_matches_reference(spark, docs_with_dups):
+    """portable60 fingerprints must be reproducible from hashlib.md5 —
+    the property the DuckDB oracle twin depends on."""
+    import hashlib
+
+    fps = simhash_fingerprints(
+        docs_with_dups, "text", "doc_id", bits=60, hash_fn="portable60"
+    )
+    rows = {r.doc_id: r.simhash for r in fps.collect()}
+    texts = {r.doc_id: r.text for r in docs_with_dups.collect()}
+    import re
+
+    def ref_simhash(text: str) -> int:
+        toks = re.sub(r"\s+", " ", text.lower()).split(" ")
+        votes = [0] * 60
+        for t in toks:
+            h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+            for b in range(60):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        return sum(1 << b for b in range(60) if votes[b] > 0)
+
+    for doc_id, text in texts.items():
+        assert rows[doc_id] == ref_simhash(text), doc_id
+    with pytest.raises(ValueError):
+        simhash_fingerprints(
+            docs_with_dups, "text", "doc_id", bits=64, hash_fn="portable60"
+        )
+
+
 def test_lsh_topk_recall_vs_brute_force(spark, sf_dir):
     emb = read_testdata(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_vec("embedding").alias("v")
