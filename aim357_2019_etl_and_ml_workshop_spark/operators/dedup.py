@@ -380,16 +380,23 @@ def connected_components(
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iters: int = 20,
+    small_graph_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Transitive closure of near-dup pairs -> (id, component) with
     component = min id reachable — the clustering step real dedup needs
     (A~B, B~C => one cluster even if A~C was never scored).
 
-    Iterative min-label propagation: each round every node adopts the
-    smallest label among itself and its neighbors; converges in
-    O(log(diameter)) rounds for typical near-dup clusters (chains are rare).
-    Driver loop with a distributed count per round — no collect of the
-    graph; each round is one join + one groupBy on the edge list."""
+    Hybrid execution: the edge list is the OUTPUT of near-dup detection, so
+    it is orders of magnitude smaller than the corpus (pairs above a high
+    similarity threshold). When it fits comfortably on the driver
+    (<= ``small_graph_threshold`` edges — a bounded, counted collect, same
+    spirit as the IVF probe table), a local union-find resolves components
+    in one pass with zero shuffle rounds. Above the threshold, distributed
+    min-label propagation with pointer jumping: each round every node
+    adopts the smallest label among itself and its neighbors, then labels
+    compress through one self-join — O(log(diameter)) rounds; each round is
+    one join + one groupBy on the edge list, lineage truncated per round.
+    Both paths produce the identical (id, min-reachable-id) result."""
     # both edge directions from ONE pass over the pair list (a union of two
     # selects would execute the pairs subtree twice before the cache)
     edges = (
@@ -409,6 +416,32 @@ def connected_components(
         .distinct()
         .cache()
     )
+    n_edges = edges.count()  # also materializes the cache for either path
+    if n_edges <= small_graph_threshold:
+        # Bounded driver-side union-find (path compression + union by min):
+        # one collect of the counted edge list, no per-round shuffles.
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in edges.select("u", "v").collect():
+            u, v = r["u"], r["v"]
+            parent.setdefault(u, u)
+            parent.setdefault(v, v)
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                lo, hi = min(ru, rv), max(ru, rv)
+                parent[hi] = lo  # min id wins -> comp = min reachable id
+        rows = [(x, find(x)) for x in parent]
+        spark = pairs.sparkSession
+        id_type = dict(pairs.dtypes)[a_col]
+        return spark.createDataFrame(rows, f"id {id_type}, comp {id_type}")
     labels = (
         edges.select(F.col("u").alias("id"))
         .distinct()

@@ -294,6 +294,35 @@ def test_connected_components_long_chain_pointer_jumping(spark):
     pairs = spark.createDataFrame(
         [Row(id_a=i, id_b=i + 1) for i in range(63)]
     )
-    comps = connected_components(pairs, max_iters=10).collect()
+    # small_graph_threshold=0 forces the distributed propagation path (the
+    # default would resolve 63 edges with the driver union-find shortcut)
+    comps = connected_components(
+        pairs, max_iters=10, small_graph_threshold=0
+    ).collect()
     assert len(comps) == 64
     assert {r.comp for r in comps} == {0}  # one component, min-label 0
+
+
+def test_connected_components_paths_agree(spark):
+    """The driver union-find shortcut and the distributed min-label
+    propagation must produce identical (id, comp) assignments."""
+    from pyspark.sql import Row
+
+    from aim357_2019_etl_and_ml_workshop_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # two components + an isolated self-loop shape: {1,2,3,9}, {4,5}
+    pairs = spark.createDataFrame(
+        [Row(id_a=a, id_b=b) for a, b in [(2, 1), (3, 2), (9, 3), (5, 4)]]
+    )
+    small = {
+        (r.id, r.comp) for r in connected_components(pairs).collect()
+    }
+    dist = {
+        (r.id, r.comp)
+        for r in connected_components(
+            pairs, small_graph_threshold=0
+        ).collect()
+    }
+    assert small == dist == {(1, 1), (2, 1), (3, 1), (9, 1), (4, 4), (5, 4)}
