@@ -1,0 +1,166 @@
+"""End-to-end corpus curation (the LLM training-data hygiene pipeline):
+
+    quality gate -> language filter -> exact dedup -> near-dup dedup
+    -> benchmark decontamination -> PII redaction -> sequence packing
+
+Every stage is deterministic and engine-portable (portable-hash simhash,
+md5 exact-dedup keys, fixed thresholds on ROUNDED ratios), so the whole
+funnel — documents surviving each stage — is recomputable in ANSI SQL and
+hash-checked by the DuckDB oracle (queries.curation_funnel).
+
+Scale posture per stage (what each costs at 100 TB):
+- quality/language: narrow projection + filter, zero shuffles, codegen.
+- exact dedup: one keyed window over md5(normalized text) — one shuffle
+  of (hash, id), no text movement.
+- near-dup: portable-60bit simhash, pigeonhole-banded candidate equi-join
+  + popcount verify (operators.dedup) — linear, never all-pairs.
+- decontamination: distinct doc 5-grams vs a tiny eval-set shingle list —
+  broadcast semi join against the corpus side. Shingling is capped at the
+  first ``decontam_prefix`` gram positions per doc (documented prefix
+  decontamination — bounds the explode at any document length).
+- redaction: regexp_replace chain inside the scan's codegen stage.
+- packing: running token sum windowed by (stratum, bounded shard) — no
+  partition ever exceeds ``shard_size`` rows regardless of strata skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .dedup import normalize_text, simhash_near_duplicates
+from .textanalysis import redact_pii
+
+
+def curate_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    lang: str = "en",
+    min_tokens: int = 5,
+    max_tokens: int = 10_000,
+    max_non_alpha: float = 0.3,
+    eval_mod: int = 97,
+    decontam_prefix: int = 200,
+    budget_tokens: int = 512,
+    shard_size: int = 1000,
+) -> tuple[DataFrame, DataFrame]:
+    """Run the full curation pipeline; returns ``(funnel, curated)``.
+
+    ``funnel``: one row per stage — (stage_idx, stage, n) where n is the
+    surviving document count (for the final ``packed`` row: the number of
+    distinct packed bins). ``curated``: the surviving documents with
+    redacted text and (shard, bin) packing assignment.
+
+    The per-stage counts are driver-assembled from bounded ``count()``
+    actions (7 scalars), the same pattern as the derived-contract recall
+    checks; every count is recomputed independently by the oracle SQL."""
+    norm = normalize_text(text_col)
+    base = docs.select(
+        F.col(id_col), F.col(text_col), F.col(lang_col), norm.alias("_norm")
+    )
+    n_tok = F.size(F.split(F.col("_norm"), " "))
+    n_chars = F.length(F.col(text_col))
+    alpha = F.length(F.regexp_replace(F.col(text_col), "[^A-Za-z]", ""))
+    non_alpha = F.when(n_chars == 0, F.lit(0.0)).otherwise(
+        F.round((n_chars - alpha).cast("double") / n_chars, 4)
+    )
+    feat = base.select(
+        "*", n_tok.alias("_n_tok"), non_alpha.alias("_non_alpha")
+    )
+
+    quality = feat.where(
+        (F.col("_n_tok") >= min_tokens)
+        & (F.col("_n_tok") <= max_tokens)
+        & (F.col("_non_alpha") <= max_non_alpha)
+    )
+    by_lang = quality.where(F.col(lang_col) == lang).persist()
+
+    # exact dedup: keep the lowest id per normalized-content hash (keyed
+    # window — shuffles only (hash, id), never the text payload)
+    w = Window.partitionBy(F.md5(F.col("_norm")))
+    exact = (
+        by_lang.withColumn("_min_id", F.min(id_col).over(w))
+        .where(F.col(id_col) == F.col("_min_id"))
+        .drop("_min_id")
+    )
+
+    # near-dup dedup over survivors: portable simhash pairs (complete at
+    # max_hamming <= chunks-1), keep-lowest-id rule — any doc appearing as
+    # the higher id of a pair is dropped
+    pairs = simhash_near_duplicates(
+        exact, text_col, id_col, max_hamming=3, chunks=4,
+        bits=60, hash_fn="portable60",
+    )
+    drop_ids = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    neardup = exact.join(drop_ids, id_col, "left_anti").persist()
+
+    # decontamination: docs sharing any 5-gram (first `decontam_prefix`
+    # positions) with the eval pseudo-benchmark (id % eval_mod == 0 over
+    # the ORIGINAL corpus) are dropped, as are the eval docs themselves
+    def grams(frame: DataFrame) -> DataFrame:
+        toks = F.split(normalize_text(text_col), " ")
+        t = frame.select(F.col(id_col), toks.alias("_toks"))
+        sh = F.when(
+            F.size("_toks") >= 5,
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.least(F.size("_toks") - 4, F.lit(decontam_prefix)),
+                ),
+                lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i, 5)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return t.select(id_col, F.explode(sh).alias("sh")).distinct()
+
+    eval_sh = (
+        grams(docs.where(F.col(id_col) % eval_mod == 0))
+        .select("sh")
+        .distinct()
+    )
+    contaminated = (
+        grams(neardup).join(F.broadcast(eval_sh), "sh")
+        .select(id_col)
+        .distinct()
+    )
+    decontam = (
+        neardup.where(F.col(id_col) % eval_mod != 0)
+        .join(contaminated, id_col, "left_anti")
+        .persist()
+    )
+
+    # redaction (transform, not a filter) + packing assignment
+    packed = decontam.select(
+        F.col(id_col),
+        redact_pii(text_col).alias(text_col),
+        F.col(lang_col),
+        F.floor(F.col(id_col) / shard_size).cast("bigint").alias("shard"),
+        F.col("_n_tok").alias("n_tok"),
+    )
+    pw = (
+        Window.partitionBy(lang_col, "shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    curated = packed.withColumn(
+        "bin",
+        F.floor((F.sum("n_tok").over(pw) - F.col("n_tok")) / budget_tokens)
+        .cast("bigint"),
+    )
+
+    n_packs = curated.select(lang_col, "shard", "bin").distinct().count()
+    spark: SparkSession = docs.sparkSession
+    funnel = spark.createDataFrame(
+        [
+            (0, "input", docs.count()),
+            (1, "quality", quality.count()),
+            (2, "language", by_lang.count()),
+            (3, "exact_dedup", exact.count()),
+            (4, "neardup_dedup", neardup.count()),
+            (5, "decontaminated", decontam.count()),
+            (6, "packed_bins", n_packs),
+        ],
+        "stage_idx int, stage string, n bigint",
+    )
+    return funnel, curated

@@ -4740,3 +4740,107 @@ def tfidf_exact_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_exact_features(
         _t(spark, sf_dir, "documents"), "text", "doc_id"
     )
+
+
+@register(
+    "curation_funnel",
+    """
+    WITH base AS (
+        SELECT doc_id, text, lang,
+               regexp_replace(lower(text), '\\s+', ' ', 'g') AS norm
+        FROM documents
+    ), feat AS (
+        SELECT doc_id, text, lang, norm,
+               len(string_split(norm, ' ')) AS n_tok,
+               CASE WHEN length(text) = 0 THEN 0.0
+                    ELSE round((length(text)
+                                - length(regexp_replace(text, '[^A-Za-z]', '', 'g')))
+                               * 1.0 / length(text), 4) END AS non_alpha
+        FROM base
+    ), q AS (
+        SELECT * FROM feat
+        WHERE n_tok BETWEEN 5 AND 10000 AND non_alpha <= 0.3
+    ), l AS (
+        SELECT * FROM q WHERE lang = 'en'
+    ), e AS (
+        SELECT * FROM l
+        QUALIFY doc_id = min(doc_id) OVER (PARTITION BY md5(norm))
+    ), toks AS (
+        SELECT doc_id, unnest(string_split(norm, ' ')) AS tok FROM e
+    ), th AS (
+        SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+    ), votes AS (
+        SELECT doc_id, b.bit,
+               sum(CASE WHEN ((h >> b.bit) & 1) = 1 THEN 1 ELSE -1 END) AS v
+        FROM th CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS bit) b
+        GROUP BY 1, 2
+    ), fps AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit)
+                             ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS fp
+        FROM votes GROUP BY doc_id
+    ), dropset AS (
+        SELECT DISTINCT b.doc_id
+        FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.fp, b.fp)) <= 3
+    ), nd AS (
+        SELECT * FROM e WHERE doc_id NOT IN (SELECT doc_id FROM dropset)
+    ), nd_toks AS (
+        SELECT doc_id, string_split(norm, ' ') AS tk FROM nd
+    ), nd_sh AS (
+        SELECT DISTINCT doc_id,
+               tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+               tk[i+3] || ' ' || tk[i+4] AS sh
+        FROM nd_toks, generate_series(1, 200) s(i)
+        WHERE i + 4 <= len(tk)
+    ), ev_toks AS (
+        SELECT doc_id,
+               string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'),
+                            ' ') AS tk
+        FROM documents WHERE doc_id % 97 = 0
+    ), ev_sh AS (
+        SELECT DISTINCT tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+               tk[i+3] || ' ' || tk[i+4] AS sh
+        FROM ev_toks, generate_series(1, 200) s(i)
+        WHERE i + 4 <= len(tk)
+    ), contaminated AS (
+        SELECT DISTINCT doc_id FROM nd_sh JOIN ev_sh USING (sh)
+    ), dc AS (
+        SELECT * FROM nd
+        WHERE doc_id % 97 <> 0
+          AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ), packs AS (
+        SELECT lang, CAST(floor(doc_id / 1000) AS BIGINT) AS shard,
+               CAST(floor(
+                   (sum(n_tok) OVER (
+                        PARTITION BY lang, floor(doc_id / 1000)
+                        ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                    ) - n_tok) / 512) AS BIGINT) AS bin
+        FROM dc
+    )
+    SELECT 0 AS stage_idx, 'input' AS stage,
+           CAST((SELECT count(*) FROM documents) AS BIGINT) AS n
+    UNION ALL SELECT 1, 'quality', CAST((SELECT count(*) FROM q) AS BIGINT)
+    UNION ALL SELECT 2, 'language', CAST((SELECT count(*) FROM l) AS BIGINT)
+    UNION ALL SELECT 3, 'exact_dedup', CAST((SELECT count(*) FROM e) AS BIGINT)
+    UNION ALL SELECT 4, 'neardup_dedup', CAST((SELECT count(*) FROM nd) AS BIGINT)
+    UNION ALL SELECT 5, 'decontaminated', CAST((SELECT count(*) FROM dc) AS BIGINT)
+    UNION ALL SELECT 6, 'packed_bins',
+        CAST((SELECT count(*) FROM (SELECT DISTINCT lang, shard, bin FROM packs))
+             AS BIGINT)
+    """,
+)
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END curation pipeline under one hash-exact oracle: quality
+    gate -> language filter -> md5 exact dedup -> portable-simhash near-dup
+    dedup -> prefix 5-gram benchmark decontamination -> packing, with the
+    per-stage survivor counts recomputed from scratch by DuckDB (including
+    re-deriving every simhash fingerprint and the full decontamination
+    shingle join). One wrong filter boundary, hash bit, or window frame
+    anywhere in the chain breaks the hash match — the strongest
+    whole-pipeline check in the registry (operators/curation.py)."""
+    from .operators.curation import curate_corpus
+
+    funnel, _ = curate_corpus(_t(spark, sf_dir, "documents"))
+    return funnel

@@ -326,3 +326,40 @@ def test_connected_components_paths_agree(spark):
         ).collect()
     }
     assert small == dist == {(1, 1), (2, 1), (3, 1), (9, 1), (4, 4), (5, 4)}
+
+
+def test_curate_corpus_end_to_end(spark, sf_dir):
+    """The curated output must be internally consistent: monotone funnel,
+    no surviving near-dup pairs, no unredacted PII-shaped digit runs, and
+    packing bins contiguous from 0 per (lang, shard)."""
+    from aim357_2019_etl_and_ml_workshop_spark.operators.curation import (
+        curate_corpus,
+    )
+    from aim357_2019_etl_and_ml_workshop_spark.sources.io import read_testdata
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    funnel, curated = curate_corpus(docs)
+    rows = {r.stage: r.n for r in funnel.collect()}
+    assert (
+        rows["input"]
+        >= rows["quality"]
+        >= rows["language"]
+        >= rows["exact_dedup"]
+        >= rows["neardup_dedup"]
+        >= rows["decontaminated"]
+        > 0
+    )
+    out = curated.collect()
+    assert len(out) == rows["decontaminated"]
+    # no 4+ digit runs survive redaction
+    import re
+
+    assert not any(re.search(r"[0-9]{4,}", r.text) for r in out)
+    # bins start at 0 per (lang, shard) and are contiguous
+    from collections import defaultdict
+
+    bins = defaultdict(set)
+    for r in out:
+        bins[(r.lang, r.shard)].add(r.bin)
+    for bs in bins.values():
+        assert bs == set(range(max(bs) + 1))
