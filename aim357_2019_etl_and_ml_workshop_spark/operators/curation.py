@@ -84,6 +84,7 @@ def curate_corpus(
         by_lang.withColumn("_min_id", F.min(id_col).over(w))
         .where(F.col(id_col) == F.col("_min_id"))
         .drop("_min_id")
+        .persist()  # feeds the simhash pipeline, the anti join, and a count
     )
 
     # near-dup dedup over survivors: portable simhash pairs (complete at

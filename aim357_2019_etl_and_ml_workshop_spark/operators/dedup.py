@@ -303,7 +303,8 @@ def simhash_near_duplicates(
                 ]
             )
         ).alias("chunk", "cv"),
-    )
+    ).persist()  # feeds BOTH sides of the self-join: without this the full
+    # tokenize+hash+60-sum fingerprint subtree executes twice
     a = chunked.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("fp_a"), "chunk", "cv"
     )
