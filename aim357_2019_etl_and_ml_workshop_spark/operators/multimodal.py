@@ -29,6 +29,37 @@ MULTIMODAL_META_SCHEMA = (
 )
 
 
+def read_binary_assets(
+    spark,
+    path: str,
+    glob: str | None = None,
+    media_type: str = "application/octet-stream",
+) -> DataFrame:
+    """Ingest raw media files via Spark's built-in ``binaryFile`` source —
+    the 100TB on-ramp for image/audio/video corpora: each file becomes one
+    row (path, modificationTime, length, content binary), read in parallel
+    across executors with partition sizing governed by
+    ``spark.sql.files.maxPartitionBytes``. ``pathGlobFilter`` prunes at
+    file-listing time (e.g. ``*.png``), so non-matching files are never
+    opened. The result is normalized into the multimodal contract
+    (payload/media_type/meta/content_hash) so every downstream operator
+    (dedup_payloads, decode_batches, resize) applies unchanged; the
+    original path/size ride in the meta map for provenance."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    raw = reader.load(path)
+    return raw.select(
+        F.col("content").alias("payload"),
+        F.lit(media_type).alias("media_type"),
+        F.map_from_arrays(
+            F.array(F.lit("path"), F.lit("length")),
+            F.array(F.col("path"), F.col("length").cast("string")),
+        ).alias("meta"),
+        F.md5(F.col("content")).alias("content_hash"),
+    )
+
+
 def attach_multimodal(
     df: DataFrame,
     payload_col: str,

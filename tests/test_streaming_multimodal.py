@@ -413,3 +413,33 @@ def test_incremental_aggregate_exactly_once(spark, tmp_path):
     agg._write_partial(replay, 1)
     got2 = {r.k: (r.n, r.v_sum) for r in agg.read().collect()}
     assert got2 == got  # no double count
+
+
+def test_read_binary_assets_source(spark, tmp_path):
+    """binaryFile ingestion: files become multimodal-contract rows, the
+    glob prunes at listing time, and downstream ops (dedup, decode) apply
+    unchanged."""
+    from aim357_2019_etl_and_ml_workshop_spark.operators.multimodal import (
+        decode_features,
+        dedup_payloads,
+        read_binary_assets,
+    )
+
+    d = tmp_path / "assets"
+    d.mkdir()
+    (d / "a.png").write_bytes(b"\x89PNG-fake-a")
+    (d / "b.png").write_bytes(b"\x89PNG-fake-b")
+    (d / "dup.png").write_bytes(b"\x89PNG-fake-a")  # same bytes as a.png
+    (d / "skip.txt").write_bytes(b"not media")
+
+    df = read_binary_assets(spark, str(d), glob="*.png", media_type="image/png")
+    rows = df.collect()
+    assert len(rows) == 3  # .txt pruned by the glob at listing time
+    assert set(df.columns) == {"payload", "media_type", "meta", "content_hash"}
+    assert all(r.media_type == "image/png" for r in rows)
+    assert all(r.meta["path"].endswith(".png") for r in rows)
+    # content-addressed: identical bytes -> identical hash -> dedup to 2
+    assert dedup_payloads(df).count() == 2
+    # decode plumbing applies unchanged
+    decoded = decode_features(df)
+    assert decoded.count() == 3
