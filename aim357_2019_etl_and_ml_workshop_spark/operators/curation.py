@@ -165,3 +165,31 @@ def curate_corpus(
         "stage_idx int, stage string, n bigint",
     )
     return funnel, curated
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    cap: int,
+    order_by: list | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Domain/source balancing: keep at most ``cap`` rows per group,
+    preferring rows by ``order_by`` (default: lowest id — fully
+    deterministic). The standard cure for a crawl dominated by a few hot
+    domains.
+
+    Scale: one partitioned window keyed on the group column — rows shuffle
+    once on the key, each partition ranks locally. For a pathologically hot
+    single group (one domain = billions of rows), pre-filter with a
+    per-partition local limit first (AQE skew splitting also applies); the
+    window never spans more than one group."""
+    from pyspark.sql import Window
+
+    order = order_by if order_by is not None else [F.col(id_col)]
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= cap)
+        .drop("_rn")
+    )

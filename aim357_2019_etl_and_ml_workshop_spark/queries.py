@@ -4844,3 +4844,37 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     funnel, _ = curate_corpus(_t(spark, sf_dir, "documents"))
     return funnel
+
+
+@register(
+    "source_capped_sample",
+    """
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM (
+        SELECT source, doc_id,
+               row_number() OVER (
+                   PARTITION BY source ORDER BY n_chars DESC, doc_id
+               ) AS rn
+        FROM documents
+    ) WHERE rn <= 10
+    GROUP BY source
+    """,
+)
+def source_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain balancing: cap each source at its 10 longest documents
+    (operators/curation.cap_per_group — one partitioned window, shuffle
+    on the group key only). id_sum makes the oracle sensitive to WHICH
+    rows survive, not just how many; (n_chars DESC, doc_id) is a total
+    order so the cut is deterministic in both engines."""
+    from .operators.curation import cap_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    capped = cap_per_group(
+        docs, "source", 10,
+        order_by=[F.col("n_chars").desc(), F.col("doc_id")],
+    )
+    return capped.groupBy("source").agg(
+        _count(None, "n_docs"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"),
+    )

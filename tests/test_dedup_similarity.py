@@ -363,3 +363,25 @@ def test_curate_corpus_end_to_end(spark, sf_dir):
         bins[(r.lang, r.shard)].add(r.bin)
     for bs in bins.values():
         assert bs == set(range(max(bs) + 1))
+
+
+def test_cap_per_group_balancing(spark):
+    """cap_per_group keeps exactly cap rows per group, preferring the
+    configured order, deterministically."""
+    from aim357_2019_etl_and_ml_workshop_spark.operators.curation import (
+        cap_per_group,
+    )
+
+    rows = [
+        Row(doc_id=i, source=f"s{i % 2}", n_chars=100 - i) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows)
+    out = cap_per_group(
+        df, "source", 2, order_by=[F.col("n_chars").desc(), F.col("doc_id")]
+    ).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r.doc_id)
+    # longest docs = lowest ids here (n_chars = 100 - id)
+    assert sorted(by_src["s0"]) == [0, 2]
+    assert sorted(by_src["s1"]) == [1, 3]
