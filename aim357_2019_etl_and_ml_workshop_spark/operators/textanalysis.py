@@ -251,3 +251,33 @@ def repetition_filter(
         ratio.alias("rep_ratio"),
         (ratio <= max_ratio).alias("keep"),
     )
+
+
+def unigram_logprob_scores(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Corpus-unigram language-model quality score: per document, the mean
+    token log-probability under the corpus's own MLE unigram distribution
+    (the cheap stand-in for LM-perplexity filtering — garbage/boilerplate
+    docs score far below fluent text). Two aggregations (term counts, then
+    per-doc mean) and one shuffle equi-join on the term key; the corpus
+    token total rides a broadcast crossJoin. round(6) on the mean keeps
+    cross-engine float fold-order invisible."""
+    from .dedup import normalize_text
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(text_col), " ")).alias("tok"),
+    ).where(F.col("tok") != "")
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    total = freq.agg(F.sum("tf").alias("total"))
+    logp = F.log(F.col("tf") / F.col("total"))
+    return (
+        toks.join(freq, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.round(F.avg(logp), 6).alias("avg_logprob"),
+        )
+    )

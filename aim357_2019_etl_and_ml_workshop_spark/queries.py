@@ -4878,3 +4878,35 @@ def source_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         _count(None, "n_docs"),
         F.sum("doc_id").cast("bigint").alias("id_sum"),
     )
+
+
+@register(
+    "unigram_logprob_scores",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split(
+                   regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')) AS tok
+        FROM documents
+    ), tk AS (
+        SELECT doc_id, tok FROM toks WHERE tok <> ''
+    ), freq AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS tf FROM tk GROUP BY 1
+    ), tot AS (
+        SELECT CAST(sum(tf) AS BIGINT) AS total FROM freq
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+           CAST(round(avg(ln(tf * 1.0 / total)), 6) AS DOUBLE) AS avg_logprob
+    FROM tk JOIN freq USING (tok) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def unigram_logprob_scores_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality scoring under a full value oracle — the
+    perplexity-style filter signal for curation, with DuckDB re-deriving
+    the corpus distribution and every per-doc mean log-probability."""
+    from .operators.textanalysis import unigram_logprob_scores
+
+    return unigram_logprob_scores(
+        _t(spark, sf_dir, "documents"), "text", "doc_id"
+    )
