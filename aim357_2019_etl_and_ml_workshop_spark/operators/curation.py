@@ -193,3 +193,43 @@ def cap_per_group(
         .where(F.col("_rn") <= cap)
         .drop("_rn")
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_pct: int = 8,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Cluster-aware train/test split: near-duplicate documents must land
+    in the SAME split (a near-dup of a training doc in the eval split is
+    leakage — the split analogue of benchmark decontamination). Portable
+    simhash pairs -> connected components -> every member inherits its
+    cluster representative's hash bucket; singletons bucket on their own
+    id. The bucket hash is the engine-portable md5-first-hex-digit (same
+    as shard_assign), so the whole assignment is reproducible in SQL.
+
+    Scale: the pair/component work runs on the near-dup subgraph only
+    (tiny relative to the corpus); the corpus-wide work is one left join
+    against the component map + a zero-shuffle projection."""
+    from .dedup import connected_components
+
+    pairs = simhash_near_duplicates(
+        docs, text_col, id_col, max_hamming=3, chunks=4,
+        bits=60, hash_fn="portable60",
+    )
+    comps = connected_components(pairs).withColumnRenamed("id", id_col)
+    withc = docs.select(F.col(id_col)).join(comps, id_col, "left").select(
+        id_col, F.coalesce(F.col("comp"), F.col(id_col)).alias("comp")
+    )
+    bucket = F.ascii(
+        F.substring(F.md5(F.col("comp").cast("string")), 1, 1)
+    ) % n_buckets
+    return withc.select(
+        id_col,
+        "comp",
+        F.when(bucket < train_pct, F.lit("train"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )

@@ -4910,3 +4910,41 @@ def unigram_logprob_scores_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob_scores(
         _t(spark, sf_dir, "documents"), "text", "doc_id"
     )
+
+
+@register(
+    "leakage_safe_split",
+    f"""
+    WITH RECURSIVE {_SIMHASH_PORTABLE_CTE.strip()}, sim AS (
+        SELECT a.doc_id AS u, b.doc_id AS v
+        FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    ), edges AS (
+        SELECT u, v FROM sim UNION SELECT v, u FROM sim
+    ), nodes AS (
+        SELECT DISTINCT u AS id FROM edges
+    ), reach AS (
+        SELECT id AS src, id AS node FROM nodes
+        UNION
+        SELECT r.src, e.v FROM reach r JOIN edges e ON r.node = e.u
+    ), comp AS (
+        SELECT src AS doc_id, min(node) AS comp FROM reach GROUP BY src
+    ), allc AS (
+        SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS comp
+        FROM documents d LEFT JOIN comp c USING (doc_id)
+    )
+    SELECT doc_id, comp,
+           CASE WHEN (ascii(substr(md5(CAST(comp AS VARCHAR)), 1, 1)) % 10) < 8
+                THEN 'train' ELSE 'test' END AS split
+    FROM allc
+    """,
+)
+def leakage_safe_split_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware train/test split under a full oracle: DuckDB
+    re-derives the portable simhash pair graph, walks the transitive
+    closure with a recursive CTE, and recomputes every md5 bucket — so the
+    hash match proves near-dup clusters never straddle the split
+    (operators/curation.leakage_safe_split)."""
+    from .operators.curation import leakage_safe_split
+
+    return leakage_safe_split(_t(spark, sf_dir, "documents"))

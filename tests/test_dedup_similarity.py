@@ -385,3 +385,22 @@ def test_cap_per_group_balancing(spark):
     # longest docs = lowest ids here (n_chars = 100 - id)
     assert sorted(by_src["s0"]) == [0, 2]
     assert sorted(by_src["s1"]) == [1, 3]
+
+
+def test_leakage_safe_split_clusters_do_not_straddle(spark, sf_dir):
+    """Every near-dup cluster must land entirely in one split, and the
+    assignment must be deterministic across invocations."""
+    from aim357_2019_etl_and_ml_workshop_spark.operators.curation import (
+        leakage_safe_split,
+    )
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    out = leakage_safe_split(docs).collect()
+    assert len(out) == docs.count()
+    split_by_comp = {}
+    for r in out:
+        split_by_comp.setdefault(r.comp, set()).add(r.split)
+    assert all(len(s) == 1 for s in split_by_comp.values())
+    assert {r.split for r in out} == {"train", "test"}
+    again = {(r.doc_id, r.split) for r in leakage_safe_split(docs).collect()}
+    assert again == {(r.doc_id, r.split) for r in out}
