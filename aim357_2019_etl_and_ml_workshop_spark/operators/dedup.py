@@ -133,10 +133,19 @@ def minhash_lsh_candidates(
     id_col: str,
     num_hashes: int = 32,
     bands: int = 8,
+    max_bucket_size: int | None = 100_000,
 ) -> DataFrame:
     """(id_a, id_b) candidate pairs: docs whose signatures agree on ALL rows
     of at least one band. Join key is (band_idx, band_hash) — pure equi-join,
-    shuffle on band buckets, never all-pairs."""
+    shuffle on band buckets, never all-pairs.
+
+    ``max_bucket_size`` is the skew guard the equi-join needs at 100 TB: a
+    degenerate band value shared by m documents (boilerplate, empty docs,
+    templated text) produces m^2 candidate pairs from that one bucket. Any
+    bucket larger than the cap is dropped BEFORE the self-join (one count
+    over the band table + a broadcast anti join) — standard LSH practice:
+    a bucket that big carries no near-dup signal, only join blow-up. Pass
+    None to disable (exact-recall mode for conformance testing)."""
     if num_hashes % bands != 0:
         raise ValueError(
             f"num_hashes ({num_hashes}) must be divisible by bands ({bands}); "
@@ -154,7 +163,16 @@ def minhash_lsh_candidates(
                 ]
             )
         ).alias("band", "bh"),
-    )
+    ).persist()  # feeds both sides of the band self-join: without this the
+    # k-hash signature groupBy executes twice
+    if max_bucket_size is not None:
+        hot = (
+            banded.groupBy("band", "bh")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > max_bucket_size)
+            .select("band", "bh")
+        )
+        banded = banded.join(F.broadcast(hot), ["band", "bh"], "left_anti")
     a = banded.select(F.col(id_col).alias("id_a"), "band", "bh")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "bh")
     return (
@@ -281,13 +299,19 @@ def simhash_near_duplicates(
     chunks: int = 4,
     bits: int = 64,
     hash_fn: str = "xxhash64",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dups by Hamming distance <= max_hamming over ``bits``-bit
     simhash. Pigeonhole banding: split into ``chunks`` equal chunks; any
     pair within distance <= chunks-1 agrees on >=1 chunk, so candidates come
     from an equi-join on (chunk_idx, chunk_value); exact popcount verifies.
     With max_hamming <= chunks-1 the banding is COMPLETE (result identical
-    to the all-pairs scan) — the basis of the portable-hash oracle twin."""
+    to the all-pairs scan) — the basis of the portable-hash oracle twin.
+
+    ``max_bucket_size`` drops chunk buckets larger than the cap before the
+    self-join (same skew guard as minhash_lsh_candidates — a chunk value
+    shared by m docs yields m^2 candidates). Default None preserves exact
+    completeness; set it when a real corpus has degenerate boilerplate."""
     fps = simhash_fingerprints(df, text_col, id_col, bits=bits, hash_fn=hash_fn)
     width = bits // chunks
     mask = (1 << width) - 1
@@ -305,6 +329,14 @@ def simhash_near_duplicates(
         ).alias("chunk", "cv"),
     ).persist()  # feeds BOTH sides of the self-join: without this the full
     # tokenize+hash+60-sum fingerprint subtree executes twice
+    if max_bucket_size is not None:
+        hot = (
+            chunked.groupBy("chunk", "cv")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > max_bucket_size)
+            .select("chunk", "cv")
+        )
+        chunked = chunked.join(F.broadcast(hot), ["chunk", "cv"], "left_anti")
     a = chunked.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("fp_a"), "chunk", "cv"
     )

@@ -404,3 +404,21 @@ def test_leakage_safe_split_clusters_do_not_straddle(spark, sf_dir):
     assert {r.split for r in out} == {"train", "test"}
     again = {(r.doc_id, r.split) for r in leakage_safe_split(docs).collect()}
     assert again == {(r.doc_id, r.split) for r in out}
+
+
+def test_lsh_hot_bucket_guard(spark):
+    """Buckets above max_bucket_size are dropped before the candidate
+    self-join (skew guard); None disables the guard."""
+    from aim357_2019_etl_and_ml_workshop_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+
+    # 6 identical docs -> every band bucket has 6 members -> 15 pairs
+    rows = [Row(doc_id=i, text="same words for every single document here") for i in range(6)]
+    df = spark.createDataFrame(rows)
+    sigs = minhash_signatures(df, "text", "doc_id", num_hashes=16)
+    full = minhash_lsh_candidates(sigs, "doc_id", 16, bands=8, max_bucket_size=None)
+    assert full.count() == 15
+    capped = minhash_lsh_candidates(sigs, "doc_id", 16, bands=8, max_bucket_size=5)
+    assert capped.count() == 0  # all buckets are hot -> dropped
