@@ -362,11 +362,15 @@ def embedding_near_duplicates(
     threshold: float = 0.9,
     n_tables: int = 16,
     n_bits: int = 4,
+    max_bucket_size: int | None = 100_000,
 ) -> DataFrame:
     """Embedding-cosine near-dup (SURVEY.md §2.12): LSH-bucketed candidate
     pairs -> exact cosine filter at ``threshold``. Same banding trade-off as
     MinHash: candidates come from equi-joins on (table, bucket), never the
-    O(n^2) cross product; exact cosine runs only on collisions."""
+    O(n^2) cross product; exact cosine runs only on collisions.
+    ``max_bucket_size`` drops degenerate hyperplane buckets (e.g. a mass of
+    zero/duplicate vectors) before the self-join — same skew guard as
+    minhash_lsh_candidates."""
     from .similarity import _multi_table_buckets, _pair_cosine_udf, hyperplanes
 
     first = df.select(F.size(vec_col).alias("d")).first()
@@ -378,6 +382,14 @@ def embedding_near_duplicates(
         "vec",
         all_planes,
     )
+    if max_bucket_size is not None:
+        hot = (
+            banded.groupBy("table", "bucket")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > max_bucket_size)
+            .select("table", "bucket")
+        )
+        banded = banded.join(F.broadcast(hot), ["table", "bucket"], "left_anti")
     a = banded.select(
         F.col("id").alias("id_a"), F.col("vec").alias("va"), "table", "bucket"
     )
