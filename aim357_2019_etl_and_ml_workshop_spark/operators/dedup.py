@@ -420,6 +420,36 @@ def stratified_sample(
     return df.sampleBy(strata_col, fractions, seed)
 
 
+def deterministic_stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hash-bucket stratified sampling — the REPRODUCIBLE alternative to
+    RNG ``sampleBy``: a row is kept iff its id's md5 bucket (first 4 hex
+    chars mod 100) falls under its stratum's percentage. The same row is
+    selected on every engine, every run, every partitioning — the property
+    a training-data pipeline needs for auditable mixes (and what makes the
+    DuckDB oracle able to verify row-exact membership). Bucket granularity
+    is 1% with a ~0.4% uniformity bias (65536 % 100 != 0) — document the
+    realized fractions, don't assume exact. Zero-shuffle projection."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 100
+    )
+    cut = None
+    for stratum, frac in fractions.items():
+        pct = int(round(frac * 100))
+        branch = F.when(F.col(strata_col) == stratum, F.lit(pct))
+        cut = branch if cut is None else cut.when(
+            F.col(strata_col) == stratum, F.lit(pct)
+        )
+    cut = cut.otherwise(F.lit(0)) if cut is not None else F.lit(0)
+    return df.where(bucket < cut)
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "id_a",

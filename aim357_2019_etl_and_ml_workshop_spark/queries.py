@@ -1958,7 +1958,9 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded stratified sample by language. Rows-only WAIVER: Bernoulli
     draws are Spark-internal RNG; the sampling-fraction contract is
-    driver-checked via the oracle-backed stratified_sample_contract twin."""
+    driver-checked via the oracle-backed stratified_sample_contract twin;
+    the reproducible hash-bucket formulation is row-exact verified as
+    deterministic_stratified_docs."""
     from .operators.dedup import stratified_sample
 
     docs = _t(spark, sf_dir, "documents")
@@ -4948,3 +4950,33 @@ def leakage_safe_split_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.curation import leakage_safe_split
 
     return leakage_safe_split(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "deterministic_stratified_docs",
+    """
+    WITH b AS (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER
+                   % 100 AS bucket
+        FROM documents
+    )
+    SELECT doc_id, lang FROM b
+    WHERE bucket < CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 25
+                             WHEN 'es' THEN 25 WHEN 'fr' THEN 10
+                             WHEN 'zh' THEN 10 ELSE 0 END
+    """,
+)
+def deterministic_stratified_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-bucket stratified sampling under a row-exact oracle — the
+    reproducible twin of stratified_sample_docs (whose Spark-RNG Bernoulli
+    draws DuckDB cannot replay). md5-bucket membership is engine-portable,
+    so the oracle verifies EXACTLY which documents are in the mix, per
+    stratum (operators/dedup.deterministic_stratified_sample)."""
+    from .operators.dedup import deterministic_stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    fracs = {"en": 0.5, "de": 0.25, "es": 0.25, "fr": 0.10, "zh": 0.10}
+    return deterministic_stratified_sample(docs, "lang", fracs).select(
+        "doc_id", "lang"
+    )

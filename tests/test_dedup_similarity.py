@@ -422,3 +422,24 @@ def test_lsh_hot_bucket_guard(spark):
     assert full.count() == 15
     capped = minhash_lsh_candidates(sigs, "doc_id", 16, bands=8, max_bucket_size=5)
     assert capped.count() == 0  # all buckets are hot -> dropped
+
+
+def test_deterministic_stratified_sample_portable(spark):
+    """Membership must be recomputable from hashlib.md5 (the oracle
+    property) and unknown strata must be excluded."""
+    import hashlib
+
+    from aim357_2019_etl_and_ml_workshop_spark.operators.dedup import (
+        deterministic_stratified_sample,
+    )
+
+    rows = [Row(doc_id=i, lang="en" if i % 2 else "xx") for i in range(200)]
+    df = spark.createDataFrame(rows)
+    out = {r.doc_id for r in deterministic_stratified_sample(
+        df, "lang", {"en": 0.5}).collect()}
+
+    def bucket(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16) % 100
+
+    want = {i for i in range(200) if i % 2 and bucket(i) < 50}
+    assert out == want
