@@ -326,3 +326,43 @@ def write_parquet_clustered(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_file_bytes: int = 256 * 1024 * 1024,
+    compression: str = "zstd",
+) -> tuple[int, int]:
+    """Small-files compaction — the table-maintenance fix for the classic
+    scale killer (a streaming or over-parallelized writer leaving thousands
+    of KB-sized files that turn every downstream scan into a
+    listing/open-per-file storm). Reads the source, sizes the output at
+    ``ceil(total_bytes / target_file_bytes)`` files via the Hadoop
+    FileSystem API (works on any supported filesystem, not just local),
+    and rewrites with coalesce — coalesce, not repartition, because
+    reducing file count needs no shuffle, only fewer write tasks.
+
+    Writes to ``dst`` (side-by-side, then swap at the catalog/orchestration
+    layer) rather than in place — an in-place overwrite that fails midway
+    destroys the table. Returns (n_input_files, n_output_files)."""
+    import math
+
+    df = spark.read.parquet(src)
+    files = df.inputFiles()
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    total = 0
+    for f in files:
+        p = jvm.org.apache.hadoop.fs.Path(f)
+        total += p.getFileSystem(conf).getFileStatus(p).getLen()
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    (
+        df.coalesce(n_out)
+        .write.mode("overwrite")
+        .option("compression", compression)
+        .parquet(dst)
+    )
+    n_written = len(spark.read.parquet(dst).inputFiles())
+    return len(files), n_written

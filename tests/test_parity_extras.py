@@ -459,3 +459,19 @@ def test_variant_stats_agree_with_string_path(spark, sf_dir):
     assert set(v) == set(s)
     for et, (k_sum, _n) in v.items():
         assert k_sum == s[et]
+
+
+def test_compact_parquet_small_files(spark, tmp_path):
+    """Compaction reduces file count without changing content, sized by
+    total bytes / target."""
+    from aim357_2019_etl_and_ml_workshop_spark.sources.io import (
+        compact_parquet,
+    )
+
+    src, dst = str(tmp_path / "frag"), str(tmp_path / "compact")
+    df = spark.range(10_000).withColumn("v", F.col("id") * 2)
+    df.repartition(40).write.parquet(src)  # fragment into 40 small files
+    n_in, n_out = compact_parquet(spark, src, dst, target_file_bytes=1 << 30)
+    assert n_in >= 40 and n_out == 1
+    a = sorted(r.id for r in spark.read.parquet(dst).collect())
+    assert a == list(range(10_000))
