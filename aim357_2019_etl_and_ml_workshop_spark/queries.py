@@ -4980,3 +4980,117 @@ def deterministic_stratified_docs(spark: SparkSession, sf_dir: str) -> DataFrame
     return deterministic_stratified_sample(docs, "lang", fracs).select(
         "doc_id", "lang"
     )
+
+
+@register(
+    "local_supplier_volume",
+    """
+    SELECT n_name,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+                          * CAST(1 - l_discount AS DECIMAL(8,4))), 2)
+                AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped local-supplier volume: revenue where the customer
+    and supplier share a nation, by nation, one region + one year. The
+    same-nation constraint rides the supplier broadcast join condition
+    (an equi-join on TWO keys — suppkey and nationkey), so no post-join
+    filter materializes cross-nation rows; region/nation prune the
+    customer dim before broadcast; the only fact shuffle is
+    lineitem->orders."""
+    cutlo = F.lit("1997-01-01").cast("timestamp")
+    cuthi = F.lit("1998-01-01").cast("timestamp")
+    asia = (
+        _t(spark, sf_dir, "region")
+        .where(F.col("r_name") == "ASIA")
+        .select("r_regionkey")
+    )
+    nat = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey", "n_name"
+    )
+    nat_asia = nat.join(F.broadcast(asia), nat.n_regionkey == asia.r_regionkey)
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    cust_asia = cust.join(
+        F.broadcast(nat_asia), cust.c_nationkey == nat_asia.n_nationkey
+    ).select("c_custkey", "c_nationkey", "n_name")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where((F.col("o_orderdate") >= cutlo) & (F.col("o_orderdate") < cuthi))
+        .select("o_orderkey", "o_custkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    rev = _dec("l_extendedprice", 12, 4) * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(8,4)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust_asia), F.col("o_custkey") == cust_asia.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (F.col("c_nationkey") == supp.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@register(
+    "small_quantity_revenue",
+    """
+    WITH pa AS (
+        SELECT l_partkey AS pk, avg(l_quantity) AS avg_qty
+        FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4))) / 7.0, 2)
+                AS DOUBLE) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    JOIN pa ON pa.pk = l_partkey
+    WHERE p_brand = 'Brand#11'
+      AND l_quantity < 0.2 * avg_qty
+    """,
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped small-quantity-order revenue: lineitems under 20%
+    of their part's average order quantity, one brand class. The
+    correlated avg subquery becomes a per-part aggregate joined back on
+    the part key — two passes over lineitem but each a plain scan; the
+    per-part avg table is dimension-sized, and the brand filter prunes
+    part before its broadcast. No window, no correlated re-execution."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    part = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_brand") == "Brand#11")
+        .select("p_partkey")
+    )
+    pa = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(pa, F.col("l_partkey") == F.col("pk"))
+        .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (F.round(F.sum(_dec("l_extendedprice", 12, 4)) / 7.0, 2))
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
