@@ -33,6 +33,7 @@ class IncrementalIngest:
         checkpoint_path: str,
         transform: Callable[[DataFrame], DataFrame] | None = None,
         fmt: str = "parquet",
+        max_files_per_trigger: int | None = None,
     ) -> None:
         self.spark = spark
         self.input_path = input_path
@@ -41,13 +42,22 @@ class IncrementalIngest:
         self.checkpoint_path = checkpoint_path
         self.transform = transform or (lambda df: df)
         self.fmt = fmt
+        # Backlog pacing: after an outage, availableNow drains EVERYTHING
+        # pending; on a 100TB table that one catch-up batch can exceed
+        # executor memory. maxFilesPerTrigger splits the drain into bounded
+        # micro-batches (availableNow still terminates when caught up).
+        self.max_files_per_trigger = max_files_per_trigger
 
     def run_once(self, timeout_sec: float = 300.0) -> None:
-        src = (
+        reader = (
             self.spark.readStream.format(self.fmt)
             .schema(self.schema)
-            .load(self.input_path)
         )
+        if self.max_files_per_trigger is not None:
+            reader = reader.option(
+                "maxFilesPerTrigger", self.max_files_per_trigger
+            )
+        src = reader.load(self.input_path)
         out = self.transform(src)
         q = (
             out.writeStream.format("parquet")

@@ -90,6 +90,25 @@ def test_incremental_ingest_bookmarks(spark, tmp_path):
     assert got.select("event_id").distinct().count() == 8
 
 
+def test_incremental_ingest_paced_backlog(spark, tmp_path):
+    """maxFilesPerTrigger splits a big catch-up drain into bounded
+    micro-batches; availableNow still processes the whole backlog exactly
+    once."""
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    os.makedirs(src)
+    for batch in range(4):  # 4 separate files
+        _events(spark, range(batch * 10, batch * 10 + 10)).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+    job = IncrementalIngest(
+        spark, src, EVENTS_SCHEMA, out, ckpt, max_files_per_trigger=1
+    )
+    job.run_once()
+    got = spark.read.parquet(out)
+    assert got.count() == 40
+    assert got.select("event_id").distinct().count() == 40
+
+
 @pytest.fixture()
 def media_df(spark):
     rows = [
