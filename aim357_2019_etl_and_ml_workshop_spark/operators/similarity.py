@@ -181,8 +181,16 @@ def lsh_topk(
     n_bits: int = 4,
     seed: int = 42,
     dim: int | None = None,
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: classic multi-table hyperplane LSH.
+
+    ``multiprobe=1`` additionally probes, per table, every bucket at
+    Hamming distance 1 from the query's bucket (the classic multiprobe
+    trick): recall rises as if tables were multiplied by ~(n_bits+1)
+    WITHOUT growing the candidate index — only the tiny query-side probe
+    set fans out. The candidate table, its shuffle, and its storage are
+    unchanged; cost is a larger (but still query-bounded) bucket join.
 
     L=``n_tables`` independent tables of ``n_bits`` hyperplane sign bits;
     candidates = pairs sharing a bucket in ANY table (union via the
@@ -217,6 +225,13 @@ def lsh_topk(
         "qv",
         all_planes,
     ).select("q_id", "table", "bucket")
+    if multiprobe >= 1:
+        probes = [F.col("bucket")] + [
+            F.col("bucket").bitwiseXOR(F.lit(1 << b)) for b in range(n_bits)
+        ]
+        q = q.select(
+            "q_id", "table", F.explode(F.array(*probes)).alias("bucket")
+        ).distinct()
     # Dedup collisions on BARE id pairs (same pair may collide in many
     # tables), then re-attach each candidate vector once via an equi-join —
     # vectors never ride the dedup shuffle (at 100TB the duplicate factor is

@@ -1033,7 +1033,7 @@ def lsh_ann_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", as_double_vec("embedding").alias("v")
     )
     q = emb.where(F.col("vec_id") % 50 == 0)
-    return lsh_topk(emb, q, k=5, n_tables=16, n_bits=4)
+    return lsh_topk(emb, q, k=5, n_tables=16, n_bits=4, multiprobe=1)
 
 
 @register(
@@ -3217,7 +3217,7 @@ def embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "lsh_recall_check",
     """
-    SELECT CAST(count(*) AS BIGINT) AS n_queries, 5 AS k, TRUE AS recall_ge_05
+    SELECT CAST(count(*) AS BIGINT) AS n_queries, 5 AS k, TRUE AS recall_ge_09
     FROM embeddings WHERE vec_id % 50 = 0
     """,
 )
@@ -3225,15 +3225,17 @@ def lsh_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH ANN recall vs the brute-force exact top-k (both
     computed in Spark; the exact side is itself oracle-verified as
     embedding_cosine_topk). n_queries is recomputed by the oracle from the
-    query-set predicate; the recall threshold matches the pytest contract."""
+    query-set predicate. With multiprobe=1 the measured recall is 1.0 at
+    sf0.001 and sf0.01, so the contract tightens to >= 0.9 (margin for
+    geometry drift); plain-probe pytest keeps its own looser bound."""
     exact = embedding_cosine_topk(spark, sf_dir).select("q_id", "c_id")
     approx = lsh_ann_topk_query(spark, sf_dir).select("q_id", "c_id")
     total = exact.count()
     hits = exact.join(approx, ["q_id", "c_id"]).count()
     n_queries = exact.select("q_id").distinct().count()
     return spark.createDataFrame(
-        [(n_queries, 5, hits / total >= 0.5)],
-        "n_queries bigint, k int, recall_ge_05 boolean",
+        [(n_queries, 5, hits / total >= 0.9)],
+        "n_queries bigint, k int, recall_ge_09 boolean",
     )
 
 

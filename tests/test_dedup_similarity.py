@@ -443,3 +443,27 @@ def test_deterministic_stratified_sample_portable(spark):
 
     want = {i for i in range(200) if i % 2 and bucket(i) < 50}
     assert out == want
+
+
+def test_lsh_multiprobe_improves_recall(spark, sf_dir):
+    """1-bit multiprobe must recall at least as much as plain probing at
+    identical table count (query-side-only fan-out)."""
+    emb = read_testdata(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_vec("embedding").alias("v")
+    )
+    q = emb.where(F.col("vec_id") % 100 == 0)
+    exact = {(r.q_id, r.c_id) for r in brute_force_topk(emb, q, k=5).collect()}
+    plain = {
+        (r.q_id, r.c_id)
+        for r in lsh_topk(emb, q, k=5, n_tables=16, n_bits=4).collect()
+    }
+    multi = {
+        (r.q_id, r.c_id)
+        for r in lsh_topk(
+            emb, q, k=5, n_tables=16, n_bits=4, multiprobe=1
+        ).collect()
+    }
+    r_plain = len(exact & plain) / len(exact)
+    r_multi = len(exact & multi) / len(exact)
+    assert r_multi >= r_plain
+    assert r_multi >= 0.9
