@@ -3242,22 +3242,22 @@ def lsh_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ivf_recall_check",
     """
-    SELECT CAST(count(*) AS BIGINT) AS n_queries, 5 AS k, TRUE AS recall_ge_04
+    SELECT CAST(count(*) AS BIGINT) AS n_queries, 5 AS k, TRUE AS recall_ge_06
     FROM embeddings WHERE vec_id % 50 = 0
     """,
 )
 def ivf_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN recall vs the brute-force exact top-k — same derived contract
-    as lsh_recall_check (threshold matches the pytest contract for isotropic
-    embeddings at n_probe=6/16)."""
+    as lsh_recall_check (measured 0.68-0.74 at the conformance SFs for
+    isotropic embeddings at n_probe=6/16; contracted at >= 0.6)."""
     exact = embedding_cosine_topk(spark, sf_dir).select("q_id", "c_id")
     approx = ivf_ann_topk_query(spark, sf_dir).select("q_id", "c_id")
     total = exact.count()
     hits = exact.join(approx, ["q_id", "c_id"]).count()
     n_queries = exact.select("q_id").distinct().count()
     return spark.createDataFrame(
-        [(n_queries, 5, hits / total >= 0.4)],
-        "n_queries bigint, k int, recall_ge_04 boolean",
+        [(n_queries, 5, hits / total >= 0.6)],
+        "n_queries bigint, k int, recall_ge_06 boolean",
     )
 
 
