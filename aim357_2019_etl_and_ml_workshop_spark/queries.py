@@ -5144,3 +5144,34 @@ def native_session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@register(
+    "try_arithmetic_probe",
+    """
+    SELECT o_orderkey,
+           CASE WHEN (o_orderkey % 3) = 0 THEN NULL
+                ELSE CAST(round(o_totalprice / (o_orderkey % 3), 4)
+                          AS DOUBLE) END AS safe_div,
+           TRY_CAST(o_orderstatus AS DOUBLE) AS bad_cast,
+           CAST(o_orderkey + 1 AS BIGINT) AS incr
+    FROM orders
+    WHERE o_orderkey <= 100
+    """,
+)
+def try_arithmetic_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode error-safe arithmetic: try_divide returns NULL on
+    divide-by-zero instead of raising (Spark 4 runs ANSI by default, where
+    plain `/` on zero errors the whole job — the try_* family is how a
+    pipeline over dirty data stays up), try_cast nulls unparseable input.
+    Oracle spells the same semantics with CASE/TRY_CAST. Codegen scalars,
+    zero shuffle beyond the pushed key filter."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 100)
+    return o.select(
+        "o_orderkey",
+        F.round(
+            F.try_divide(F.col("o_totalprice"), F.col("o_orderkey") % 3), 4
+        ).cast("double").alias("safe_div"),
+        F.col("o_orderstatus").try_cast("double").alias("bad_cast"),
+        F.try_add(F.col("o_orderkey"), F.lit(1)).cast("bigint").alias("incr"),
+    )
