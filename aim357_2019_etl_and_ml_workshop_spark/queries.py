@@ -5175,3 +5175,37 @@ def try_arithmetic_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderstatus").try_cast("double").alias("bad_cast"),
         F.try_add(F.col("o_orderkey"), F.lit(1)).cast("bigint").alias("incr"),
     )
+
+
+@register(
+    "parameterized_sql_probe",
+    """
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+               AS total
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-06-01' AND o_totalprice > 1000.0
+    GROUP BY o_orderstatus
+    """,
+)
+def parameterized_sql_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (spark.sql(query, args=...)): named :placeholders
+    bind server-side as literals — the injection-safe way to template the
+    SQL entry point (sql_surface.engine_sql) instead of string
+    concatenation. The oracle runs the same query with inlined literals,
+    proving the bound plan is equivalent."""
+    from .sql_surface import register_views
+
+    pin_session_conf(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, count(*) AS n,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+                    AS DOUBLE) AS total
+        FROM orders
+        WHERE o_orderdate >= :cutoff AND o_totalprice > :floor
+        GROUP BY o_orderstatus
+        """,
+        args={"cutoff": "1997-06-01", "floor": 1000.0},
+    )
