@@ -281,3 +281,60 @@ def unigram_logprob_scores(
             F.round(F.avg(logp), 6).alias("avg_logprob"),
         )
     )
+
+
+def fuzzy_substitution_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_subs: int = 1,
+    chunks: int = 2,
+) -> DataFrame:
+    """Fuzzy self-match on strings within ``max_subs`` character
+    SUBSTITUTIONS (equal length; levenshtein == hamming there) — entity
+    resolution for near-identical codes/names/SKUs at scale. Pigeonhole
+    blocking, the string analogue of SimHash chunk banding: split each
+    string into ``chunks`` equal-ish slices; any pair within
+    max_subs <= chunks-1 substitutions agrees on >= 1 slice, so candidates
+    come from an equi-join on (chunk_idx, slice, length) — complete, never
+    all-pairs — and a levenshtein verify runs on candidates only. A
+    degenerate shared slice (common prefix across the table) makes a hot
+    block: cap it upstream the same way as the LSH bucket guards if the
+    key distribution warrants."""
+    if max_subs > chunks - 1:
+        raise ValueError(
+            f"completeness needs max_subs <= chunks-1, got {max_subs} > {chunks - 1}"
+        )
+    t = df.select(
+        F.col(id_col), F.col(text_col).alias("_s"), F.length(text_col).alias("_l")
+    )
+    pieces = F.array(
+        *[
+            F.expr(
+                f"substring(_s, cast(floor(_l * {i} / {chunks}) as int) + 1, "
+                f"cast(floor(_l * {i + 1} / {chunks}) as int)"
+                f" - cast(floor(_l * {i} / {chunks}) as int))"
+            )
+            for i in range(chunks)
+        ]
+    )
+    chunked = t.select(
+        id_col, "_s", "_l", F.posexplode(pieces).alias("chunk", "piece")
+    )
+    a = chunked.select(
+        F.col(id_col).alias("id_a"), F.col("_s").alias("s_a"),
+        "_l", "chunk", "piece",
+    )
+    b = chunked.select(
+        F.col(id_col).alias("id_b"), F.col("_s").alias("s_b"),
+        "_l", "chunk", "piece",
+    )
+    dist = F.levenshtein("s_a", "s_b")
+    return (
+        a.join(b, ["_l", "chunk", "piece"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "s_a", "s_b")
+        .distinct()
+        .where(dist <= max_subs)
+        .select("id_a", "id_b", dist.cast("int").alias("distance"))
+    )

@@ -467,3 +467,40 @@ def test_lsh_multiprobe_improves_recall(spark, sf_dir):
     r_multi = len(exact & multi) / len(exact)
     assert r_multi >= r_plain
     assert r_multi >= 0.9
+
+
+def test_fuzzy_substitution_pairs_complete(spark):
+    """Pigeonhole slice blocking must equal the all-pairs scan at
+    max_subs <= chunks-1, and reject impossible parameters."""
+    from aim357_2019_etl_and_ml_workshop_spark.operators.textanalysis import (
+        fuzzy_substitution_pairs,
+    )
+
+    rows = [
+        Row(id=1, s="alpha"), Row(id=2, s="alphx"),  # 1 sub
+        Row(id=3, s="alpxx"),                         # 2 subs from alpha
+        Row(id=4, s="beta"),                          # different length
+        Row(id=5, s="alpha"),                         # exact dup (0 subs)
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        (r.id_a, r.id_b): r.distance
+        for r in fuzzy_substitution_pairs(df, "s", "id").collect()
+    }
+    # brute force: same length, levenshtein <= 1
+    import itertools
+
+    want = {}
+    data = {r.id: r.s for r in rows}
+    def lev(a, b):
+        if len(a) != len(b):
+            return 99
+        return sum(x != y for x, y in zip(a, b))
+    for i, j in itertools.combinations(sorted(data), 2):
+        d = lev(data[i], data[j])
+        if d <= 1:
+            want[(i, j)] = d
+    assert got == want
+    assert (1, 2) in got and (1, 5) in got and got[(1, 5)] == 0
+    with pytest.raises(ValueError):
+        fuzzy_substitution_pairs(df, "s", "id", max_subs=2, chunks=2)
