@@ -462,3 +462,49 @@ def test_read_binary_assets_source(spark, tmp_path):
     # decode plumbing applies unchanged
     decoded = decode_features(df)
     assert decoded.count() == 3
+
+
+def test_session_window_batch_streaming_parity(spark, tmp_path):
+    """Native session_window produces identical sessions on a batch frame
+    and an availableNow stream (the streaming-compatible formulation the
+    batch oracle query pins semantically)."""
+    src = str(tmp_path / "sess_in")
+    _events(spark, range(10)).write.parquet(src)
+
+    def sessions(df):
+        return (
+            df.groupBy(
+                F.session_window(F.col("ts"), "30 minutes").alias("w"),
+                "event_type",
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                "event_type",
+                F.col("w.start").alias("s"),
+                F.col("w.end").alias("e"),
+                "n",
+            )
+        )
+
+    batch_rows = {
+        (r.event_type, r.s, r.e): r.n
+        for r in sessions(spark.read.parquet(src)).collect()
+    }
+    stream = stream_from_directory(spark, src, EVENTS_SCHEMA)
+    agg = sessions(stream.withWatermark("ts", "1 hour"))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("session_parity_test")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        stream_rows = {
+            (r.event_type, r.s, r.e): r.n
+            for r in spark.sql("select * from session_parity_test").collect()
+        }
+    finally:
+        q.stop()
+        spark.catalog.dropTempView("session_parity_test")
+    assert stream_rows == batch_rows and batch_rows
