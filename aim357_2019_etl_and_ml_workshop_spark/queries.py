@@ -1331,7 +1331,7 @@ def ivf_ann_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (sf_dir, 16)
     if key not in _IVF_CENTROID_CACHE:
         # one Lloyd pass over a 1k-row seeded sample: centroid quality only
-        # gates recall via n_probe=6/16 cell coverage, and the recall
+        # gates recall via n_probe=8/16 cell coverage, and the recall
         # contract (ivf_recall_check, pytest) stays green with the cheaper
         # fit — the 100TB posture is precisely "fit on a tiny sample"
         _IVF_CENTROID_CACHE[key] = ivf_centroids(
@@ -1339,7 +1339,7 @@ def ivf_ann_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             sample_rows=1024,
         )
     return ivf_topk(
-        emb, q, k=5, n_centroids=16, n_probe=6,
+        emb, q, k=5, n_centroids=16, n_probe=8,
         centroids=_IVF_CENTROID_CACHE[key],
     )
 
@@ -3242,22 +3242,24 @@ def lsh_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ivf_recall_check",
     """
-    SELECT CAST(count(*) AS BIGINT) AS n_queries, 5 AS k, TRUE AS recall_ge_06
+    SELECT CAST(count(*) AS BIGINT) AS n_queries, 5 AS k, TRUE AS recall_ge_07
     FROM embeddings WHERE vec_id % 50 = 0
     """,
 )
 def ivf_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN recall vs the brute-force exact top-k — same derived contract
     as lsh_recall_check (measured 0.68-0.74 at the conformance SFs for
-    isotropic embeddings at n_probe=6/16; contracted at >= 0.6)."""
+    isotropic embeddings; n_probe=8/16 measures 0.80-0.86 across
+    sf0.001-sf0.1 at no join cost — probes fan out query-side only;
+    contracted at >= 0.7)."""
     exact = embedding_cosine_topk(spark, sf_dir).select("q_id", "c_id")
     approx = ivf_ann_topk_query(spark, sf_dir).select("q_id", "c_id")
     total = exact.count()
     hits = exact.join(approx, ["q_id", "c_id"]).count()
     n_queries = exact.select("q_id").distinct().count()
     return spark.createDataFrame(
-        [(n_queries, 5, hits / total >= 0.6)],
-        "n_queries bigint, k int, recall_ge_06 boolean",
+        [(n_queries, 5, hits / total >= 0.7)],
+        "n_queries bigint, k int, recall_ge_07 boolean",
     )
 
 
