@@ -181,3 +181,26 @@ def salted_join(
     salted_small = small.select("*", salts)
     out = salted_big.join(salted_small, [key, "_salt"], how)
     return out.drop("_salt")
+
+
+def key_skew_report(df: DataFrame, key_col: str) -> DataFrame:
+    """Join-key skew diagnostic — run BEFORE a big shuffle join to decide
+    between plain, AQE-skew, and salted_join strategies: one row with the
+    key cardinality, max/mean per-key row counts, their ratio (the skew
+    factor — a ratio near 1 is uniform; >> partition count means one key
+    will straggle), and the hottest key. One groupBy + one tiny ordered
+    aggregate over per-key counts; the per-key count table is the only
+    shuffle."""
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n"))
+    # composite scalar (count dominates, key breaks ties) — portable to
+    # engines whose max_by lacks struct ordering
+    top = F.max_by(
+        F.col(key_col),
+        F.col("n") * F.lit(1_000_000_000_000) + F.col(key_col),
+    )
+    return counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("n").alias("max_n"),
+        F.round(F.max("n") / F.avg("n"), 4).alias("skew_ratio"),
+        top.alias("hottest_key"),
+    )

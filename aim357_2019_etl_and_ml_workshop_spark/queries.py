@@ -5246,3 +5246,32 @@ def fuzzy_supplier_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return fuzzy_substitution_pairs(supp, "s_name", "s_suppkey")
+
+
+@register(
+    "events_key_skew_report",
+    """
+    WITH c AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(max(n) AS BIGINT) AS max_n,
+           CAST(round(max(n) / avg(n), 4) AS DOUBLE) AS skew_ratio,
+           CAST(max_by(user_id, n * 1000000000000 + user_id) AS BIGINT) AS hottest_key
+    FROM c
+    """,
+)
+def events_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic on events.user_id (operators/timeseries.
+    key_skew_report): the pre-flight check that decides plain vs AQE-skew
+    vs salted join. max_by orders on a composite (count, key) scalar so
+    ties break deterministically in both engines."""
+    from .operators.timeseries import key_skew_report
+
+    return key_skew_report(
+        _t(spark, sf_dir, "events").select("user_id"), "user_id"
+    ).select(
+        "n_keys", "max_n", "skew_ratio",
+        F.col("hottest_key").cast("bigint").alias("hottest_key"),
+    )
