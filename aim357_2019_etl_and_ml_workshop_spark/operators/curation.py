@@ -92,7 +92,7 @@ def curate_corpus(
     # the higher id of a pair is dropped
     pairs = simhash_near_duplicates(
         exact, text_col, id_col, max_hamming=3, chunks=4,
-        bits=60, hash_fn="portable60",
+        bits=60, hash_fn="portable60", eager_release=True,
     )
     drop_ids = pairs.select(F.col("id_b").alias(id_col)).distinct()
     neardup = exact.join(drop_ids, id_col, "left_anti").persist()
@@ -164,6 +164,15 @@ def curate_corpus(
         ],
         "stage_idx int, stage string, n bigint",
     )
+    # All funnel actions are done and every downstream cached frame is
+    # materialized — release the upstream caches so repeated calls in a
+    # long-lived session don't accumulate corpus-scale blocks. `decontam`
+    # stays cached: it is the lineage root of the returned `curated` frame
+    # (callers release it by unpersisting `curated`'s source or letting
+    # session LRU evict one bounded frame, not four).
+    by_lang.unpersist(blocking=False)
+    exact.unpersist(blocking=False)
+    neardup.unpersist(blocking=False)
     return funnel, curated
 
 
@@ -207,8 +216,12 @@ def leakage_safe_split(
     leakage — the split analogue of benchmark decontamination). Portable
     simhash pairs -> connected components -> every member inherits its
     cluster representative's hash bucket; singletons bucket on their own
-    id. The bucket hash is the engine-portable md5-first-hex-digit (same
-    as shard_assign), so the whole assignment is reproducible in SQL.
+    id. The bucket is the engine-portable md5-prefix integer mod
+    ``n_buckets`` (the deterministic_stratified_sample pattern), so the
+    whole assignment is reproducible in SQL AND near-uniform: buckets
+    deviate from 1/n_buckets by at most n_buckets/65536 (~0.015% at
+    n_buckets=10). The earlier single-hex-digit ascii bucket mapped 16
+    values onto 10 buckets and skewed the realized split to ~75/25.
 
     Scale: the pair/component work runs on the near-dup subgraph only
     (tiny relative to the corpus); the corpus-wide work is one left join
@@ -217,15 +230,17 @@ def leakage_safe_split(
 
     pairs = simhash_near_duplicates(
         docs, text_col, id_col, max_hamming=3, chunks=4,
-        bits=60, hash_fn="portable60",
+        bits=60, hash_fn="portable60", eager_release=True,
     )
     comps = connected_components(pairs).withColumnRenamed("id", id_col)
     withc = docs.select(F.col(id_col)).join(comps, id_col, "left").select(
         id_col, F.coalesce(F.col("comp"), F.col(id_col)).alias("comp")
     )
-    bucket = F.ascii(
-        F.substring(F.md5(F.col("comp").cast("string")), 1, 1)
-    ) % n_buckets
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("comp").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % n_buckets
+    )
     return withc.select(
         id_col,
         "comp",

@@ -134,6 +134,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     max_bucket_size: int | None = 100_000,
+    eager_release: bool = False,
 ) -> DataFrame:
     """(id_a, id_b) candidate pairs: docs whose signatures agree on ALL rows
     of at least one band. Join key is (band_idx, band_hash) — pure equi-join,
@@ -145,7 +146,14 @@ def minhash_lsh_candidates(
     bucket larger than the cap is dropped BEFORE the self-join (one count
     over the band table + a broadcast anti join) — standard LSH practice:
     a bucket that big carries no near-dup signal, only join blow-up. Pass
-    None to disable (exact-recall mode for conformance testing)."""
+    None to disable (exact-recall mode for conformance testing).
+
+    ``eager_release=True`` materializes the (small, id-only) candidate
+    pairs via localCheckpoint and unpersists the banded signature cache
+    before returning — use in long-lived sessions so corpus-scale cached
+    frames don't accumulate until LRU eviction. Default (lazy) keeps the
+    band cache alive because it feeds BOTH sides of the self-join within
+    the caller's single action."""
     if num_hashes % bands != 0:
         raise ValueError(
             f"num_hashes ({num_hashes}) must be divisible by bands ({bands}); "
@@ -165,6 +173,7 @@ def minhash_lsh_candidates(
         ).alias("band", "bh"),
     ).persist()  # feeds both sides of the band self-join: without this the
     # k-hash signature groupBy executes twice
+    _cached_bands = banded
     if max_bucket_size is not None:
         hot = (
             banded.groupBy("band", "bh")
@@ -175,12 +184,16 @@ def minhash_lsh_candidates(
         banded = banded.join(F.broadcast(hot), ["band", "bh"], "left_anti")
     a = banded.select(F.col(id_col).alias("id_a"), "band", "bh")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "bh")
-    return (
+    cand = (
         a.join(b, ["band", "bh"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
+    if eager_release:
+        cand = cand.localCheckpoint(eager=True)
+        _cached_bands.unpersist(blocking=False)
+    return cand
 
 
 def minhash_near_duplicates(
@@ -191,6 +204,7 @@ def minhash_near_duplicates(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    eager_release: bool = False,
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates verified with EXACT Jaccard
     over distinct shingles (computed only for candidate pairs via a
@@ -202,10 +216,19 @@ def minhash_near_duplicates(
     id-restriction and the pair semi-join. Both are persisted so each is
     computed once — the unshared plan re-scanned the source 14 times (plan
     audit). Same posture at 100TB: shingle/candidate tables are the natural
-    materialization points of the pipeline."""
+    materialization points of the pipeline.
+
+    ``eager_release=True`` materializes the (tiny) verified pair list and
+    unpersists the shingle/candidate caches before returning, so repeated
+    calls in a long-lived session don't accumulate corpus-scale cached
+    frames until LRU eviction."""
     sh = exploded_shingles(df, text_col, id_col, shingle_n).persist()
     sigs = minhash_signatures_from_shingles(sh, id_col, num_hashes)
-    cand = minhash_lsh_candidates(sigs, id_col, num_hashes, bands).persist()
+    cand = minhash_lsh_candidates(
+        sigs, id_col, num_hashes, bands, eager_release=eager_release
+    )
+    if not eager_release:
+        cand = cand.persist()  # localCheckpoint already materialized it
 
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     # Restrict the shingle table to docs that appear in ANY candidate pair
@@ -230,12 +253,16 @@ def minhash_near_duplicates(
     za = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     zb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
-    return (
+    out = (
         inter.join(F.broadcast(za), "id_a")
         .join(F.broadcast(zb), "id_b")
         .where(jac >= threshold)
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
     )
+    if eager_release:
+        out = out.localCheckpoint(eager=True)
+        sh.unpersist(blocking=False)
+    return out
 
 
 def portable_hash60(col: Column | str) -> Column:
@@ -300,6 +327,7 @@ def simhash_near_duplicates(
     bits: int = 64,
     hash_fn: str = "xxhash64",
     max_bucket_size: int | None = None,
+    eager_release: bool = False,
 ) -> DataFrame:
     """Near-dups by Hamming distance <= max_hamming over ``bits``-bit
     simhash. Pigeonhole banding: split into ``chunks`` equal chunks; any
@@ -311,7 +339,16 @@ def simhash_near_duplicates(
     ``max_bucket_size`` drops chunk buckets larger than the cap before the
     self-join (same skew guard as minhash_lsh_candidates — a chunk value
     shared by m docs yields m^2 candidates). Default None preserves exact
-    completeness; set it when a real corpus has degenerate boilerplate."""
+    completeness; set it when a real corpus has degenerate boilerplate.
+
+    ``eager_release=True``: materialize the verified pair list, unpersist
+    the chunked fingerprint cache (see minhash_near_duplicates)."""
+    if bits % chunks != 0:
+        raise ValueError(
+            f"bits ({bits}) must be divisible by chunks ({chunks}); the top "
+            f"{bits % chunks} fingerprint bits would otherwise never be "
+            "banded, silently voiding the pigeonhole completeness guarantee"
+        )
     fps = simhash_fingerprints(df, text_col, id_col, bits=bits, hash_fn=hash_fn)
     width = bits // chunks
     mask = (1 << width) - 1
@@ -329,6 +366,7 @@ def simhash_near_duplicates(
         ).alias("chunk", "cv"),
     ).persist()  # feeds BOTH sides of the self-join: without this the full
     # tokenize+hash+60-sum fingerprint subtree executes twice
+    _cached_chunks = chunked
     if max_bucket_size is not None:
         hot = (
             chunked.groupBy("chunk", "cv")
@@ -350,9 +388,13 @@ def simhash_near_duplicates(
         .distinct()
     )
     ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
-    return cand.where(ham <= max_hamming).select(
+    out = cand.where(ham <= max_hamming).select(
         "id_a", "id_b", ham.alias("hamming")
     )
+    if eager_release:
+        out = out.localCheckpoint(eager=True)
+        _cached_chunks.unpersist(blocking=False)
+    return out
 
 
 def embedding_near_duplicates(
@@ -516,6 +558,8 @@ def connected_components(
         rows = [(x, find(x)) for x in parent]
         spark = pairs.sparkSession
         id_type = dict(pairs.dtypes)[a_col]
+        edges.unpersist(blocking=False)  # result is driver-local; the
+        # edge cache has no further consumer
         return spark.createDataFrame(rows, f"id {id_type}, comp {id_type}")
     labels = (
         edges.select(F.col("u").alias("id"))
@@ -565,6 +609,8 @@ def connected_components(
         labels = new_labels.drop("_changed")
         if changed == 0:
             break
+    edges.unpersist(blocking=False)  # labels are localCheckpoint-
+    # materialized; the edge cache has no further consumer
     return labels.select("id", "comp")
 
 

@@ -192,12 +192,13 @@ def key_skew_report(df: DataFrame, key_col: str) -> DataFrame:
     aggregate over per-key counts; the per-key count table is the only
     shuffle."""
     counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n"))
-    # composite scalar (count dominates, key breaks ties) — portable to
-    # engines whose max_by lacks struct ordering
-    top = F.max_by(
-        F.col(key_col),
-        F.col("n") * F.lit(1_000_000_000_000) + F.col(key_col),
-    )
+    # struct ordering (count dominates, key breaks ties): works for ANY
+    # orderable key type — string/date/decimal join keys included — and
+    # cannot overflow however hot the key. The earlier composite scalar
+    # (n * 1e12 + key) silently required a numeric key and per-key counts
+    # below ~9.2M rows; oracle twins may keep the scalar form where the
+    # key is known numeric and small.
+    top = F.max_by(F.col(key_col), F.struct(F.col("n"), F.col(key_col)))
     return counts.agg(
         F.count(F.lit(1)).alias("n_keys"),
         F.max("n").alias("max_n"),

@@ -4940,7 +4940,8 @@ def unigram_logprob_scores_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents d LEFT JOIN comp c USING (doc_id)
     )
     SELECT doc_id, comp,
-           CASE WHEN (ascii(substr(md5(CAST(comp AS VARCHAR)), 1, 1)) % 10) < 8
+           CASE WHEN (('0x' || substr(md5(CAST(comp AS VARCHAR)), 1, 4))::BIGINT
+                      % 10) < 8
                 THEN 'train' ELSE 'test' END AS split
     FROM allc
     """,
@@ -5265,8 +5266,10 @@ def fuzzy_supplier_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-key skew diagnostic on events.user_id (operators/timeseries.
     key_skew_report): the pre-flight check that decides plain vs AQE-skew
-    vs salted join. max_by orders on a composite (count, key) scalar so
-    ties break deterministically in both engines."""
+    vs salted join. Spark orders max_by on struct(n, key) — type-safe for
+    string keys, overflow-free; the oracle keeps the equivalent composite
+    (count, key) scalar, valid there because user_id is a small bigint.
+    Both break ties toward the highest key."""
     from .operators.timeseries import key_skew_report
 
     return key_skew_report(
