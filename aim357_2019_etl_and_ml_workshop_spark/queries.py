@@ -5278,3 +5278,242 @@ def events_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_keys", "max_n", "skew_ratio",
         F.col("hottest_key").cast("bigint").alias("hottest_key"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Last classic TPC-H shapes: Q2 / Q16 / Q20 analogues (beyond-reference SQL
+# surface polish — VERDICT r02 #3). No partsupp table in the testdata, so
+# lineitem's (partkey, suppkey) pairs serve as the part-supplier bridge.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q2_min_cost_supplier",
+    """
+    WITH rs AS (
+        SELECT s_suppkey, s_name, s_acctbal, n_name
+        FROM supplier
+        JOIN nation ON n_nationkey = s_nationkey
+        JOIN region ON r_regionkey = n_regionkey
+        WHERE r_name = 'EUROPE'
+    ), ps AS (
+        SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+               min(l_extendedprice) AS supply_cost
+        FROM lineitem JOIN rs ON rs.s_suppkey = l_suppkey
+        GROUP BY 1, 2
+    ), pmin AS (
+        SELECT partkey, min(supply_cost) AS min_cost FROM ps GROUP BY 1
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_type, supply_cost
+    FROM part
+    JOIN ps ON ps.partkey = p_partkey
+    JOIN pmin ON pmin.partkey = ps.partkey AND ps.supply_cost = pmin.min_cost
+    JOIN rs ON rs.s_suppkey = ps.suppkey
+    WHERE p_size <= 10 AND p_type = 'ECONOMY'
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped correlated min: for each qualifying part, the
+    in-region supplier(s) offering the minimum supply cost (min lineitem
+    price for that part-supplier pair — lineitem stands in for partsupp).
+    The correlated `cost = (SELECT min ...)` subquery becomes a per-part
+    min aggregate joined back on (partkey, cost) — the standard decorrelation.
+
+    Scale: supplier⋈nation⋈region is dimension-sized and broadcast; the
+    only big-table work is ONE scan of lineitem into a (partkey, suppkey)
+    aggregate (map-side partial); pmin is part-cardinality and broadcast
+    back; the final orderBy+limit compiles to TakeOrderedAndProject, never
+    a global sort. The sort key (acctbal, n_name, s_name, partkey) is
+    unique per row, so the LIMIT membership is deterministic."""
+    rs = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+            ),
+            F.col("r_regionkey") == F.col("n_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    ps = (
+        li.join(F.broadcast(rs.select("s_suppkey")),
+                F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_suppkey").alias("suppkey"),
+        )
+        .agg(F.min("l_extendedprice").alias("supply_cost"))
+    )
+    pmin = ps.groupBy(F.col("partkey").alias("_pk")).agg(
+        F.min("supply_cost").alias("min_cost")
+    )
+    parts = (
+        _t(spark, sf_dir, "part")
+        .where((F.col("p_size") <= 10) & (F.col("p_type") == "ECONOMY"))
+        .select("p_partkey", "p_type")
+    )
+    return (
+        ps.join(
+            pmin,
+            (F.col("partkey") == F.col("_pk"))
+            & (F.col("supply_cost") == F.col("min_cost")),
+        )
+        .drop("_pk", "min_cost")
+        .join(F.broadcast(parts), F.col("partkey") == F.col("p_partkey"))
+        .join(F.broadcast(rs), F.col("suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_type",
+            "supply_cost",
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "q16_supplier_part_counts",
+    """
+    WITH bridge AS (
+        SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    )
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM bridge JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#13'
+      AND p_type NOT LIKE 'PROMO%'
+      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7'
+      )
+    GROUP BY 1, 2, 3
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped count-distinct with a NOT-IN exclusion list: how
+    many distinct suppliers offer each surviving (brand, type, size) part
+    class, excluding a name-matched supplier blocklist (the stand-in for
+    Q16's complaint filter) and excluding one brand, one type prefix, and
+    all but eight sizes.
+
+    The NOT IN compiles to an anti join; s_suppkey is non-nullable here so
+    the plain anti join IS the null-aware semantics (the null-propagating
+    general case is covered by not_in_null_aware_anti). Scale: the
+    blocklist and part dim are broadcast; the big side is one distinct over
+    lineitem's (partkey, suppkey) pairs — map-side partial dedup, one
+    shuffle; count-distinct then reduces dimension-sized groups."""
+    bridge = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    excl = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_name").like("%7"))
+        .select("s_suppkey")
+    )
+    parts = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#13")
+        & (~F.col("p_type").like("PROMO%"))
+        & (F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+    )
+    return (
+        bridge.join(F.broadcast(excl),
+                    F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(parts), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q20_excess_shippers",
+    """
+    WITH pk AS (
+        SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+    ), qty AS (
+        SELECT l_suppkey, l_partkey,
+               sum(CASE WHEN l_shipdate >= TIMESTAMP '1998-01-01'
+                         AND l_shipdate < TIMESTAMP '1999-01-01'
+                        THEN CAST(l_quantity AS DECIMAL(12,2))
+                        ELSE CAST(0 AS DECIMAL(12,2)) END) AS q_1998,
+               sum(CAST(l_quantity AS DECIMAL(12,2))) AS q_total
+        FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM pk)
+        GROUP BY 1, 2
+    )
+    SELECT s_suppkey, s_name
+    FROM supplier JOIN nation ON n_nationkey = s_nationkey
+    WHERE n_name LIKE 'NATION_1%'
+      AND s_suppkey IN (
+          SELECT l_suppkey FROM qty WHERE 2 * q_1998 > q_total
+      )
+    """,
+)
+def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shaped nested semi-join chain with a correlated half-sum
+    threshold: suppliers (in a nation group) who, for at least one 'red'
+    part, shipped more than half of their all-time quantity for that part
+    during 1998 — Q20's "availqty < half the year's shipments" flipped to
+    a self-contained form (no partsupp table). Chain: part-name semi
+    filters lineitem; a per-(supp, part) conditional/total sum pair feeds
+    the threshold; qualifying suppkeys semi-filter supplier.
+
+    Determinism: quantity sums go through DECIMAL (exact, order-free) and
+    the half comparison is 2*q > total — integer-exact in both engines, no
+    0.5 float. Scale: the part blocklist is broadcast into the lineitem
+    scan's semi join; one grouped pass over the filtered lineitem; the
+    qualifying-supplier set is dimension-sized and drives a broadcast semi
+    join against supplier — no big-side shuffle beyond the one aggregate."""
+    pk = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_partkey", "l_quantity", "l_shipdate"
+    )
+    in98 = (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp")) & (
+        F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp")
+    )
+    zero = F.lit(0).cast("decimal(12,2)")
+    qty = (
+        li.join(F.broadcast(pk),
+                F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(F.when(in98, _dec("l_quantity", 12, 2)).otherwise(zero))
+            .alias("q_1998"),
+            F.sum(_dec("l_quantity", 12, 2)).alias("q_total"),
+        )
+    )
+    qualifying = (
+        qty.where(F.lit(2) * F.col("q_1998") > F.col("q_total"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").where(
+                    F.col("n_name").like("NATION_1%")
+                )
+            ),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+            "left_semi",
+        )
+        .join(F.broadcast(qualifying),
+              F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    )
