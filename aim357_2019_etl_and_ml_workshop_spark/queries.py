@@ -71,8 +71,49 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+# The driver's per-round CORRECTNESS artifact samples a fixed-size prefix
+# (50 keys in rounds 1-2) of queries() iteration order, so rounds 1-2 left
+# 107/157 registry queries with no driver-side verdict despite the local
+# full-registry gate (tools/compare_oracle.py) passing all of them. This
+# prefix rotates IN never-driver-verified, oracle-backed queries — one per
+# operator family — so cumulative driver-side verification grows each
+# round; everything else follows in registration order and remains covered
+# by the local gate. (VERDICT r02 "Next round" #2.)
+_DRIVER_PRIORITY = [
+    # LLM curation pipeline
+    "curation_funnel", "leakage_safe_split", "deterministic_stratified_docs",
+    "decontaminate_ngram_overlap", "sequence_packing",
+    "shard_assignment_counts", "chunk_documents", "repetition_filter",
+    "pii_redaction_rollup", "unigram_logprob_scores", "source_capped_sample",
+    # dedup / similarity proofs (incl. derived-contract recall checks)
+    "simhash_portable_fingerprints", "simhash_portable_neardups",
+    "minhash_recall_check", "lsh_recall_check", "ivf_recall_check",
+    "neardup_representatives", "neardup_clusters",
+    "embedding_neardup_blocked", "fuzzy_supplier_matches",
+    "tfidf_exact_features",
+    # TPC-H analogue shapes
+    "q2_min_cost_supplier", "q16_supplier_part_counts", "q20_excess_shippers",
+    "market_share_by_year", "nation_year_profit", "returned_item_losses",
+    "promo_revenue_pct", "small_quantity_revenue",
+    "unshipped_priority_revenue", "sole_return_supplier",
+    "dormant_rich_customers", "local_supplier_volume",
+    # temporal joins / windows / streaming
+    "asof_join_last_signup", "range_join_campaign_counts",
+    "latest_state_per_user", "sliding_window_counts", "ntile_quartiles",
+    "range_frame_peak_rate", "forward_fill_last_value",
+    "cumulative_daily_revenue", "streaming_hourly_counts",
+    "native_session_window_counts",
+    # SQL-surface shapes
+    "not_in_null_aware_anti", "recursive_cte_tree_walk",
+    "lateral_top2_per_segment", "grouping_sets_counts",
+    "except_all_user_bags", "try_arithmetic_probe", "events_key_skew_report",
+]
+
+
 def queries() -> dict[str, QueryFn]:
-    return dict(_REGISTRY)
+    out = {n: _REGISTRY[n] for n in _DRIVER_PRIORITY if n in _REGISTRY}
+    out.update(_REGISTRY)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
