@@ -95,6 +95,7 @@ class IncrementalAggregate:
         key_cols: list[str],
         sum_cols: dict[str, str],
         fmt: str = "parquet",
+        max_files_per_trigger: int | None = None,
     ) -> None:
         self.spark = spark
         self.input_path = input_path
@@ -104,6 +105,8 @@ class IncrementalAggregate:
         self.key_cols = key_cols
         self.sum_cols = dict(sum_cols)  # out_name -> input expr/col
         self.fmt = fmt
+        # same backlog pacing rationale as IncrementalIngest
+        self.max_files_per_trigger = max_files_per_trigger
 
     def _write_partial(self, batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import functions as F
@@ -122,18 +125,26 @@ class IncrementalAggregate:
         )
 
     def run_once(self, timeout_sec: float = 300.0) -> None:
-        src = (
+        reader = (
             self.spark.readStream.format(self.fmt)
             .schema(self.schema)
-            .load(self.input_path)
         )
+        if self.max_files_per_trigger is not None:
+            reader = reader.option(
+                "maxFilesPerTrigger", self.max_files_per_trigger
+            )
+        src = reader.load(self.input_path)
         q = (
             src.writeStream.foreachBatch(self._write_partial)
             .option("checkpointLocation", self.checkpoint_path)
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(timeout_sec)
+        try:
+            q.awaitTermination(timeout_sec)
+        finally:
+            if q.isActive:
+                q.stop()
 
     def read(self) -> DataFrame:
         from pyspark.sql import functions as F
