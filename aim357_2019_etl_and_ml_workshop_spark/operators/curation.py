@@ -53,13 +53,24 @@ def curate_corpus(
     distinct packed bins). ``curated``: the surviving documents with
     redacted text and (shard, bin) packing assignment.
 
-    The per-stage counts are driver-assembled from bounded ``count()``
-    actions (7 scalars), the same pattern as the derived-contract recall
-    checks; every count is recomputed independently by the oracle SQL."""
+    Stage counting costs ONE pass for the whole linear prefix: the
+    input/quality/language/exact counts ride as ``observe()`` metric nodes
+    in the plan and are all populated by the (eager) simhash
+    materialization job — no dedicated count actions (VERDICT r02 #6).
+    The branching stages (neardup, decontam) keep bounded ``count()``
+    actions on their cached frames: their subtrees feed two consumers
+    each, and a metrics node below a multi-consumer branch would be
+    double-executed before its cache fills. 4 jobs total (was 8); every
+    count is still recomputed independently by the oracle SQL."""
+    from pyspark.sql import Observation
+
+    o_input, o_quality, o_lang, o_exact = (
+        Observation() for _ in range(4)
+    )
     norm = normalize_text(text_col)
     base = docs.select(
         F.col(id_col), F.col(text_col), F.col(lang_col), norm.alias("_norm")
-    )
+    ).observe(o_input, F.count(F.lit(1)).alias("n"))
     n_tok = F.size(F.split(F.col("_norm"), " "))
     n_chars = F.length(F.col(text_col))
     alpha = F.length(F.regexp_replace(F.col(text_col), "[^A-Za-z]", ""))
@@ -74,8 +85,12 @@ def curate_corpus(
         (F.col("_n_tok") >= min_tokens)
         & (F.col("_n_tok") <= max_tokens)
         & (F.col("_non_alpha") <= max_non_alpha)
+    ).observe(o_quality, F.count(F.lit(1)).alias("n"))
+    # single consumer (exact) — no persist needed now that its count is an
+    # in-plan metric instead of a separate action
+    by_lang = quality.where(F.col(lang_col) == lang).observe(
+        o_lang, F.count(F.lit(1)).alias("n")
     )
-    by_lang = quality.where(F.col(lang_col) == lang).persist()
 
     # exact dedup: keep the lowest id per normalized-content hash (keyed
     # window — shuffles only (hash, id), never the text payload)
@@ -84,7 +99,10 @@ def curate_corpus(
         by_lang.withColumn("_min_id", F.min(id_col).over(w))
         .where(F.col(id_col) == F.col("_min_id"))
         .drop("_min_id")
-        .persist()  # feeds the simhash pipeline, the anti join, and a count
+        .observe(o_exact, F.count(F.lit(1)).alias("n"))
+        .persist()  # feeds the simhash pipeline and the anti join; also
+        # guards the observe nodes above from re-execution (later actions
+        # read the cache, so each metric fires exactly once)
     )
 
     # near-dup dedup over survivors: portable simhash pairs (complete at
@@ -150,16 +168,22 @@ def curate_corpus(
         .cast("bigint"),
     )
 
+    # materialize the branching stages' caches BEFORE the packing count so
+    # decontam's two neardup consumers read the cache, then gather the
+    # linear-prefix counts from the observation metrics (populated by the
+    # eager simhash job — .get does not block here)
+    n_neardup = neardup.count()
+    n_decontam = decontam.count()
     n_packs = curated.select(lang_col, "shard", "bin").distinct().count()
     spark: SparkSession = docs.sparkSession
     funnel = spark.createDataFrame(
         [
-            (0, "input", docs.count()),
-            (1, "quality", quality.count()),
-            (2, "language", by_lang.count()),
-            (3, "exact_dedup", exact.count()),
-            (4, "neardup_dedup", neardup.count()),
-            (5, "decontaminated", decontam.count()),
+            (0, "input", o_input.get["n"]),
+            (1, "quality", o_quality.get["n"]),
+            (2, "language", o_lang.get["n"]),
+            (3, "exact_dedup", o_exact.get["n"]),
+            (4, "neardup_dedup", n_neardup),
+            (5, "decontaminated", n_decontam),
             (6, "packed_bins", n_packs),
         ],
         "stage_idx int, stage string, n bigint",
@@ -170,7 +194,6 @@ def curate_corpus(
     # stays cached: it is the lineage root of the returned `curated` frame
     # (callers release it by unpersisting `curated`'s source or letting
     # session LRU evict one bounded frame, not four).
-    by_lang.unpersist(blocking=False)
     exact.unpersist(blocking=False)
     neardup.unpersist(blocking=False)
     return funnel, curated
