@@ -66,6 +66,47 @@ HEADLINE = [
 ]
 
 
+# The sf1 soak block (VERDICT r02 #1): if a generated sf1 directory exists
+# (tools/gen_testdata.py, validated against the full oracle gate), bench a
+# linear-cost representative subset there and publish the same
+# ratio/geomean pair. The sf0.1 geomean is dominated by ~0.7-1 s of fixed
+# per-query Spark cost (scheduling, py4j, few row groups); at sf1 scan and
+# shuffle work dominates, so the geomean should amortize toward the suite
+# ratio — this block is the measured evidence. Quadratic-oracle near-dup
+# queries are excluded here (their DuckDB sides are all-pairs by design —
+# covered for correctness by the sf1 oracle soak, and the suite ratio
+# already counts their Spark-side wins at sf0.1).
+SF1_SUBSET = [
+    "flagship_daily_type_counts",
+    "q1_pricing_summary",
+    "revenue_by_region",
+    "customer_order_stats",
+    "pivot_daily_by_type",
+    "tumbling_hourly_counts",
+    "window_daily_diff",
+    "dedup_docs_fingerprint",
+    "embedding_cosine_topk",
+    "text_quality",
+    "lang_id_heuristic",
+    "bpe_token_count",
+    "sessionize_user_counts",
+    "latest_state_per_user",
+    "asof_join_last_signup",
+    "range_join_campaign_counts",
+    "sliding_window_counts",
+    "stats_moments_by_flag",
+    "cumulative_daily_revenue",
+    "decontaminate_ngram_overlap",
+    "pii_redaction_rollup",
+    "sequence_packing",
+    "shard_assignment_counts",
+    "time_grain_rollup",
+    "q2_min_cost_supplier",
+    "q16_supplier_part_counts",
+    "q20_excess_shippers",
+]
+
+
 def duckdb_suite(sf_dir: str, names: list[str]) -> dict:
     """Time each headline query's oracle SQL in DuckDB over the same parquet
     at the same thread count — the native single-node denominator."""
@@ -103,12 +144,71 @@ def duckdb_suite(sf_dir: str, names: list[str]) -> dict:
     }
 
 
+def spark_suite(
+    spark, registry, sf_dir: str, names: list[str], runs: int
+) -> dict[str, float]:
+    """Best-of-`runs` noop-sink wall time per query, cache cleared between
+    runs (see main's rationale)."""
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = registry[name]
+        best = None
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+            spark.catalog.clearCache()
+        timings[name] = round(best, 4)
+    return timings
+
+
+def ratio_block(timings: dict, oracle: dict) -> dict:
+    covered = [n for n in timings if n in oracle["queries"]]
+    spark_covered = round(sum(timings[n] for n in covered), 4)
+    return {
+        "spark_on_oracle_covered_sec": spark_covered,
+        "spark_vs_oracle_ratio": (
+            round(spark_covered / oracle["value"], 3)
+            if oracle["value"]
+            else None
+        ),
+        # geometric mean of per-query ratios: robust to any single query
+        # dominating either side's total
+        "spark_vs_oracle_geomean": (
+            round(
+                math.exp(
+                    sum(
+                        math.log(timings[n] / oracle["queries"][n])
+                        for n in covered
+                    )
+                    / len(covered)
+                ),
+                3,
+            )
+            if covered
+            else None
+        ),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
-    # DuckDB denominator first, on a quiet machine — running it after the
-    # Spark suite measures it under JVM memory/CPU pressure instead.
+    sf1_dir = os.environ.get(
+        "SPARK_GRAFT_SF1_DIR",
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), ".localdata", "sf1"
+        ),
+    )
+    run_sf1 = (
+        os.path.exists(os.path.join(sf1_dir, "lineitem.parquet"))
+        and os.environ.get("SPARK_GRAFT_SKIP_SF1") != "1"
+    )
+    # DuckDB denominators first, on a quiet machine — running them after
+    # the Spark suite measures them under JVM memory/CPU pressure instead.
     oracle = duckdb_suite(sf_dir, HEADLINE)
+    oracle_sf1 = duckdb_suite(sf1_dir, SF1_SUBSET) if run_sf1 else None
 
     spark = get_spark("engine-bench")
     registry = q.queries()
@@ -123,61 +223,36 @@ def main() -> None:
     # materializations (queries that persist shared subtrees neither leak
     # across runs nor coast on a previous run's cache).
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = registry[name]
-        best = None
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-            spark.catalog.clearCache()
-        timings[name] = round(best, 4)
+    timings = spark_suite(spark, registry, sf_dir, HEADLINE, runs)
 
-    total = round(sum(timings.values()), 4)
-    r01_subset = round(sum(timings[n] for n in HEADLINE[:28]), 4)
-    covered = [n for n in HEADLINE if n in oracle["queries"]]
-    spark_covered = round(sum(timings[n] for n in covered), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "value_r01_subset": r01_subset,
-                "runs_per_query": runs,
-                "agg": "min",
-                "oracle": oracle,
-                "spark_on_oracle_covered_sec": spark_covered,
-                "spark_vs_oracle_ratio": (
-                    round(spark_covered / oracle["value"], 3)
-                    if oracle["value"]
-                    else None
-                ),
-                # geometric mean of per-query ratios: robust to any single
-                # query dominating either side's total
-                "spark_vs_oracle_geomean": (
-                    round(
-                        math.exp(
-                            sum(
-                                math.log(
-                                    timings[n] / oracle["queries"][n]
-                                )
-                                for n in covered
-                            )
-                            / len(covered)
-                        ),
-                        3,
-                    )
-                    if covered
-                    else None
-                ),
-            }
-        )
-    )
+    out = {
+        "metric": "headline_suite_total",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "value_r01_subset": round(
+            sum(timings[n] for n in HEADLINE[:28]), 4
+        ),
+        "runs_per_query": runs,
+        "agg": "min",
+        "oracle": oracle,
+    }
+    out.update(ratio_block(timings, oracle))
+
+    if run_sf1:
+        t_sf1 = spark_suite(spark, registry, sf1_dir, SF1_SUBSET, runs)
+        sf1_block = {
+            "sf": 1.0,
+            "dir": sf1_dir,
+            "value": round(sum(t_sf1.values()), 4),
+            "queries": t_sf1,
+            "oracle": oracle_sf1,
+        }
+        sf1_block.update(ratio_block(t_sf1, oracle_sf1))
+        out["sf1"] = sf1_block
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
