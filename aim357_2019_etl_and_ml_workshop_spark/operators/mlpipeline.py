@@ -209,12 +209,16 @@ def shard_assign(
     df: DataFrame, id_col: str = "doc_id", n_shards: int = 8
 ) -> DataFrame:
     """Deterministic, engine-portable shard assignment for training export:
-    shard = ascii(first hex digit of md5(id)) % n_shards. md5 is the one
-    hash both Spark and standard SQL engines compute identically, so the
+    shard = int(first 4 md5 hex chars) % n_shards. md5 is the one hash
+    both Spark and standard SQL engines compute identically, so the
     assignment is reproducible outside Spark (unlike xxhash64/crc32
-    partitioning). Linear, zero-shuffle projection."""
+    partitioning), and the 16-bit prefix makes shard sizes near-uniform
+    (deviation <= n_shards/65536 — the earlier single-hex-digit ascii
+    bucket gave the hottest shard 3x the coldest at n_shards=8). Linear,
+    zero-shuffle projection."""
     shard = (
-        F.ascii(F.substring(F.md5(F.col(id_col).cast("string")), 1, 1))
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10)
+        .cast("bigint")
         % n_shards
-    ).cast("bigint")
+    )
     return df.withColumn("shard", shard)

@@ -3521,16 +3521,17 @@ def sequence_packing_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "shard_assignment_counts",
     """
-    SELECT CAST(ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) % 8
-                AS BIGINT) AS shard,
+    SELECT (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 8
+           ) AS shard,
            CAST(count(*) AS BIGINT) AS n
     FROM documents GROUP BY 1
     """,
 )
 def shard_assignment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic md5-based shard assignment (engine-portable, unlike
-    xxhash64/crc32) with per-shard counts — verifies bit-identical md5 hex
-    across engines (operators.mlpipeline.shard_assign)."""
+    xxhash64/crc32; near-uniform via the 16-bit md5 prefix) with per-shard
+    counts — verifies bit-identical md5 hex across engines
+    (operators.mlpipeline.shard_assign)."""
     from .operators.mlpipeline import shard_assign
 
     return (
