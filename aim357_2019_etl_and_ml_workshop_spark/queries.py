@@ -2917,8 +2917,9 @@ _TREE_WALK_SQL = """
         SELECT CAST(1 AS BIGINT) AS k, 0 AS depth
         UNION ALL
         SELECT p.p_partkey AS k, w.depth + 1 AS depth
-        FROM part p JOIN walk w
-          ON (p.p_partkey = 2 * w.k OR p.p_partkey = 2 * w.k + 1)
+        FROM walk w
+        CROSS JOIN (SELECT 0 AS b UNION ALL SELECT 1) t
+        JOIN part p ON p.p_partkey = 2 * w.k + t.b
         WHERE w.depth < 25
     )
     SELECT depth, CAST(count(*) AS BIGINT) AS n FROM walk GROUP BY depth
@@ -2933,8 +2934,14 @@ def recursive_cte_tree_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark executes it as iterated UnionLoop steps, DuckDB as its native
     recursive operator — an iterative-algorithm shape (graph reachability,
     org charts, BOM explosion) that pure relational operators can't
-    express in one pass. Frontier stays small relative to the table, so
-    each step is a broadcast-able join at scale; depth cap bounds runtime."""
+    express in one pass. The child edge is generated by exploding each
+    frontier row into its two child keys (CROSS JOIN of a 2-row literal)
+    so the recursive step is a pure EQUI-join on p_partkey — the original
+    OR-disjunction form (p = 2k OR p = 2k+1) defeats hash-join selection
+    and nested-loops the whole part table once per depth level (measured
+    534 s at sf1 vs seconds for this form). Frontier stays small relative
+    to the table, so each step is a broadcast-able join at scale; depth
+    cap bounds runtime."""
     from .sql_surface import engine_sql
 
     return engine_sql(spark, sf_dir, _TREE_WALK_SQL)
@@ -3268,12 +3275,21 @@ def lsh_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding_cosine_topk). n_queries is recomputed by the oracle from the
     query-set predicate. With multiprobe=1 the measured recall is 1.0 at
     sf0.001 and sf0.01, so the contract tightens to >= 0.9 (margin for
-    geometry drift); plain-probe pytest keeps its own looser bound."""
-    exact = embedding_cosine_topk(spark, sf_dir).select("q_id", "c_id")
-    approx = lsh_ann_topk_query(spark, sf_dir).select("q_id", "c_id")
-    total = exact.count()
-    hits = exact.join(approx, ["q_id", "c_id"]).count()
-    n_queries = exact.select("q_id").distinct().count()
+    geometry drift); plain-probe pytest keeps its own looser bound.
+
+    Both sides are persisted across the three consuming actions (total,
+    hit join, distinct-query count) — without the cache the brute-force
+    exact top-k (the expensive side, |Q|x|N| dot products) re-executes
+    per action, tripling the cost at soak SFs."""
+    exact = embedding_cosine_topk(spark, sf_dir).select("q_id", "c_id").persist()
+    approx = lsh_ann_topk_query(spark, sf_dir).select("q_id", "c_id").persist()
+    try:
+        total = exact.count()
+        hits = exact.join(approx, ["q_id", "c_id"]).count()
+        n_queries = exact.select("q_id").distinct().count()
+    finally:
+        exact.unpersist(blocking=False)
+        approx.unpersist(blocking=False)
     return spark.createDataFrame(
         [(n_queries, 5, hits / total >= 0.9)],
         "n_queries bigint, k int, recall_ge_09 boolean",
@@ -3292,12 +3308,17 @@ def ivf_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     as lsh_recall_check (measured 0.68-0.74 at the conformance SFs for
     isotropic embeddings; n_probe=8/16 measures 0.80-0.86 across
     sf0.001-sf0.1 at no join cost — probes fan out query-side only;
-    contracted at >= 0.7)."""
-    exact = embedding_cosine_topk(spark, sf_dir).select("q_id", "c_id")
-    approx = ivf_ann_topk_query(spark, sf_dir).select("q_id", "c_id")
-    total = exact.count()
-    hits = exact.join(approx, ["q_id", "c_id"]).count()
-    n_queries = exact.select("q_id").distinct().count()
+    contracted at >= 0.7). Both sides persisted across the three
+    consuming actions, as in lsh_recall_check."""
+    exact = embedding_cosine_topk(spark, sf_dir).select("q_id", "c_id").persist()
+    approx = ivf_ann_topk_query(spark, sf_dir).select("q_id", "c_id").persist()
+    try:
+        total = exact.count()
+        hits = exact.join(approx, ["q_id", "c_id"]).count()
+        n_queries = exact.select("q_id").distinct().count()
+    finally:
+        exact.unpersist(blocking=False)
+        approx.unpersist(blocking=False)
     return spark.createDataFrame(
         [(n_queries, 5, hits / total >= 0.7)],
         "n_queries bigint, k int, recall_ge_07 boolean",

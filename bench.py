@@ -174,12 +174,16 @@ def ratio_block(timings: dict, oracle: dict) -> dict:
             else None
         ),
         # geometric mean of per-query ratios: robust to any single query
-        # dominating either side's total
+        # dominating either side's total. Denominators are floored at one
+        # timer tick (1e-4 s) — a sub-0.1 ms DuckDB query rounds to 0.0 and
+        # would otherwise divide-by-zero the whole bench line.
         "spark_vs_oracle_geomean": (
             round(
                 math.exp(
                     sum(
-                        math.log(timings[n] / oracle["queries"][n])
+                        math.log(
+                            timings[n] / max(oracle["queries"][n], 1e-4)
+                        )
                         for n in covered
                     )
                     / len(covered)

@@ -3,6 +3,17 @@ queries() entry on Spark AND its oracle_sql() on DuckDB over the same
 parquet, then compare row count, column names, and values order-insensitively.
 
 Usage: python tools/compare_oracle.py [sf_dir] [query ...]
+       python tools/compare_oracle.py [sf_dir] --exclude [query ...]
+
+With ``--exclude`` the named queries are skipped instead of selected —
+used by the big-SF soaks to split the registry into the linear-oracle
+bulk and the deliberately all-pairs (quadratic ground-truth) oracles,
+which get their own budgeted run.
+
+With ``--spark-only`` (may precede a query list) the DuckDB side is
+skipped entirely: every query is executed and reported rows-only. Used
+to prove the Spark path at SFs where the naive all-pairs oracle is
+intractable (its full-oracle proof then runs at a smaller SF).
 """
 
 from __future__ import annotations
@@ -10,6 +21,7 @@ from __future__ import annotations
 import math
 import os
 import sys
+import time
 from decimal import Decimal
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -65,28 +77,39 @@ def canon_frame(df: pd.DataFrame) -> list[tuple]:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    rest = sys.argv[2:]
+    exclude: set[str] = set()
+    spark_only = False
+    if rest and rest[0] == "--spark-only":
+        spark_only, rest = True, rest[1:]
+    if rest and rest[0] == "--exclude":
+        exclude, rest = set(rest[1:]), []
+    only = set(rest)
     spark = get_spark("compare-oracle")
     con = duck_connect(sf_dir)
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failures, passed, skipped = [], 0, 0
     for name, fn in qs.items():
-        if only and name not in only:
+        if (only and name not in only) or name in exclude:
             continue
+        t0 = time.monotonic()
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
             failures.append((name, f"SPARK ERROR: {e}"))
             continue
-        if name not in oracles:
-            print(f"  ~ {name}: rows-only ({len(sdf)} rows)")
+        t_spark = time.monotonic() - t0
+        if spark_only or name not in oracles:
+            print(f"  ~ {name}: rows-only ({len(sdf)} rows) [spark {t_spark:.1f}s]")
             skipped += 1
             continue
+        t0 = time.monotonic()
         try:
             ddf = con.execute(oracles[name]).df()
         except Exception as e:
             failures.append((name, f"DUCKDB ERROR: {e}"))
             continue
+        t_duck = time.monotonic() - t0
         if len(sdf) != len(ddf):
             failures.append((name, f"row count {len(sdf)} vs {len(ddf)}"))
             continue
@@ -107,7 +130,10 @@ def main() -> int:
             failures.append((name, f"values differ; first diffs: {diff}"))
             continue
         passed += 1
-        print(f"  ✓ {name} ({len(sdf)} rows)")
+        print(
+            f"  ✓ {name} ({len(sdf)} rows)"
+            f" [spark {t_spark:.1f}s, duckdb {t_duck:.1f}s]"
+        )
     print(f"\n{passed} passed, {len(failures)} failed, {skipped} rows-only")
     for name, msg in failures:
         print(f"  ✗ {name}: {msg}")
