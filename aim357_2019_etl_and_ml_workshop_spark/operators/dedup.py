@@ -405,6 +405,7 @@ def embedding_near_duplicates(
     n_tables: int = 16,
     n_bits: int = 4,
     max_bucket_size: int | None = 100_000,
+    broadcast_max_rows: int = 2_000_000,
 ) -> DataFrame:
     """Embedding-cosine near-dup (SURVEY.md §2.12): LSH-bucketed candidate
     pairs -> exact cosine filter at ``threshold``. Same banding trade-off as
@@ -412,42 +413,90 @@ def embedding_near_duplicates(
     O(n^2) cross product; exact cosine runs only on collisions.
     ``max_bucket_size`` drops degenerate hyperplane buckets (e.g. a mass of
     zero/duplicate vectors) before the self-join — same skew guard as
-    minhash_lsh_candidates."""
-    from .similarity import _multi_table_buckets, _pair_cosine_udf, hyperplanes
+    minhash_lsh_candidates.
+
+    Scale structure (the sf1 soak exposed the previous form taking 25+ min
+    on 20k vectors): at a LOW similarity threshold hyperplane buckets are
+    deliberately coarse for recall, so the candidate set is large — the
+    plan must therefore move ONLY bare id pairs through the bucket join
+    and the pair dedup (16 bytes/row), never the vectors. The exact-cosine
+    verify then looks vectors up from a broadcast id->vector matrix inside
+    one Arrow-batched numpy kernel (embeddings fit comfortably: verify
+    capacity is bounded by the same broadcast budget as every dim-table
+    join). Above ``broadcast_max_rows`` the verify falls back to
+    re-attaching vectors with two shuffle joins against the (deduped, so
+    1x not n_tables x) pair set."""
+    from .similarity import (
+        _broadcast_pair_cosine,
+        _multi_table_buckets,
+        _pair_cosine_udf,
+        hyperplanes,
+    )
 
     first = df.select(F.size(vec_col).alias("d")).first()
     all_planes = [
         hyperplanes(int(first["d"]), n_bits, 42 + 1000 * t) for t in range(n_tables)
     ]
-    banded = _multi_table_buckets(
-        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")),
-        "vec",
-        all_planes,
-    )
-    if max_bucket_size is not None:
-        hot = (
-            banded.groupBy("table", "bucket")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .where(F.col("_n") > max_bucket_size)
-            .select("table", "bucket")
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    banded = _multi_table_buckets(vecs, "vec", all_planes).select(
+        "id", "table", "bucket"
+    ).persist()
+    try:
+        if max_bucket_size is not None:
+            hot = (
+                banded.groupBy("table", "bucket")
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .where(F.col("_n") > max_bucket_size)
+                .select("table", "bucket")
+            )
+            banded = banded.join(
+                F.broadcast(hot), ["table", "bucket"], "left_anti"
+            )
+        # AQE coalescing trap: every intermediate here is bare ids — a few
+        # compressed bytes per row — so size-based coalescing collapses the
+        # self-join and the pair-dedup reads to 1-2 partitions, serializing
+        # the row-EXPLODING join and the 100M-pair hash dedup (measured:
+        # ~200 s on 2 tasks at sf1). Explicit numPartitions repartitions
+        # are exempt from coalescing; hash-partitioning by the join /
+        # dedup keys means Catalyst reuses the distribution and inserts no
+        # further exchange, so each step runs at full width.
+        n_wide = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
-        banded = banded.join(F.broadcast(hot), ["table", "bucket"], "left_anti")
-    a = banded.select(
-        F.col("id").alias("id_a"), F.col("vec").alias("va"), "table", "bucket"
-    )
-    b = banded.select(
-        F.col("id").alias("id_b"), F.col("vec").alias("vb"), "table", "bucket"
-    )
-    cand = (
-        a.join(b, ["table", "bucket"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "va", "id_b", "vb")
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    sim = _pair_cosine_udf()("va", "vb")
-    return cand.select("id_a", "id_b", sim.alias("sim")).where(
-        F.col("sim") >= threshold
-    )
+        banded = banded.repartition(n_wide, "table", "bucket")
+        a = banded.select(F.col("id").alias("id_a"), "table", "bucket")
+        b = banded.select(F.col("id").alias("id_b"), "table", "bucket")
+        cand = (
+            a.join(b, ["table", "bucket"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .repartition(n_wide, "id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        n_vecs = vecs.count()
+        if n_vecs <= broadcast_max_rows:
+            sim_col = _broadcast_pair_cosine(vecs)(
+                F.col("id_a"), F.col("id_b")
+            )
+            out = cand.select("id_a", "id_b", sim_col.alias("sim")).where(
+                F.col("sim") >= threshold
+            )
+        else:
+            va = vecs.select(
+                F.col("id").alias("id_a"), F.col("vec").alias("va")
+            )
+            vb = vecs.select(
+                F.col("id").alias("id_b"), F.col("vec").alias("vb")
+            )
+            pairs = cand.join(va, "id_a").join(vb, "id_b")
+            sim = _pair_cosine_udf()("va", "vb")
+            out = pairs.select("id_a", "id_b", sim.alias("sim")).where(
+                F.col("sim") >= threshold
+            )
+        out = out.localCheckpoint(eager=True)
+    finally:
+        banded.unpersist(blocking=False)
+    return out
 
 
 def stratified_sample(
