@@ -37,7 +37,7 @@ from .operators.timeseries import (
     with_epoch,
 )
 from .session import pin_session_conf
-from .sources.io import read_events_ts_range, read_testdata
+from .sources.io import read_events_ts_range, read_testdata, spread_for_cpu
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
@@ -1000,7 +1000,10 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators.textanalysis.lang_id)."""
     from .operators.textanalysis import lang_id
 
-    return lang_id(_t(spark, sf_dir, "documents"), "text", "doc_id")
+    # CPU-bound token/lexicon kernel: spread a sub-core-count scan first
+    return lang_id(
+        spread_for_cpu(_t(spark, sf_dir, "documents")), "text", "doc_id"
+    )
 
 
 @register(
@@ -3018,7 +3021,7 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash (minhash_near_duplicates) is the probabilistic scale-out twin."""
     # tokens materialized in their own projection: inlining the split inside
     # the transform lambda re-evaluates it per shingle index (O(tokens^2))
-    d = _t(spark, sf_dir, "documents").select(
+    d = spread_for_cpu(_t(spark, sf_dir, "documents")).select(
         "doc_id", F.split(F.lower("text"), " ").alias("_toks")
     )
     sh = F.when(
@@ -3466,7 +3469,11 @@ def repetition_filter_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.textanalysis import repetition_filter
 
     return repetition_filter(
-        _t(spark, sf_dir, "documents"), "text", "doc_id", n=3, max_ratio=0.2
+        spread_for_cpu(_t(spark, sf_dir, "documents")),
+        "text",
+        "doc_id",
+        n=3,
+        max_ratio=0.2,
     )
 
 
@@ -4977,7 +4984,7 @@ def unigram_logprob_scores_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.textanalysis import unigram_logprob_scores
 
     return unigram_logprob_scores(
-        _t(spark, sf_dir, "documents"), "text", "doc_id"
+        spread_for_cpu(_t(spark, sf_dir, "documents")), "text", "doc_id"
     )
 
 

@@ -97,6 +97,22 @@ def read_parquet_evolved(spark: SparkSession, path: str | list[str]) -> DataFram
     )
 
 
+def spread_for_cpu(df: DataFrame) -> DataFrame:
+    """Rebalance a scan whose split count is below the cluster's core
+    count before a CPU-bound per-row stage (regex/tokenize/hash kernels).
+
+    Parquet scan parallelism is byte-driven (files.maxPartitionBytes), so
+    a small-but-compute-heavy table — a 40 MB documents file, say — lands
+    on 1-2 tasks and serializes a kernel that is pennies to shuffle but
+    seconds to run. At corpus scale the scan has thousands of splits and
+    this is a no-op (no shuffle inserted); it only pays the (tiny) spread
+    shuffle exactly when the input can't saturate the cores."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def read_testdata(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Load one driver-generated table from a scale-factor directory.
 
