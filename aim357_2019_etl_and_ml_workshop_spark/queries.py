@@ -679,20 +679,33 @@ def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left outer join + grouped agg with null-group handling (customers
-    with no orders -> 0)."""
+    with no orders -> 0). The orders side is aggregated to one row per
+    customer BEFORE the join (classic aggregate pushdown): the join then
+    moves |customers| rows instead of |orders|, and no post-join
+    re-aggregation is needed — same rows, ~10x less join input at any
+    scale where customers order more than once."""
     cust = _t(spark, sf_dir, "customer").select("c_custkey")
-    orders = _t(spark, sf_dir, "orders").select(
-        "o_custkey", "o_orderkey", _dec("o_totalprice", 18, 4).alias("o_price_dec")
-    )
-    return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
-        .groupBy("c_custkey")
-        .agg(
-            F.count("o_orderkey").alias("n_orders"),
-            F.round(F.coalesce(F.sum("o_price_dec"), F.lit(0)), 2)
-            .cast("double")
-            .alias("total_spend"),
+    per_cust = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            _dec("o_totalprice", 18, 4).alias("o_price_dec"),
         )
+        .groupBy("o_custkey")
+        .agg(
+            F.count("o_orderkey").alias("_n"),
+            F.sum("o_price_dec").alias("_s"),
+        )
+    )
+    return cust.join(
+        per_cust, cust.c_custkey == per_cust.o_custkey, "left"
+    ).select(
+        "c_custkey",
+        F.coalesce(F.col("_n"), F.lit(0)).alias("n_orders"),
+        F.round(F.coalesce(F.col("_s"), F.lit(0)), 2)
+        .cast("double")
+        .alias("total_spend"),
     )
 
 

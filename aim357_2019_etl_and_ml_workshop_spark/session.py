@@ -61,6 +61,19 @@ def pin_session_conf(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass  # static conf on this build: keep going, defaults are sane
+    # Scan-split sizing is deployment-dependent: 128 MB splits are right
+    # for a multi-executor cluster (bounded task count at 100 TB), but on
+    # a single-node local master they leave a whole small-SF table in 1-2
+    # tasks while 30 cores idle — DuckDB parallelizes the same file by
+    # row group. 16 MB splits restore intra-file parallelism locally;
+    # runtime-settable, so the driver's vanilla session gets it too.
+    try:
+        if spark.sparkContext.master.startswith("local"):
+            spark.conf.set(
+                "spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024)
+            )
+    except Exception:
+        pass
     return spark
 
 
