@@ -303,53 +303,104 @@ def fuzzy_substitution_pairs(
     text_col: str,
     id_col: str,
     max_subs: int = 1,
-    chunks: int = 2,
+    chunks: int = 6,
 ) -> DataFrame:
     """Fuzzy self-match on strings within ``max_subs`` character
     SUBSTITUTIONS (equal length; levenshtein == hamming there) — entity
-    resolution for near-identical codes/names/SKUs at scale. Pigeonhole
-    blocking, the string analogue of SimHash chunk banding: split each
-    string into ``chunks`` equal-ish slices; any pair within
-    max_subs <= chunks-1 substitutions agrees on >= 1 slice, so candidates
-    come from an equi-join on (chunk_idx, slice, length) — complete, never
-    all-pairs — and a levenshtein verify runs on candidates only. A
-    degenerate shared slice (common prefix across the table) makes a hot
-    block: cap it upstream the same way as the LSH bucket guards if the
-    key distribution warrants."""
+    resolution for near-identical codes/names/SKUs at scale.
+
+    Deletion-neighborhood blocking: split each string into ``chunks``
+    equal-ish slices; a pair within max_subs substitutions differs in at
+    most max_subs slices, so it AGREES EXACTLY on some choice of
+    chunks - max_subs slices. Each row emits one signature per
+    C(chunks, max_subs) combination (the string with those slices masked
+    out), candidates come from an equi-join on (length, combo, signature),
+    and the levenshtein verify runs map-side on candidate rows BEFORE the
+    id-pair distinct — complete (needs chunks > max_subs), never
+    all-pairs.
+
+    This replaces single-slice pigeonhole blocking, which degenerates to
+    the full cross product whenever one slice is shared table-wide (e.g. a
+    constant name prefix — exactly the entity-name shape this targets):
+    an all-but-s signature still carries every discriminative character
+    outside the deleted slices. Signature skew is data-dependent; a
+    table-wide hot signature (all variation confined to max_subs slices)
+    degrades toward all-pairs — raise ``chunks`` so no max_subs slices
+    cover all variation (cost grows only as C(chunks, max_subs)
+    signatures/row), and AQE's skew-join split handles residual hot keys.
+    Limit case: chunks >= string length is per-character deletion (extra
+    slices are empty, completeness unaffected) — candidates are then
+    exactly the hamming<=max_subs pairs, the minimum for any complete
+    scheme; the right choice for short codes/names where L
+    signatures/row is cheap."""
     if max_subs > chunks - 1:
         raise ValueError(
             f"completeness needs max_subs <= chunks-1, got {max_subs} > {chunks - 1}"
         )
+    import itertools
+
     t = df.select(
         F.col(id_col), F.col(text_col).alias("_s"), F.length(text_col).alias("_l")
     )
-    pieces = F.array(
-        *[
+
+    def _bound(i: int):
+        # chunk i spans string positions (_bound(i), _bound(i+1)] (1-based)
+        return f"cast(floor(_l * {i} / {chunks}) as int)"
+
+    def _sig(cut: tuple) -> F.Column:
+        # The signature is the string with the cut slices removed. Emitting
+        # it as the concat of the KEPT runs — at most max_subs+1 substrings
+        # — keeps the projection O(C(chunks, max_subs) * max_subs) per row;
+        # per-kept-chunk concat is O(C * chunks) and its ~chunks^2 total
+        # substring expressions push codegen past its limits for
+        # per-character deletion (chunks ~ string length). No separator is
+        # needed: for a fixed (_l, combo) the kept positions are
+        # deterministic, so signature equality is exactly positional
+        # equality on the kept characters.
+        runs = []
+        start = 0  # start of the current kept run, as a chunk index
+        for c in sorted(cut):
+            if c > start:
+                runs.append((start, c))
+            start = c + 1
+        if start < chunks:
+            runs.append((start, chunks))
+        parts = [
             F.expr(
-                f"substring(_s, cast(floor(_l * {i} / {chunks}) as int) + 1, "
-                f"cast(floor(_l * {i + 1} / {chunks}) as int)"
-                f" - cast(floor(_l * {i} / {chunks}) as int))"
+                f"substring(_s, {_bound(lo)} + 1, {_bound(hi)} - {_bound(lo)})"
             )
-            for i in range(chunks)
+            for lo, hi in runs
+        ]
+        return parts[0] if len(parts) == 1 else F.concat(*parts)
+
+    sigs = F.array(
+        *[
+            F.struct(F.lit(ci).alias("combo"), _sig(cut).alias("sig"))
+            for ci, cut in enumerate(
+                itertools.combinations(range(chunks), max_subs)
+            )
         ]
     )
-    chunked = t.select(
-        id_col, "_s", "_l", F.posexplode(pieces).alias("chunk", "piece")
-    )
-    a = chunked.select(
+    keyed = t.select(
+        id_col, "_s", "_l", F.explode(sigs).alias("k")
+    ).select(id_col, "_s", "_l", "k.combo", "k.sig")
+    a = keyed.select(
         F.col(id_col).alias("id_a"), F.col("_s").alias("s_a"),
-        "_l", "chunk", "piece",
+        "_l", "combo", "sig",
     )
-    b = chunked.select(
+    b = keyed.select(
         F.col(id_col).alias("id_b"), F.col("_s").alias("s_b"),
-        "_l", "chunk", "piece",
+        "_l", "combo", "sig",
     )
-    dist = F.levenshtein("s_a", "s_b")
+    # Banded levenshtein: with a threshold Spark runs the O(max_subs * L)
+    # diagonal band, not the O(L^2) DP — the verify is the hot kernel (it
+    # runs once per candidate row), and candidates within the bound keep
+    # their exact distance (-1 encodes "beyond threshold").
+    dist = F.levenshtein("s_a", "s_b", max_subs)
     return (
-        a.join(b, ["_l", "chunk", "piece"])
+        a.join(b, ["_l", "combo", "sig"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "s_a", "s_b")
-        .distinct()
-        .where(dist <= max_subs)
+        .where(dist >= 0)
         .select("id_a", "id_b", dist.cast("int").alias("distance"))
+        .distinct()
     )

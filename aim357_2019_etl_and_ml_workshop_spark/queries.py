@@ -5300,36 +5300,35 @@ def parameterized_sql_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "fuzzy_supplier_matches",
     """
-    WITH t AS (
-        SELECT s_suppkey, s_name, length(s_name) AS l FROM supplier
-    ), ch AS (
-        SELECT s_suppkey, s_name, l, i.i AS chunk,
-               substr(s_name, CAST(floor(l * i.i / 2) AS INTEGER) + 1,
-                      CAST(floor(l * (i.i + 1) / 2) AS INTEGER)
-                      - CAST(floor(l * i.i / 2) AS INTEGER)) AS piece
-        FROM t, (SELECT unnest(generate_series(0, 1)) AS i) i
-    ), cand AS (
-        SELECT DISTINCT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
-               a.s_name AS s_a, b.s_name AS s_b
-        FROM ch a JOIN ch b
-          ON a.l = b.l AND a.chunk = b.chunk AND a.piece = b.piece
-        WHERE a.s_suppkey < b.s_suppkey
-    )
-    SELECT id_a, id_b, CAST(levenshtein(s_a, s_b) AS INTEGER) AS distance
-    FROM cand WHERE levenshtein(s_a, s_b) <= 1
+    SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+           CAST(levenshtein(a.s_name, b.s_name) AS INTEGER) AS distance
+    FROM supplier a JOIN supplier b
+      ON length(a.s_name) = length(b.s_name)
+     AND a.s_suppkey < b.s_suppkey
+    WHERE levenshtein(a.s_name, b.s_name) <= 1
     """,
 )
 def fuzzy_supplier_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked fuzzy entity-matching under a complete exact oracle:
-    supplier names within ONE substitution, found via pigeonhole slice
-    blocking (operators/textanalysis.fuzzy_substitution_pairs) and
-    verified with levenshtein. The oracle replays the identical blocking
-    + verify in SQL — and because max_subs <= chunks-1 makes the blocking
-    complete, the result equals the all-pairs scan."""
+    supplier names within ONE substitution, found via deletion-neighborhood
+    blocking (operators/textanalysis.fuzzy_substitution_pairs: signature =
+    the name with max_subs slices masked, equi-join on it) and verified
+    with levenshtein. Because chunks > max_subs makes the blocking
+    complete, the result provably equals the all-pairs scan — so the
+    oracle states the ground truth DIRECTLY as the quadratic
+    equal-length all-pairs filter, independent of the blocking scheme
+    (stronger than replaying it): any blocking bug surfaces as a hash
+    mismatch, not a matching bug in both engines."""
     from .operators.textanalysis import fuzzy_substitution_pairs
 
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    return fuzzy_substitution_pairs(supp, "s_name", "s_suppkey")
+    # Short entity strings take per-character deletion (chunks >= name
+    # length, extra slices degrade to empty — still complete): the
+    # candidate set is then EXACTLY the hamming<=1 pairs, the minimum any
+    # complete scheme can verify, at L signatures/row. Coarser slices on
+    # sequential names leave a slice whose deletion keys millions of
+    # spurious candidates (all ids sharing the other digits).
+    return fuzzy_substitution_pairs(supp, "s_name", "s_suppkey", chunks=18)
 
 
 @register(

@@ -72,6 +72,18 @@ def pin_session_conf(spark: SparkSession) -> SparkSession:
             spark.conf.set(
                 "spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024)
             )
+            # Same deployment split for AQE's post-shuffle coalescing: the
+            # 1 MB default minPartitionSize lets a byte-tiny but CPU-heavy
+            # shuffle (e.g. a blocked fuzzy-match join whose output stage
+            # runs millions of levenshteins over a few MB of candidate
+            # rows) collapse onto 2-3 of 32 cores. 64 KB keeps such stages
+            # at full local parallelism; cluster deployments keep the
+            # default (there, 1 MB partitions are pure scheduling
+            # overhead and compute-per-byte is amortized by real data).
+            spark.conf.set(
+                "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+                str(64 * 1024),
+            )
     except Exception:
         pass
     return spark
