@@ -76,9 +76,19 @@ def word_shingles(text_col: str, n: int = 3) -> Column:
 def exploded_shingles(
     df: DataFrame, text_col: str, id_col: str, n: int = 3
 ) -> DataFrame:
-    """(id, shingle) rows with the tokens materialized once per row."""
-    toks = df.select(
-        F.col(id_col), F.split(F.col(text_col), " ").alias("_toks")
+    """(id, shingle) rows with the tokens materialized once per row.
+
+    The input is spread to core count first (no-op when the scan already
+    has enough splits): this is the corpus entry point of every shingle
+    pipeline, and parquet split counts are byte-driven, so a small-bytes/
+    high-expansion documents table otherwise explodes — and feeds every
+    downstream join — from a couple of partitions (a 6 MB file at sf1 is
+    ONE split carrying a 131M-row self-join expansion). Spreading before
+    the explode moves doc-sized rows, not shingle-sized output."""
+    from ..sources.io import spread_for_cpu
+
+    toks = spread_for_cpu(
+        df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_toks"))
     )
     return toks.select(
         id_col, F.explode(shingles_from_tokens(F.col("_toks"), n)).alias("sh")
@@ -230,34 +240,51 @@ def minhash_near_duplicates(
     if not eager_release:
         cand = cand.persist()  # localCheckpoint already materialized it
 
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    # Restrict the shingle table to docs that appear in ANY candidate pair
-    # BEFORE the pair join — otherwise the join materializes the full
-    # all-pairs shingle intersection and the candidate filter arrives too
-    # late to save any work.
+    # Verify by attaching each candidate doc's (distinct) shingle ARRAY to
+    # the pair and computing array_intersect per row — cost linear in
+    # |candidates| * doc size. The earlier shared-shingle self-join over
+    # candidate DOCS materialized every co-occurring shingle pair among
+    # them before the candidate-pair restriction could bite (73M rows for
+    # 187k candidate pairs at sf1, a 50 s stage): a hot shingle shared by
+    # m candidate docs costs m^2 rows there, vs m array entries here. For
+    # extremely long documents the per-pair arrays get wide, but the bytes
+    # moved stay O(|cand| * doc_len) — same order as the intersection
+    # join's OUTPUT, with the quadratic intermediate gone.
     cand_ids = (
         cand.select(F.col("id_a").alias(id_col))
         .union(cand.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
     sh_c = sh.join(F.broadcast(cand_ids), id_col, "left_semi")
-    a = sh_c.select(F.col(id_col).alias("id_a"), "sh")
-    b = sh_c.select(F.col(id_col).alias("id_b"), "sh")
-    inter = (
-        a.join(b, "sh")
-        .where(F.col("id_a") < F.col("id_b"))
-        .join(cand, ["id_a", "id_b"], "left_semi")
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    doc_arrs = sh_c.groupBy(id_col).agg(
+        F.collect_list("sh").alias("shs"), F.count(F.lit(1)).alias("sz")
     )
-    za = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
-    zb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
-    jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
-    out = (
-        inter.join(F.broadcast(za), "id_a")
-        .join(F.broadcast(zb), "id_b")
-        .where(jac >= threshold)
-        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    a = doc_arrs.select(
+        F.col(id_col).alias("id_a"),
+        F.col("shs").alias("shs_a"),
+        F.col("sz").alias("sz_a"),
+    )
+    b = doc_arrs.select(
+        F.col(id_col).alias("id_b"),
+        F.col("shs").alias("shs_b"),
+        F.col("sz").alias("sz_b"),
+    )
+    paired = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        # materialize the intersection size in its own projection so the
+        # array walk runs once per pair, not once per consumer expression
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("shs_a", "shs_b")).alias("_i"),
+            "sz_a",
+            "sz_b",
+        )
+    )
+    jac = F.col("_i") / (F.col("sz_a") + F.col("sz_b") - F.col("_i"))
+    out = paired.where(jac >= threshold).select(
+        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
     )
     if eager_release:
         out = out.localCheckpoint(eager=True)
@@ -288,7 +315,13 @@ def simhash_fingerprints(
     ``hash_fn='portable60'`` swaps xxhash64 for :func:`portable_hash60`
     (use bits<=60) so the whole fingerprint is reproducible in ANSI SQL —
     the oracle-checkable variant."""
-    toks = df.select(
+    from ..sources.io import spread_for_cpu
+
+    # spread before the explode + bits-wide vote aggregation: the per-token
+    # hash and 60 conditional sums are CPU-bound, and a byte-small
+    # documents scan otherwise runs them on 1-2 splits (see
+    # exploded_shingles; no-op at corpus scale)
+    toks = spread_for_cpu(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), F.explode(F.split(normalize_text(text_col), " ")).alias("tok")
     )
     if hash_fn == "portable60":

@@ -3367,18 +3367,36 @@ def minhash_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import minhash_near_duplicates
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    approx = minhash_near_duplicates(
-        docs, "text", "doc_id", threshold=0.05, num_hashes=32, bands=16
-    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
-    exact = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b", "jaccard")
-    exact_hi = exact.where(F.col("jaccard") >= 0.15).select("doc_a", "doc_b")
-    n_exact = exact.count()
-    n_hi = exact_hi.count()
-    n_approx = approx.count()
-    hits_all = approx.join(
-        exact.select("doc_a", "doc_b"), ["doc_a", "doc_b"]
-    ).count()
-    hits_hi = approx.join(exact_hi, ["doc_a", "doc_b"]).count()
+    # Both comparison frames are consumed by several counting actions;
+    # without persisting, the quadratic exact join re-executes once per
+    # action (4x) and the LSH pipeline 3x — at sf1 that turned a ~75 s
+    # check into 445 s. The persisted frames are the small RESULT pair
+    # lists, not the quadratic intermediates.
+    approx = (
+        minhash_near_duplicates(
+            docs, "text", "doc_id", threshold=0.05, num_hashes=32, bands=16,
+            eager_release=True,
+        )
+        .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    )
+    exact = (
+        ngram_jaccard_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b", "jaccard")
+        .persist()
+    )
+    try:
+        exact_hi = exact.where(F.col("jaccard") >= 0.15).select(
+            "doc_a", "doc_b"
+        )
+        n_exact = exact.count()
+        n_hi = exact_hi.count()
+        n_approx = approx.count()
+        hits_all = approx.join(
+            exact.select("doc_a", "doc_b"), ["doc_a", "doc_b"]
+        ).count()
+        hits_hi = approx.join(exact_hi, ["doc_a", "doc_b"]).count()
+    finally:
+        exact.unpersist(blocking=False)
     return spark.createDataFrame(
         [(n_exact, n_hi, hits_all == n_approx, hits_hi / max(n_hi, 1) >= 0.9)],
         "n_exact_pairs bigint, n_exact_hi_pairs bigint, "
