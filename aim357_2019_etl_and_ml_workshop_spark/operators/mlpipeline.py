@@ -51,13 +51,23 @@ def tfidf_pipeline(
 
 
 def fit_tfidf(df: DataFrame, text_col: str = "text") -> PipelineModel:
-    return tfidf_pipeline(text_col).fit(df)
+    # spread: the IDF fit's document-frequency treeAggregate and the
+    # tokenize/hash transform both inherit the input's partitioning, and a
+    # byte-small documents scan is 1 split — fitting serially on one core
+    # (47 s vs 4 s at sf1). No-op at corpus scale.
+    from ..sources.io import spread_for_cpu
+
+    return tfidf_pipeline(text_col).fit(spread_for_cpu(df))
 
 
 def tfidf_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, n_terms, top_weight): summary columns from the fitted TF-IDF
     vectors — vector internals stay in MLlib types; the relational surface
     exposes stable scalars."""
+    from ..sources.io import spread_for_cpu
+
+    df = spread_for_cpu(df)  # see fit_tfidf: 1-split scans serialize both
+    # the fit and this transform
     model = fit_tfidf(df, text_col)
     out = model.transform(df)
     # SparseVector -> scalar summaries via a tiny UDF-free path is not
@@ -92,9 +102,10 @@ def tfidf_exact_features(
     shuffle-on-term (NOT broadcast: a 100TB corpus's vocabulary is itself
     large), and the scalar doc count rides a broadcast crossJoin. Output
     weights round(6) so cross-engine float fold-order stays invisible."""
+    from ..sources.io import spread_for_cpu
     from .dedup import normalize_text
 
-    toks = df.select(
+    toks = spread_for_cpu(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col),
         F.explode(F.split(normalize_text(text_col), " ")).alias("tok"),
     ).where(F.col("tok") != "")
@@ -133,7 +144,9 @@ def lang_classifier_pipeline(
 
 
 def train_lang_classifier(df: DataFrame) -> PipelineModel:
-    return lang_classifier_pipeline().fit(df)
+    from ..sources.io import spread_for_cpu
+
+    return lang_classifier_pipeline().fit(spread_for_cpu(df))
 
 
 def cluster_embeddings(

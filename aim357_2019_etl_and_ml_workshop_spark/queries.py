@@ -1623,22 +1623,31 @@ def embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup pattern: candidate pairs only within a blocking key, here the
     label) — exact-oracle twin of the LSH-bucketed scale path
     (operators.dedup.embedding_near_duplicates). Threshold applied on the
-    ROUNDED similarity so the cut is reproducible across engines."""
-    from .operators.similarity import as_double_vec, dot, norm
+    ROUNDED similarity so the cut is reproducible across engines.
+
+    The block join moves BARE id pairs (the vector table broadcasts both
+    join sides), and the cosine verify gathers vectors from a broadcast
+    id->matrix inside one Arrow-batched numpy kernel — the same posture as
+    the LSH path's verify. The earlier form rode both 64-dim arrays
+    through the join and folded the dot product element-by-element in
+    interpreted expressions: 1.3G scalar folds at sf1 (137 s vs ~6 s
+    now). As the exact BLOCKED baseline its pair count is inherently
+    quadratic per block; the unblocked corpus-scale path is
+    embedding_neardup_lsh."""
+    from .operators.similarity import _broadcast_pair_cosine, as_double_vec
 
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id", "label", as_double_vec("embedding").alias("v")
     )
-    a = e.select(
-        F.col("vec_id").alias("id_a"), F.col("label"), F.col("v").alias("va")
-    ).withColumn("na", norm(F.col("va")))
-    b = e.select(
-        F.col("vec_id").alias("id_b"), F.col("label"), F.col("v").alias("vb")
-    ).withColumn("nb", norm(F.col("vb")))
-    pairs = a.join(b, "label").where(F.col("id_a") < F.col("id_b"))
-    sim = F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+    bcos = _broadcast_pair_cosine(
+        e.select(F.col("vec_id").alias("id"), F.col("v").alias("vec"))
+    )
+    a = e.select(F.col("vec_id").alias("id_a"), "label")
+    b = e.select(F.col("vec_id").alias("id_b"), "label")
     return (
-        pairs.select("id_a", "id_b", sim.alias("sim"))
+        a.join(b, "label")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", bcos("id_a", "id_b").alias("sim"))
         .where(F.col("sim") >= 0.42)
     )
 
@@ -4170,22 +4179,27 @@ def sole_return_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_returnflag"
     )
-    per_order = li.groupBy("l_orderkey").agg(
-        F.count_distinct("l_suppkey").alias("n_supp"),
-        F.count_distinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("n_ret"),
+    # One (order, supplier) pre-aggregation replaces two count_distincts:
+    # multi-distinct aggregation plans through Expand (every input row
+    # duplicated per distinct column) plus a dedup pass, while the
+    # two-level form shuffles the fact table ONCE on (order, supplier) and
+    # both the per-order stats and the R-pair set derive from that
+    # already-distinct frame — its exchange is shared across the two
+    # consumers, and the final join stays partitioned on l_orderkey.
+    pairs = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.col("l_returnflag") == "R").alias("has_r")
+    )
+    per_order = pairs.groupBy("l_orderkey").agg(
+        _count(None, "n_supp"),
+        F.sum(F.col("has_r").cast("int")).alias("n_ret"),
     )
     sole = per_order.where(
         (F.col("n_supp") > 1) & (F.col("n_ret") == 1)
     ).select("l_orderkey")
-    r_pairs = (
-        li.where(F.col("l_returnflag") == "R")
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-    )
     return (
-        r_pairs.join(sole, "l_orderkey")
+        pairs.where("has_r")
+        .select("l_orderkey", "l_suppkey")
+        .join(sole, "l_orderkey")
         .groupBy(F.col("l_suppkey").alias("s_suppkey"))
         .agg(_count(None, "numwait"))
     )
