@@ -106,6 +106,15 @@ SF1_SUBSET = [
     "q20_excess_shippers",
 ]
 
+# The sf10 amortization block: same subset minus embedding_cosine_topk,
+# whose exact-ANN sides are ~3 min (Spark) / ~13 min (DuckDB) at sf10 —
+# Spark WINS it 4.4x (178 s vs 787 s measured, batched matmul vs
+# list_dot_product over 800M pairs; recorded in PERF.md) but carrying it
+# per-round would dominate the bench wall-clock. sf10 runs once per query
+# (single-run noise is small when every query is seconds, and the block
+# exists to show the fixed-cost geomean amortizing, not 1%-level deltas).
+SF10_SUBSET = [n for n in SF1_SUBSET if n != "embedding_cosine_topk"]
+
 
 def duckdb_suite(sf_dir: str, names: list[str]) -> dict:
     """Time each headline query's oracle SQL in DuckDB over the same parquet
@@ -209,10 +218,21 @@ def main() -> None:
         os.path.exists(os.path.join(sf1_dir, "lineitem.parquet"))
         and os.environ.get("SPARK_GRAFT_SKIP_SF1") != "1"
     )
+    sf10_dir = os.environ.get(
+        "SPARK_GRAFT_SF10_DIR",
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), ".localdata", "sf10"
+        ),
+    )
+    run_sf10 = (
+        os.path.exists(os.path.join(sf10_dir, "lineitem.parquet"))
+        and os.environ.get("SPARK_GRAFT_SKIP_SF10") != "1"
+    )
     # DuckDB denominators first, on a quiet machine — running them after
     # the Spark suite measures them under JVM memory/CPU pressure instead.
     oracle = duckdb_suite(sf_dir, HEADLINE)
     oracle_sf1 = duckdb_suite(sf1_dir, SF1_SUBSET) if run_sf1 else None
+    oracle_sf10 = duckdb_suite(sf10_dir, SF10_SUBSET) if run_sf10 else None
 
     spark = get_spark("engine-bench")
     registry = q.queries()
@@ -255,6 +275,19 @@ def main() -> None:
         }
         sf1_block.update(ratio_block(t_sf1, oracle_sf1))
         out["sf1"] = sf1_block
+
+    if run_sf10:
+        t_sf10 = spark_suite(spark, registry, sf10_dir, SF10_SUBSET, 1)
+        sf10_block = {
+            "sf": 10.0,
+            "dir": sf10_dir,
+            "runs_per_query": 1,
+            "value": round(sum(t_sf10.values()), 4),
+            "queries": t_sf10,
+            "oracle": oracle_sf10,
+        }
+        sf10_block.update(ratio_block(t_sf10, oracle_sf10))
+        out["sf10"] = sf10_block
 
     print(json.dumps(out))
 
