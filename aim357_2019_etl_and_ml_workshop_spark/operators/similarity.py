@@ -174,6 +174,89 @@ def _broadcast_pair_cosine(vecs: DataFrame):
     return bcos
 
 
+def _local_topk_merge(
+    withv: DataFrame,
+    qmap: dict,
+    k: int,
+    gather: tuple | None = None,
+    final_dedup: bool = False,
+) -> DataFrame:
+    """Top-k per query over (q_id, c_id, cv) candidate rows: one Arrow
+    batch pass computes the cosines against the broadcast query matrix and
+    keeps only each batch's LOCAL top-k per query, and a final window
+    merges the ~batches * |Q| * k local winners — correct because a global
+    top-k row is top-k within any subset containing it (the
+    brute_force_topk merge argument). This replaces ranking a window over
+    EVERY candidate pair, whose sort shuffle is linear in the candidate
+    set (millions of rows for a k=5 answer). Adjacent-duplicate (q, c)
+    rows inside a batch are dropped.
+
+    ``gather`` = (sorted ids, matrix, norms): candidate vectors come from
+    that broadcast id->matrix instead of a ``cv`` input column, so the
+    input needs only bare (q_id, c_id) rows — no vector-attach join.
+    ``final_dedup=True`` additionally dedups (q, c) among the local
+    winners before the merge window — required when the caller did NOT
+    globally dedup candidate pairs (a pair duplicated across batches
+    yields identical local rows, which stay top-k in each batch, so the
+    merge remains exact); without it callers must ensure cross-batch
+    uniqueness (LSH dedups ids upstream; IVF cells are disjoint)."""
+    schema = "q_id bigint, c_id bigint, sim double"
+    if not qmap:
+        return withv.sparkSession.createDataFrame([], schema)
+    ids = sorted(qmap)
+    qm = np.stack([np.asarray(qmap[i], dtype=np.float64) for i in ids])
+    qn = np.linalg.norm(qm, axis=1)
+    index = {i: r for r, i in enumerate(ids)}
+
+    def kern(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qs = pdf["q_id"].to_numpy(dtype=np.int64)
+            cs = pdf["c_id"].to_numpy(dtype=np.int64)
+            if gather is not None:
+                g_ids, g_mat, g_norm = gather
+                rows = np.searchsorted(g_ids, cs)
+                cm, cn = g_mat[rows], g_norm[rows]
+            else:
+                cm = np.stack(pdf["cv"].to_numpy())
+                cn = np.linalg.norm(cm, axis=1)
+            qi = np.fromiter((index[x] for x in qs), np.int64, len(qs))
+            sims = np.round(
+                np.einsum("ij,ij->i", qm[qi], cm) / (qn[qi] * cn), 6
+            )
+            order = np.lexsort((cs, -sims, qs))
+            qs, cs, sims = qs[order], cs[order], sims[order]
+            # identical (q, sim, c) triples sort adjacent -> local dedup
+            keep = np.ones(len(qs), dtype=bool)
+            keep[1:] = (qs[1:] != qs[:-1]) | (cs[1:] != cs[:-1])
+            qs, cs, sims = qs[keep], cs[keep], sims[keep]
+            # rank within each q run (runs are contiguous after the sort)
+            starts = np.zeros(len(qs), dtype=np.int64)
+            new_q = np.flatnonzero(qs[1:] != qs[:-1]) + 1
+            starts[new_q] = new_q
+            np.maximum.accumulate(starts, out=starts)
+            rank = np.arange(len(qs)) - starts
+            sel = rank < k
+            yield pd.DataFrame(
+                {"q_id": qs[sel], "c_id": cs[sel], "sim": sims[sel]}
+            )
+
+    cols = ["q_id", "c_id"] if gather is not None else ["q_id", "c_id", "cv"]
+    local = withv.select(*cols).mapInPandas(kern, schema)
+    if final_dedup:
+        local = local.dropDuplicates(["q_id", "c_id"])
+    ranked = local.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("q_id").orderBy(
+                F.col("sim").desc(), F.col("c_id")
+            )
+        ),
+    )
+    return ranked.where(F.col("rn") <= k).select("q_id", "c_id", "sim")
+
+
 def _query_cosine_udf(qmap: dict):
     """Cosine of each candidate vector against a SMALL query set carried in
     the closure (queries are small by the top-k contract): Arrow ships only
@@ -254,6 +337,7 @@ def lsh_topk(
     seed: int = 42,
     dim: int | None = None,
     multiprobe: int = 0,
+    broadcast_max_rows: int = 2_000_000,
 ) -> DataFrame:
     """Approximate top-k: classic multi-table hyperplane LSH.
 
@@ -304,29 +388,42 @@ def lsh_topk(
         q = q.select(
             "q_id", "table", F.explode(F.array(*probes)).alias("bucket")
         ).distinct()
-    # Dedup collisions on BARE id pairs (same pair may collide in many
-    # tables), then re-attach each candidate vector once via an equi-join —
-    # vectors never ride the dedup shuffle (at 100TB the duplicate factor is
-    # up to n_tables, so shuffling ids-only is the difference between
-    # shuffling 16 bytes/pair and 16x the vector payload).
-    pairs = (
+    raw = (
         c.join(F.broadcast(q), ["table", "bucket"])
         .where(F.col("c_id") != F.col("q_id"))
         .select("q_id", "c_id")
-        .dropDuplicates(["q_id", "c_id"])
     )
+    # Dedup collisions on BARE id pairs first, always: the duplicate
+    # factor is n_tables * (multiprobe fan-out) — at (16 tables, 5
+    # probes) the raw stream is ~5x the distinct pair set, and both the
+    # Arrow transfer into the verify kernel and any vector re-attach
+    # scale with what flows past the dedup. (Measured at sf1: skipping
+    # the dedup and letting the kernel drop duplicates locally moved 41M
+    # rows instead of 8M and was strictly slower.)
+    pairs = raw.dropDuplicates(["q_id", "c_id"])
+    if candidates.count() <= broadcast_max_rows:
+        # Candidate vectors fit the same broadcast budget as any dim
+        # table: ship only bare (q_id, c_id) pairs through Arrow
+        # (16 bytes/row) and gather vectors from the broadcast id->matrix
+        # inside the kernel — no vector-attach join, and the verify+rank
+        # needs no further exchange before the k-row merge window.
+        rows = candidates.select(id_col, vec_col).collect()
+        g_ids = np.fromiter(
+            (r[0] for r in rows), dtype=np.int64, count=len(rows)
+        )
+        g_mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+        order = np.argsort(g_ids)
+        g_ids, g_mat = g_ids[order], g_mat[order]
+        g_norm = np.linalg.norm(g_mat, axis=1)
+        return _local_topk_merge(
+            pairs, qmap, k, gather=(g_ids, g_mat, g_norm)
+        )
+    # Above the broadcast budget: re-attach each candidate vector once via
+    # an equi-join and rank via the same local-top-k merge.
     cvecs = candidates.select(
         F.col(id_col).alias("c_id"), F.col(vec_col).alias("cv")
     )
-    ranked = pairs.join(cvecs, "c_id").select(
-        "q_id", "c_id", _query_cosine_udf(qmap)("q_id", "cv").alias("sim")
-    ).withColumn(
-        "rn",
-        F.row_number().over(
-            Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id"))
-        ),
-    )
-    return ranked.where(F.col("rn") <= k).select("q_id", "c_id", "sim")
+    return _local_topk_merge(pairs.join(cvecs, "c_id"), qmap, k)
 
 
 # ---------------------------------------------------------------------------
@@ -453,12 +550,7 @@ def ivf_topk(
         probe_rows, "q_id bigint, cell int"
     )
     pairs = c.join(F.broadcast(q), "cell").where(F.col("c_id") != F.col("q_id"))
-    ranked = pairs.select(
-        "q_id", "c_id", _query_cosine_udf(qmap)("q_id", "cv").alias("sim")
-    ).withColumn(
-        "rn",
-        F.row_number().over(
-            Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id"))
-        ),
-    )
-    return ranked.where(F.col("rn") <= k).select("q_id", "c_id", "sim")
+    # (q, c) is unique by construction (disjoint cells, distinct probes);
+    # rank via local top-k per Arrow batch + tiny merge window instead of
+    # a sort shuffle over every probed pair
+    return _local_topk_merge(pairs, qmap, k)

@@ -504,3 +504,33 @@ def test_fuzzy_substitution_pairs_complete(spark):
     assert (1, 2) in got and (1, 5) in got and got[(1, 5)] == 0
     with pytest.raises(ValueError):
         fuzzy_substitution_pairs(df, "s", "id", max_subs=2, chunks=2)
+
+
+def test_fuzzy_per_char_deletion_constant_prefix(spark):
+    """Deletion-neighborhood blocking on sequential entity names (constant
+    prefix + digits — the shape that degenerates single-slice pigeonhole
+    blocking into the full cross product): per-character deletion must
+    equal brute force, and its candidate volume must stay linear in the
+    true pair count, not quadratic in the table."""
+    import itertools
+
+    from aim357_2019_etl_and_ml_workshop_spark.operators.textanalysis import (
+        fuzzy_substitution_pairs,
+    )
+
+    rows = [Row(id=i, s=f"Entity#{i:05d}") for i in range(1, 301)]
+    df = spark.createDataFrame(rows)
+    got = {
+        (r.id_a, r.id_b): r.distance
+        for r in fuzzy_substitution_pairs(
+            df, "s", "id", max_subs=1, chunks=12
+        ).collect()
+    }
+    data = {r.id: r.s for r in rows}
+    want = {}
+    for i, j in itertools.combinations(sorted(data), 2):
+        d = sum(x != y for x, y in zip(data[i], data[j]))
+        if d <= 1:
+            want[(i, j)] = d
+    assert got == want
+    assert len(want) > 0  # e.g. 00001 vs 00002 differ in one digit
