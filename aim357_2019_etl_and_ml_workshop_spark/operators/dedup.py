@@ -430,6 +430,81 @@ def simhash_near_duplicates(
     return out
 
 
+def incremental_near_duplicates(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    chunks: int = 4,
+    bits: int = 64,
+    hash_fn: str = "xxhash64",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-dups of an INCOMING batch against an existing corpus — the
+    ingest-time dedup shape of a training-data pipeline (each new crawl
+    slice is screened against everything already accepted, rather than
+    re-running a corpus-wide self-join). Returns
+    (new_id, corpus_id, hamming) with hamming <= max_hamming.
+
+    Same pigeonhole-banded simhash as :func:`simhash_near_duplicates` —
+    complete at max_hamming <= chunks-1 — but the candidate join is
+    new-vs-corpus, not a self-join: candidates = chunk-value equi-join of
+    the batch's banded fingerprints against the corpus's. At scale the
+    corpus side is the natural persisted model state (fingerprint+band
+    once per accepted doc, append per batch); the batch side is small, so
+    the runtime picks a broadcast join and the corpus banding is never
+    reshuffled. ``max_bucket_size`` drops degenerate CORPUS chunk buckets
+    (boilerplate mass) before the join, same guard as the self-join
+    paths."""
+    if bits % chunks != 0:
+        raise ValueError(
+            f"bits ({bits}) must be divisible by chunks ({chunks}); the top "
+            f"{bits % chunks} fingerprint bits would otherwise never be "
+            "banded, silently voiding the pigeonhole completeness guarantee"
+        )
+    width = bits // chunks
+    mask = (1 << width) - 1
+
+    def banded(df: DataFrame, out_id: str, out_fp: str) -> DataFrame:
+        fps = simhash_fingerprints(df, text_col, id_col, bits=bits, hash_fn=hash_fn)
+        return fps.select(
+            F.col(id_col).alias(out_id),
+            F.col("simhash").alias(out_fp),
+            F.posexplode(
+                F.array(
+                    *[
+                        F.shiftright(F.col("simhash"), i * width)
+                        .bitwiseAND(F.lit(mask))
+                        for i in range(chunks)
+                    ]
+                )
+            ).alias("chunk", "cv"),
+        )
+
+    corpus_ch = banded(corpus_df, "corpus_id", "fp_c")
+    if max_bucket_size is not None:
+        hot = (
+            corpus_ch.groupBy("chunk", "cv")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > max_bucket_size)
+            .select("chunk", "cv")
+        )
+        corpus_ch = corpus_ch.join(
+            F.broadcast(hot), ["chunk", "cv"], "left_anti"
+        )
+    new_ch = banded(new_df, "new_id", "fp_n")
+    cand = (
+        corpus_ch.join(new_ch, ["chunk", "cv"])
+        .select("new_id", "corpus_id", "fp_n", "fp_c")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("fp_n").bitwiseXOR(F.col("fp_c")))
+    return cand.where(ham <= max_hamming).select(
+        "new_id", "corpus_id", ham.alias("hamming")
+    )
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -4824,6 +4824,40 @@ def simhash_portable_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "incremental_neardup_ingest",
+    f"""
+    WITH {_SIMHASH_PORTABLE_CTE}
+    SELECT n.doc_id AS new_id, c.doc_id AS corpus_id,
+           CAST(bit_count(xor(n.simhash, c.simhash)) AS INTEGER) AS hamming
+    FROM fps n JOIN fps c
+      ON n.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+    WHERE bit_count(xor(n.simhash, c.simhash)) <= 3
+    """,
+)
+def incremental_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time dedup: the 'incoming batch' (docs with doc_id % 10 = 0,
+    ~10% of the corpus) screened for near-dups against the accepted corpus
+    (the other 90%) via operators.dedup.incremental_near_duplicates —
+    banded-simhash candidates new-vs-corpus, never a corpus self-join.
+    Portable 60-bit hash + max_hamming (3) <= chunks-1 (4-1) makes the
+    banding complete, so the oracle states the ground truth directly as
+    the quadratic new x corpus Hamming scan (blocking-independent, like
+    fuzzy_supplier_matches)."""
+    from .operators.dedup import incremental_near_duplicates
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    new = docs.where(F.col("doc_id") % 10 == 0)
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    out = incremental_near_duplicates(
+        new, corpus, "text", "doc_id", max_hamming=3, chunks=4,
+        bits=60, hash_fn="portable60",
+    )
+    return out.select(
+        "new_id", "corpus_id", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+@register(
     "tfidf_exact_features",
     """
     WITH toks AS (

@@ -534,3 +534,42 @@ def test_fuzzy_per_char_deletion_constant_prefix(spark):
             want[(i, j)] = d
     assert got == want
     assert len(want) > 0  # e.g. 00001 vs 00002 differ in one digit
+
+
+def test_incremental_neardup_matches_all_pairs(spark):
+    """Batch-vs-corpus banded dedup must equal the quadratic new x corpus
+    Hamming scan at max_hamming <= chunks-1 (pigeonhole completeness),
+    and never emit new-new or corpus-corpus pairs."""
+    from aim357_2019_etl_and_ml_workshop_spark.operators.dedup import (
+        incremental_near_duplicates,
+        simhash_fingerprints,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        Row(doc_id=i, text=(base + f" tail{i % 7}") if i % 3 else base)
+        for i in range(1, 41)
+    ]
+    docs = spark.createDataFrame(rows)
+    new = docs.where(F.col("doc_id") % 4 == 0)
+    corpus = docs.where(F.col("doc_id") % 4 != 0)
+    got = {
+        (r.new_id, r.corpus_id): r.hamming
+        for r in incremental_near_duplicates(
+            new, corpus, "text", "doc_id", max_hamming=3, chunks=4
+        ).collect()
+    }
+    fps = {
+        r.doc_id: r.simhash
+        for r in simhash_fingerprints(docs, "text", "doc_id").collect()
+    }
+    want = {}
+    for n in range(4, 41, 4):
+        for c in fps:
+            if c % 4 == 0:
+                continue
+            d = bin(fps[n] ^ fps[c]).count("1")
+            if d <= 3:
+                want[(n, c)] = d
+    assert got == want and len(want) > 0
+    assert all(n % 4 == 0 and c % 4 != 0 for n, c in got)
