@@ -430,6 +430,36 @@ def simhash_near_duplicates(
     return out
 
 
+def screen_exact_duplicates(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Exact ingest screening, the cheap first stage of batch-vs-corpus
+    dedup (see :func:`incremental_near_duplicates` for the near-dup
+    stage): flag each incoming doc whose canonical text fingerprint
+    (md5 of whitespace-collapsed lowercase) already exists in the corpus.
+    Returns (id, fp, is_dup).
+
+    At scale the distinct corpus fingerprint set is the persisted model
+    state (16 bytes/doc, appended per accepted batch); the probe is one
+    equi-join on the fingerprint — broadcast when the accepted set is
+    small, shuffle otherwise, the runtime's choice either way. Text never
+    moves: both sides reduce to (id, fp) before the join."""
+    corpus_fp = (
+        corpus_df.select(F.md5(normalize_text(text_col)).alias("fp"))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    newf = new_df.select(
+        F.col(id_col), F.md5(normalize_text(text_col)).alias("fp")
+    )
+    return newf.join(corpus_fp, "fp", "left").select(
+        id_col, "fp", F.coalesce(F.col("_dup"), F.lit(False)).alias("is_dup")
+    )
+
+
 def incremental_near_duplicates(
     new_df: DataFrame,
     corpus_df: DataFrame,

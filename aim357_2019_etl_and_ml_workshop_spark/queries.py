@@ -4824,6 +4824,37 @@ def simhash_portable_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "incremental_exact_screen",
+    r"""
+    WITH fps AS (
+        SELECT doc_id,
+               md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        FROM documents
+    ), corpus AS (
+        SELECT DISTINCT fp FROM fps WHERE doc_id % 10 <> 0
+    )
+    SELECT n.doc_id AS doc_id, n.fp AS fp,
+           (c.fp IS NOT NULL) AS is_dup
+    FROM fps n LEFT JOIN corpus c ON n.fp = c.fp
+    WHERE n.doc_id % 10 = 0
+    """,
+)
+def incremental_exact_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ingest screening (operators.dedup.screen_exact_duplicates):
+    the incoming 10% batch probed against the corpus's distinct canonical
+    md5 fingerprint set — the cheap stage that runs before
+    incremental_neardup_ingest in a real ingest pipeline. md5 over the
+    shared normalization is engine-portable, so the oracle recomputes
+    every fingerprint and the flag exactly."""
+    from .operators.dedup import screen_exact_duplicates
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    new = docs.where(F.col("doc_id") % 10 == 0)
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    return screen_exact_duplicates(new, corpus, "text", "doc_id")
+
+
+@register(
     "incremental_neardup_ingest",
     f"""
     WITH {_SIMHASH_PORTABLE_CTE}

@@ -573,3 +573,24 @@ def test_incremental_neardup_matches_all_pairs(spark):
                 want[(n, c)] = d
     assert got == want and len(want) > 0
     assert all(n % 4 == 0 and c % 4 != 0 for n, c in got)
+
+
+def test_screen_exact_duplicates_flags_cross_side_dups(spark):
+    from aim357_2019_etl_and_ml_workshop_spark.operators.dedup import (
+        screen_exact_duplicates,
+    )
+
+    corpus = spark.createDataFrame(
+        [Row(doc_id=1, text="Alpha  Beta gamma"), Row(doc_id=2, text="unique corpus doc")]
+    )
+    new = spark.createDataFrame(
+        [
+            Row(doc_id=10, text="alpha beta GAMMA"),  # dup modulo normalization
+            Row(doc_id=11, text="fresh content here"),
+        ]
+    )
+    got = {
+        r.doc_id: r.is_dup
+        for r in screen_exact_duplicates(new, corpus, "text", "doc_id").collect()
+    }
+    assert got == {10: True, 11: False}
