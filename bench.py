@@ -110,9 +110,10 @@ SF1_SUBSET = [
 # whose exact-ANN sides are ~3 min (Spark) / ~13 min (DuckDB) at sf10 —
 # Spark WINS it 4.4x (178 s vs 787 s measured, batched matmul vs
 # list_dot_product over 800M pairs; recorded in PERF.md) but carrying it
-# per-round would dominate the bench wall-clock. sf10 runs once per query
-# (single-run noise is small when every query is seconds, and the block
-# exists to show the fixed-cost geomean amortizing, not 1%-level deltas).
+# per-round would dominate the bench wall-clock. The sf10 Spark suite runs
+# LAST in a JVM that has already executed the sf0.1 and sf1 suites, which
+# measurably inflates single runs (~20% vs a fresh session — PERF.md
+# records the clean-session numbers); min-of-runs recovers most of it.
 SF10_SUBSET = [n for n in SF1_SUBSET if n != "embedding_cosine_topk"]
 
 
@@ -277,11 +278,11 @@ def main() -> None:
         out["sf1"] = sf1_block
 
     if run_sf10:
-        t_sf10 = spark_suite(spark, registry, sf10_dir, SF10_SUBSET, 1)
+        t_sf10 = spark_suite(spark, registry, sf10_dir, SF10_SUBSET, runs)
         sf10_block = {
             "sf": 10.0,
             "dir": sf10_dir,
-            "runs_per_query": 1,
+            "runs_per_query": runs,
             "value": round(sum(t_sf10.values()), 4),
             "queries": t_sf10,
             "oracle": oracle_sf10,
