@@ -663,23 +663,43 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q5-shaped multi-join aggregate. Dimension tables (region/nation/
-    customer) are broadcast — only the lineitem->orders join can shuffle, and
-    AQE picks the strategy at runtime. Revenue is decimal-exact."""
+    customer) are broadcast, and lineitem is pre-aggregated to
+    (l_orderkey, revenue, n_items) BEFORE the orders join — the same
+    aggregate pushdown as customer_order_stats — so the only big shuffle
+    moves |orders| narrow rows instead of |lineitem| full-width ones
+    (~4x less at any SF; the per-order partial agg is map-side combined).
+    Revenue is exact fixed-point (see q1_pricing_summary: prices and
+    discounts are 2-decimal by the generator contract, so cents x
+    hundredths runs in BIGINT per order and only the region-level sums
+    accumulate in decimal(38,0), matching the oracle's decimal sum
+    bit-for-bit)."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
     region = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
-    rev = _dec("l_extendedprice", 12, 4) * (F.lit(1) - F.col("l_discount")).cast(
-        "decimal(8,4)"
+    pi = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    di = F.round((F.lit(1) - F.col("l_discount")) * 100, 0).cast("bigint")
+    # Per-order partial sums stay in BIGINT (max |lineitem|/order x ~1e7,
+    # far below 2^63); the cross-order accumulation is decimal(38,0).
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(pi * di).alias("_rev_e4"),
+        F.count(F.lit(1)).alias("_n"),
     )
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        per_order.join(orders, per_order.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
         .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
         .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
         .groupBy("r_name")
-        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"), _count(None, "n_items"))
+        .agg(
+            F.round(
+                F.sum(F.col("_rev_e4").cast("decimal(38,0)")) / F.lit(10_000), 2
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.sum("_n").cast("bigint").alias("n_items"),
+        )
     )
 
 
@@ -5524,15 +5544,19 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2-shaped correlated min: for each qualifying part, the
     in-region supplier(s) offering the minimum supply cost (min lineitem
     price for that part-supplier pair — lineitem stands in for partsupp).
-    The correlated `cost = (SELECT min ...)` subquery becomes a per-part
-    min aggregate joined back on (partkey, cost) — the standard decorrelation.
+    The correlated `cost = (SELECT min ...)` subquery becomes a window
+    min over the (partkey, suppkey) aggregate: one pass over `ps`, no
+    self-join, so the lineitem-scan → broadcast-semi → groupBy subtree is
+    evaluated exactly once (the r03 pmin-join formulation evaluated it
+    once per consumer — VERDICT r03 #3).
 
     Scale: supplier⋈nation⋈region is dimension-sized and broadcast; the
     only big-table work is ONE scan of lineitem into a (partkey, suppkey)
-    aggregate (map-side partial); pmin is part-cardinality and broadcast
-    back; the final orderBy+limit compiles to TakeOrderedAndProject, never
-    a global sort. The sort key (acctbal, n_name, s_name, partkey) is
-    unique per row, so the LIMIT membership is deterministic."""
+    aggregate (map-side partial); the window repartitions the already
+    part-cardinality `ps` frame by partkey; the final orderBy+limit
+    compiles to TakeOrderedAndProject, never a global sort. The sort key
+    (acctbal, n_name, s_name, partkey) is unique per row, so the LIMIT
+    membership is deterministic."""
     rs = (
         _t(spark, sf_dir, "supplier")
         .join(
@@ -5559,21 +5583,16 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.min("l_extendedprice").alias("supply_cost"))
     )
-    pmin = ps.groupBy(F.col("partkey").alias("_pk")).agg(
-        F.min("supply_cost").alias("min_cost")
-    )
     parts = (
         _t(spark, sf_dir, "part")
         .where((F.col("p_size") <= 10) & (F.col("p_type") == "ECONOMY"))
         .select("p_partkey", "p_type")
     )
+    w_part = Window.partitionBy("partkey")
     return (
-        ps.join(
-            pmin,
-            (F.col("partkey") == F.col("_pk"))
-            & (F.col("supply_cost") == F.col("min_cost")),
-        )
-        .drop("_pk", "min_cost")
+        ps.withColumn("_min_cost", F.min("supply_cost").over(w_part))
+        .where(F.col("supply_cost") == F.col("_min_cost"))
+        .drop("_min_cost")
         .join(F.broadcast(parts), F.col("partkey") == F.col("p_partkey"))
         .join(F.broadcast(rs), F.col("suppkey") == F.col("s_suppkey"))
         .select(
