@@ -1,17 +1,21 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+COMPACT JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ..., per-SF ratio blocks}.
 
 Timing uses a noop sink so we measure plan execution, not driver collect
-bandwidth; each query runs once after a warmup of the session.
+bandwidth; each query runs best-of-N after a warmup of the session.
 
-The line also carries an "oracle" block: the same headline suite executed by
-DuckDB (each query's oracle SQL, same parquet, same thread count) — the
-single-node denominator that makes "within 2x of a native engine" a
-measurable ratio instead of a design argument. Headline queries without an
-oracle SQL (hash-dependent approximate ops) are listed in
-oracle.skipped."""
+The compact line carries, per measured SF, the DuckDB oracle total and the
+suite-ratio/geomean pair — the single-node denominator that makes "within
+2x of a native engine" a measurable ratio instead of a design argument.
+FULL detail (per-query oracle timings, skipped lists, directories) is
+written to BENCH_DETAIL.json next to this script, under version control.
+The stdout line is deliberately small: the driver that records BENCH
+artifacts keeps only the last ~2000 characters of stdout and json-parses
+the final line — round 3's single giant line (per-query maps for three
+SFs inline) truncated to an unparseable tail (VERDICT r03 #1). Keep any
+new stdout field budget-conscious and verify len(line) < 1900."""
 
 from __future__ import annotations
 
@@ -250,12 +254,13 @@ def main() -> None:
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings = spark_suite(spark, registry, sf_dir, HEADLINE, runs)
 
-    out = {
+    detail = {
         "metric": "headline_suite_total",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "dir": sf_dir,
         "value_r01_subset": round(
             sum(timings[n] for n in HEADLINE[:28]), 4
         ),
@@ -263,7 +268,7 @@ def main() -> None:
         "agg": "min",
         "oracle": oracle,
     }
-    out.update(ratio_block(timings, oracle))
+    detail.update(ratio_block(timings, oracle))
 
     if run_sf1:
         t_sf1 = spark_suite(spark, registry, sf1_dir, SF1_SUBSET, runs)
@@ -275,7 +280,7 @@ def main() -> None:
             "oracle": oracle_sf1,
         }
         sf1_block.update(ratio_block(t_sf1, oracle_sf1))
-        out["sf1"] = sf1_block
+        detail["sf1"] = sf1_block
 
     if run_sf10:
         t_sf10 = spark_suite(spark, registry, sf10_dir, SF10_SUBSET, runs)
@@ -288,9 +293,47 @@ def main() -> None:
             "oracle": oracle_sf10,
         }
         sf10_block.update(ratio_block(t_sf10, oracle_sf10))
-        out["sf10"] = sf10_block
+        detail["sf10"] = sf10_block
 
-    print(json.dumps(out))
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
+
+    # Compact stdout line (see module docstring: must stay < ~1900 chars
+    # or the driver's 2000-char tail capture truncates it to junk). The
+    # per-query map keeps only the primary SF at 2 decimals; extra SF
+    # blocks carry totals + ratio + geomean only, detail goes to the file.
+    def _compact_sf(block: dict) -> dict:
+        return {
+            "sf": block["sf"],
+            "value": round(block["value"], 2),
+            "oracle_sec": round(block["oracle"]["value"], 2),
+            "spark_vs_oracle_ratio": block["spark_vs_oracle_ratio"],
+            "spark_vs_oracle_geomean": block["spark_vs_oracle_geomean"],
+        }
+
+    out = {
+        "metric": "headline_suite_total",
+        "value": detail["value"],
+        "unit": "sec",
+        "queries": {n: round(t, 2) for n, t in timings.items()},
+        "sf": sf,
+        "runs_per_query": runs,
+        "agg": "min",
+        "oracle_sec": round(oracle["value"], 2),
+        "spark_vs_oracle_ratio": detail["spark_vs_oracle_ratio"],
+        "spark_vs_oracle_geomean": detail["spark_vs_oracle_geomean"],
+        "detail": "BENCH_DETAIL.json",
+    }
+    for key in ("sf1", "sf10"):
+        if key in detail:
+            out[key] = _compact_sf(detail[key])
+
+    line = json.dumps(out, separators=(",", ":"))
+    assert len(line) < 1900, f"stdout line too long ({len(line)} chars)"
+    print(line)
 
 
 if __name__ == "__main__":
