@@ -351,6 +351,20 @@ def simhash_fingerprints(
     return votes.select(id_col, fp.alias("simhash"))
 
 
+def _check_pigeonhole(max_hamming: int, chunks: int, allow_incomplete: bool) -> None:
+    """Completeness precondition shared by the simhash banding paths: a
+    pair within Hamming distance d is only guaranteed to agree on one of
+    ``chunks`` chunks when d <= chunks-1. A larger max_hamming silently
+    returns a SUBSET of the true pairs, so it must be opted into."""
+    if max_hamming > chunks - 1 and not allow_incomplete:
+        raise ValueError(
+            f"max_hamming ({max_hamming}) > chunks-1 ({chunks - 1}): "
+            "pigeonhole banding is only complete up to chunks-1; pass "
+            "allow_incomplete=True to accept banding-recall (subset) "
+            "results, or raise chunks"
+        )
+
+
 def simhash_near_duplicates(
     df: DataFrame,
     text_col: str,
@@ -361,6 +375,7 @@ def simhash_near_duplicates(
     hash_fn: str = "xxhash64",
     max_bucket_size: int | None = None,
     eager_release: bool = False,
+    allow_incomplete: bool = False,
 ) -> DataFrame:
     """Near-dups by Hamming distance <= max_hamming over ``bits``-bit
     simhash. Pigeonhole banding: split into ``chunks`` equal chunks; any
@@ -375,13 +390,19 @@ def simhash_near_duplicates(
     completeness; set it when a real corpus has degenerate boilerplate.
 
     ``eager_release=True``: materialize the verified pair list, unpersist
-    the chunked fingerprint cache (see minhash_near_duplicates)."""
+    the chunked fingerprint cache (see minhash_near_duplicates).
+
+    ``allow_incomplete=True`` opts into max_hamming > chunks-1, where the
+    banding surfaces only pairs that happen to share a chunk (banding
+    recall, a deliberate approximate mode); without it that combination
+    raises."""
     if bits % chunks != 0:
         raise ValueError(
             f"bits ({bits}) must be divisible by chunks ({chunks}); the top "
             f"{bits % chunks} fingerprint bits would otherwise never be "
             "banded, silently voiding the pigeonhole completeness guarantee"
         )
+    _check_pigeonhole(max_hamming, chunks, allow_incomplete)
     fps = simhash_fingerprints(df, text_col, id_col, bits=bits, hash_fn=hash_fn)
     width = bits // chunks
     mask = (1 << width) - 1
@@ -460,9 +481,53 @@ def screen_exact_duplicates(
     )
 
 
+def simhash_banding_state(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunks: int = 4,
+    bits: int = 64,
+    hash_fn: str = "xxhash64",
+    out_id: str = "corpus_id",
+    out_fp: str = "fp_c",
+) -> DataFrame:
+    """The persisted model state of incremental simhash dedup: each doc's
+    fingerprint exploded into its ``chunks`` pigeonhole bands —
+    (out_id, out_fp, chunk, cv). Compute it ONCE per accepted corpus
+    slice, write it to a parquet keyed store, append the accepted part of
+    every ingested batch, and pass it back to
+    :func:`incremental_near_duplicates` as ``corpus_banded=`` so nightly
+    ingest never re-scans or re-fingerprints the corpus (VERDICT r03 #3:
+    at 100 TB the re-derivation IS the job). ``chunks/bits/hash_fn`` must
+    match the values used at probe time — the probe can't validate that
+    (state carries no metadata), so version the store path on them."""
+    if bits % chunks != 0:
+        raise ValueError(
+            f"bits ({bits}) must be divisible by chunks ({chunks}); the top "
+            f"{bits % chunks} fingerprint bits would otherwise never be "
+            "banded, silently voiding the pigeonhole completeness guarantee"
+        )
+    width = bits // chunks
+    mask = (1 << width) - 1
+    fps = simhash_fingerprints(df, text_col, id_col, bits=bits, hash_fn=hash_fn)
+    return fps.select(
+        F.col(id_col).alias(out_id),
+        F.col("simhash").alias(out_fp),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), i * width)
+                    .bitwiseAND(F.lit(mask))
+                    for i in range(chunks)
+                ]
+            )
+        ).alias("chunk", "cv"),
+    )
+
+
 def incremental_near_duplicates(
     new_df: DataFrame,
-    corpus_df: DataFrame,
+    corpus_df: DataFrame | None,
     text_col: str,
     id_col: str,
     max_hamming: int = 3,
@@ -470,6 +535,8 @@ def incremental_near_duplicates(
     bits: int = 64,
     hash_fn: str = "xxhash64",
     max_bucket_size: int | None = None,
+    corpus_banded: DataFrame | None = None,
+    allow_incomplete: bool = False,
 ) -> DataFrame:
     """Near-dups of an INCOMING batch against an existing corpus — the
     ingest-time dedup shape of a training-data pipeline (each new crawl
@@ -481,10 +548,15 @@ def incremental_near_duplicates(
     complete at max_hamming <= chunks-1 — but the candidate join is
     new-vs-corpus, not a self-join: candidates = chunk-value equi-join of
     the batch's banded fingerprints against the corpus's. At scale the
-    corpus side is the natural persisted model state (fingerprint+band
-    once per accepted doc, append per batch); the batch side is small, so
-    the runtime picks a broadcast join and the corpus banding is never
-    reshuffled. ``max_bucket_size`` drops degenerate CORPUS chunk buckets
+    corpus side is the persisted model state: pass
+    ``corpus_banded=`` (schema (corpus_id, fp_c, chunk, cv), built by
+    :func:`simhash_banding_state` with the SAME chunks/bits/hash_fn and
+    appended per accepted batch) and the corpus is never re-scanned or
+    re-fingerprinted — the probe reads the state store, and the batch
+    side is small, so the runtime picks a broadcast join. Without
+    ``corpus_banded`` the banding is derived from ``corpus_df`` in-line
+    (fine for one-shot jobs, quadratic-in-corpus over repeated nightly
+    calls). ``max_bucket_size`` drops degenerate CORPUS chunk buckets
     (boilerplate mass) before the join, same guard as the self-join
     paths."""
     if bits % chunks != 0:
@@ -493,26 +565,23 @@ def incremental_near_duplicates(
             f"{bits % chunks} fingerprint bits would otherwise never be "
             "banded, silently voiding the pigeonhole completeness guarantee"
         )
-    width = bits // chunks
-    mask = (1 << width) - 1
+    _check_pigeonhole(max_hamming, chunks, allow_incomplete)
+    if corpus_banded is None and corpus_df is None:
+        raise ValueError("pass corpus_df or precomputed corpus_banded state")
 
-    def banded(df: DataFrame, out_id: str, out_fp: str) -> DataFrame:
-        fps = simhash_fingerprints(df, text_col, id_col, bits=bits, hash_fn=hash_fn)
-        return fps.select(
-            F.col(id_col).alias(out_id),
-            F.col("simhash").alias(out_fp),
-            F.posexplode(
-                F.array(
-                    *[
-                        F.shiftright(F.col("simhash"), i * width)
-                        .bitwiseAND(F.lit(mask))
-                        for i in range(chunks)
-                    ]
-                )
-            ).alias("chunk", "cv"),
+    if corpus_banded is not None:
+        corpus_ch = corpus_banded
+    else:
+        corpus_ch = simhash_banding_state(
+            corpus_df, text_col, id_col, chunks=chunks, bits=bits,
+            hash_fn=hash_fn,
         )
-
-    corpus_ch = banded(corpus_df, "corpus_id", "fp_c")
+    if max_bucket_size is not None and corpus_banded is None:
+        # the hot-bucket count and the anti-join both consume corpus_ch:
+        # without a persist the full tokenize+explode+bits-wide-sum
+        # fingerprint subtree executes twice (precomputed state is already
+        # a materialized store — no need there)
+        corpus_ch = corpus_ch.persist()
     if max_bucket_size is not None:
         hot = (
             corpus_ch.groupBy("chunk", "cv")
@@ -523,7 +592,10 @@ def incremental_near_duplicates(
         corpus_ch = corpus_ch.join(
             F.broadcast(hot), ["chunk", "cv"], "left_anti"
         )
-    new_ch = banded(new_df, "new_id", "fp_n")
+    new_ch = simhash_banding_state(
+        new_df, text_col, id_col, chunks=chunks, bits=bits, hash_fn=hash_fn,
+        out_id="new_id", out_fp="fp_n",
+    )
     cand = (
         corpus_ch.join(new_ch, ["chunk", "cv"])
         .select("new_id", "corpus_id", "fp_n", "fp_c")

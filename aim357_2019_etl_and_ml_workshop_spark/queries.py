@@ -3933,7 +3933,8 @@ def simhash_near_duplicates_query(spark: SparkSession, sf_dir: str) -> DataFrame
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return simhash_near_duplicates(
-        docs, "text", "doc_id", max_hamming=8, chunks=4
+        docs, "text", "doc_id", max_hamming=8, chunks=4,
+        allow_incomplete=True,  # deliberate banding-recall mode (ham 8 > chunks-1)
     )
 
 

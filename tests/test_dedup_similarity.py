@@ -575,6 +575,69 @@ def test_incremental_neardup_matches_all_pairs(spark):
     assert all(n % 4 == 0 and c % 4 != 0 for n, c in got)
 
 
+def test_incremental_neardup_precomputed_state_matches_derived(spark):
+    """corpus_banded= (the persisted model-state path — VERDICT r03 #3)
+    must emit exactly the pairs of the derive-from-corpus_df path, with
+    and without the hot-bucket cap, and must work with corpus_df=None."""
+    from aim357_2019_etl_and_ml_workshop_spark.operators.dedup import (
+        incremental_near_duplicates,
+        simhash_banding_state,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        Row(doc_id=i, text=(base + f" tail{i % 7}") if i % 3 else base)
+        for i in range(1, 41)
+    ]
+    docs = spark.createDataFrame(rows)
+    new = docs.where(F.col("doc_id") % 4 == 0)
+    corpus = docs.where(F.col("doc_id") % 4 != 0)
+    state = simhash_banding_state(corpus, "text", "doc_id", chunks=4)
+
+    for cap in (None, 5):
+        derived = {
+            (r.new_id, r.corpus_id): r.hamming
+            for r in incremental_near_duplicates(
+                new, corpus, "text", "doc_id", max_hamming=3, chunks=4,
+                max_bucket_size=cap,
+            ).collect()
+        }
+        from_state = {
+            (r.new_id, r.corpus_id): r.hamming
+            for r in incremental_near_duplicates(
+                new, None, "text", "doc_id", max_hamming=3, chunks=4,
+                max_bucket_size=cap, corpus_banded=state,
+            ).collect()
+        }
+        assert from_state == derived and len(derived) > 0
+
+
+def test_simhash_pigeonhole_guard_raises(spark):
+    """max_hamming > chunks-1 silently under-recalls; both banded entry
+    points must refuse it unless allow_incomplete=True is passed."""
+    import pytest
+
+    from aim357_2019_etl_and_ml_workshop_spark.operators.dedup import (
+        incremental_near_duplicates,
+        simhash_near_duplicates,
+    )
+
+    docs = spark.createDataFrame([Row(doc_id=1, text="a b c")])
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_near_duplicates(docs, "text", "doc_id", max_hamming=4, chunks=4)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        incremental_near_duplicates(
+            docs, docs, "text", "doc_id", max_hamming=4, chunks=4
+        )
+    # the opt-in path still constructs a plan (banding-recall mode)
+    simhash_near_duplicates(
+        docs, "text", "doc_id", max_hamming=4, chunks=4, allow_incomplete=True
+    )
+    # and missing both corpus inputs is an explicit error
+    with pytest.raises(ValueError, match="corpus"):
+        incremental_near_duplicates(docs, None, "text", "doc_id")
+
+
 def test_screen_exact_duplicates_flags_cross_side_dups(spark):
     from aim357_2019_etl_and_ml_workshop_spark.operators.dedup import (
         screen_exact_duplicates,
