@@ -616,6 +616,7 @@ def embedding_near_duplicates(
     n_bits: int = 4,
     max_bucket_size: int | None = 100_000,
     broadcast_max_rows: int = 2_000_000,
+    broadcast_max_bytes: int = 512 << 20,
 ) -> DataFrame:
     """Embedding-cosine near-dup (SURVEY.md §2.12): LSH-bucketed candidate
     pairs -> exact cosine filter at ``threshold``. Same banding trade-off as
@@ -633,12 +634,14 @@ def embedding_near_duplicates(
     verify then looks vectors up from a broadcast id->vector matrix inside
     one Arrow-batched numpy kernel (embeddings fit comfortably: verify
     capacity is bounded by the same broadcast budget as every dim-table
-    join). Above ``broadcast_max_rows`` the verify falls back to
+    join). Above ``broadcast_max_rows`` OR ``broadcast_max_bytes``
+    (rows x dim x 8 — the dim-aware budget) the verify falls back to
     re-attaching vectors with two shuffle joins against the (deduped, so
     1x not n_tables x) pair set."""
     from .similarity import (
-        _broadcast_pair_cosine,
+        _collect_gather,
         _multi_table_buckets,
+        _pair_cosine_gather,
         _pair_cosine_udf,
         hyperplanes,
     )
@@ -683,9 +686,11 @@ def embedding_near_duplicates(
             .repartition(n_wide, "id_a", "id_b")
             .dropDuplicates(["id_a", "id_b"])
         )
-        n_vecs = vecs.count()
-        if n_vecs <= broadcast_max_rows:
-            sim_col = _broadcast_pair_cosine(vecs)(
+        gather = _collect_gather(
+            vecs, broadcast_max_rows, broadcast_max_bytes, int(first["d"])
+        )
+        if gather is not None:
+            sim_col = _pair_cosine_gather(df.sparkSession, gather)(
                 F.col("id_a"), F.col("id_b")
             )
             out = cand.select("id_a", "id_b", sim_col.alias("sim")).where(

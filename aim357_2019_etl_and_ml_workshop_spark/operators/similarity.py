@@ -150,22 +150,51 @@ def _pair_cosine_udf():
     return pair_cos
 
 
-def _broadcast_pair_cosine(vecs: DataFrame):
-    """Exact cosine for (id_a, id_b) pairs against a BROADCAST id->vector
+def _collect_gather(
+    vecs: DataFrame,
+    max_rows: int,
+    max_bytes: int,
+    dim: int,
+) -> tuple | None:
+    """Collect a 2-column (id, vector) frame into an id-sorted gather
+    triple (ids int64[], matrix float64[n,dim], norms float64[]) iff it
+    fits BOTH the row cap and the byte budget — else None (caller takes
+    the join-attach fallback). The budget is bytes = rows * dim * 8, so a
+    768-dim table hits its ceiling ~12x earlier than a 64-dim one at the
+    same row cap (the row-only guard was dim-blind — ADVICE r03). One
+    bounded job: ``limit(cap+1).collect()`` both measures and fetches, so
+    no separate count() action, and an over-budget table aborts after
+    cap+1 rows instead of materializing everything on the driver."""
+    cap = min(max_rows, max(max_bytes // (dim * 8), 1))
+    rows = vecs.limit(cap + 1).collect()
+    if len(rows) > cap:
+        return None
+    ids = np.fromiter((r[0] for r in rows), dtype=np.int64, count=len(rows))
+    mat = (
+        np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+        if rows
+        else np.zeros((0, dim), dtype=np.float64)
+    )
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    return ids, mat, np.linalg.norm(mat, axis=1)
+
+
+def _pair_cosine_gather(spark, gather: tuple):
+    """Exact cosine for (id_a, id_b) pairs against a shared id->vector
     matrix: the candidate-verify path for near-dup dedup, where the pair
     set is large but the vector table is broadcast-sized. Arrow ships two
     bigints per pair instead of two embedding arrays (~60x less transfer
     at 64-dim float64), and the kernel is one gather + row-wise einsum per
-    batch. Caller guards the collect with ``broadcast_max_rows``."""
-    rows = vecs.collect()
-    ids = np.fromiter((r["id"] for r in rows), dtype=np.int64, count=len(rows))
-    mat = np.stack([np.asarray(r["vec"], dtype=np.float64) for r in rows])
-    norms = np.linalg.norm(mat, axis=1)
-    order = np.argsort(ids)
-    ids, mat, norms = ids[order], mat[order], norms[order]
+    batch. The triple rides a SparkContext broadcast, so each Python
+    worker fetches and unpickles ONE copy per executor instead of one per
+    task closure (at the 512 MB byte budget the closure copy alone would
+    double every task's serialization cost — ADVICE r03)."""
+    bc = spark.sparkContext.broadcast(gather)
 
     @pandas_udf("double")
     def bcos(ia: pd.Series, ib: pd.Series) -> pd.Series:
+        ids, mat, norms = bc.value
         ra = np.searchsorted(ids, ia.to_numpy())
         rb = np.searchsorted(ids, ib.to_numpy())
         num = np.einsum("ij,ij->i", mat[ra], mat[rb])
@@ -191,9 +220,11 @@ def _local_topk_merge(
     set (millions of rows for a k=5 answer). Adjacent-duplicate (q, c)
     rows inside a batch are dropped.
 
-    ``gather`` = (sorted ids, matrix, norms): candidate vectors come from
-    that broadcast id->matrix instead of a ``cv`` input column, so the
-    input needs only bare (q_id, c_id) rows — no vector-attach join.
+    ``gather`` = (sorted ids, matrix, norms), or a SparkContext Broadcast
+    of that triple (preferred at size: one fetched copy per worker, not
+    one closure copy per task): candidate vectors come from that
+    id->matrix instead of a ``cv`` input column, so the input needs only
+    bare (q_id, c_id) rows — no vector-attach join.
     ``final_dedup=True`` additionally dedups (q, c) among the local
     winners before the merge window — required when the caller did NOT
     globally dedup candidate pairs (a pair duplicated across batches
@@ -215,7 +246,9 @@ def _local_topk_merge(
             qs = pdf["q_id"].to_numpy(dtype=np.int64)
             cs = pdf["c_id"].to_numpy(dtype=np.int64)
             if gather is not None:
-                g_ids, g_mat, g_norm = gather
+                g_ids, g_mat, g_norm = (
+                    gather.value if hasattr(gather, "value") else gather
+                )
                 rows = np.searchsorted(g_ids, cs)
                 cm, cn = g_mat[rows], g_norm[rows]
             else:
@@ -338,6 +371,7 @@ def lsh_topk(
     dim: int | None = None,
     multiprobe: int = 0,
     broadcast_max_rows: int = 2_000_000,
+    broadcast_max_bytes: int = 512 << 20,
 ) -> DataFrame:
     """Approximate top-k: classic multi-table hyperplane LSH.
 
@@ -401,23 +435,22 @@ def lsh_topk(
     # the dedup and letting the kernel drop duplicates locally moved 41M
     # rows instead of 8M and was strictly slower.)
     pairs = raw.dropDuplicates(["q_id", "c_id"])
-    if candidates.count() <= broadcast_max_rows:
-        # Candidate vectors fit the same broadcast budget as any dim
-        # table: ship only bare (q_id, c_id) pairs through Arrow
-        # (16 bytes/row) and gather vectors from the broadcast id->matrix
-        # inside the kernel — no vector-attach join, and the verify+rank
-        # needs no further exchange before the k-row merge window.
-        rows = candidates.select(id_col, vec_col).collect()
-        g_ids = np.fromiter(
-            (r[0] for r in rows), dtype=np.int64, count=len(rows)
-        )
-        g_mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
-        order = np.argsort(g_ids)
-        g_ids, g_mat = g_ids[order], g_mat[order]
-        g_norm = np.linalg.norm(g_mat, axis=1)
-        return _local_topk_merge(
-            pairs, qmap, k, gather=(g_ids, g_mat, g_norm)
-        )
+    gather = _collect_gather(
+        candidates.select(id_col, vec_col),
+        broadcast_max_rows,
+        broadcast_max_bytes,
+        dim,
+    )
+    if gather is not None:
+        # Candidate vectors fit the row AND byte budget (one bounded
+        # limit+collect job, no count() action): ship only bare
+        # (q_id, c_id) pairs through Arrow (16 bytes/row) and gather
+        # vectors from a SparkContext-broadcast id->matrix inside the
+        # kernel (one copy per worker, not per task) — no vector-attach
+        # join, and the verify+rank needs no further exchange before the
+        # k-row merge window.
+        bc = candidates.sparkSession.sparkContext.broadcast(gather)
+        return _local_topk_merge(pairs, qmap, k, gather=bc)
     # Above the broadcast budget: re-attach each candidate vector once via
     # an equi-join and rank via the same local-top-k merge.
     cvecs = candidates.select(

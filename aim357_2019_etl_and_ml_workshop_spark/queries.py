@@ -1669,20 +1669,37 @@ def embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     now). As the exact BLOCKED baseline its pair count is inherently
     quadratic per block; the unblocked corpus-scale path is
     embedding_neardup_lsh."""
-    from .operators.similarity import _broadcast_pair_cosine, as_double_vec
+    from .operators.similarity import (
+        _collect_gather,
+        _pair_cosine_gather,
+        _pair_cosine_udf,
+        as_double_vec,
+    )
 
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id", "label", as_double_vec("embedding").alias("v")
     )
-    bcos = _broadcast_pair_cosine(
-        e.select(F.col("vec_id").alias("id"), F.col("v").alias("vec"))
-    )
     a = e.select(F.col("vec_id").alias("id_a"), "label")
     b = e.select(F.col("vec_id").alias("id_b"), "label")
+    pairs = a.join(b, "label").where(F.col("id_a") < F.col("id_b"))
+    dim = int(e.select(F.size("v").alias("d")).first()["d"])
+    gather = _collect_gather(
+        e.select("vec_id", "v"), 2_000_000, 512 << 20, dim
+    )
+    if gather is not None:
+        sim = _pair_cosine_gather(spark, gather)("id_a", "id_b")
+        return pairs.select("id_a", "id_b", sim.alias("sim")).where(
+            F.col("sim") >= 0.42
+        )
+    # over the broadcast budget: re-attach vectors via equi-joins and run
+    # the pairwise kernel over the attached columns instead
+    va = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    vb = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    sim = _pair_cosine_udf()("va", "vb")
     return (
-        a.join(b, "label")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", bcos("id_a", "id_b").alias("sim"))
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", sim.alias("sim"))
         .where(F.col("sim") >= 0.42)
     )
 
