@@ -80,33 +80,42 @@ def register(name: str, oracle: str | None = None):
 # round; everything else follows in registration order and remains covered
 # by the local gate. (VERDICT r02 "Next round" #2.)
 _DRIVER_PRIORITY = [
-    # LLM curation pipeline
-    "curation_funnel", "leakage_safe_split", "deterministic_stratified_docs",
-    "decontaminate_ngram_overlap", "sequence_packing",
-    "shard_assignment_counts", "chunk_documents", "repetition_filter",
-    "pii_redaction_rollup", "unigram_logprob_scores", "source_capped_sample",
-    # dedup / similarity proofs (incl. derived-contract recall checks)
-    "simhash_portable_fingerprints", "simhash_portable_neardups",
-    "minhash_recall_check", "lsh_recall_check", "ivf_recall_check",
-    "neardup_representatives", "neardup_clusters",
-    "embedding_neardup_blocked", "fuzzy_supplier_matches",
-    "tfidf_exact_features",
+    # --- round-4 rotation: the 57 oracle-backed queries never verified in
+    # any driver artifact (r01 u r02 u r03 = 100/162 distinct keys). The
+    # driver samples the first 50, so the last 7 plus the 5 rows-only
+    # waivers roll into round 5's prefix. ---
+    # incremental ingest dedup (VERDICT r03 credited these as pass-d3 but
+    # they are absent from CORRECTNESS_r03.json — re-prioritized)
+    "incremental_exact_screen", "incremental_neardup_ingest",
     # TPC-H analogue shapes
-    "q2_min_cost_supplier", "q16_supplier_part_counts", "q20_excess_shippers",
-    "market_share_by_year", "nation_year_profit", "returned_item_losses",
-    "promo_revenue_pct", "small_quantity_revenue",
-    "unshipped_priority_revenue", "sole_return_supplier",
-    "dormant_rich_customers", "local_supplier_volume",
-    # temporal joins / windows / streaming
-    "asof_join_last_signup", "range_join_campaign_counts",
-    "latest_state_per_user", "sliding_window_counts", "ntile_quartiles",
-    "range_frame_peak_rate", "forward_fill_last_value",
-    "cumulative_daily_revenue", "streaming_hourly_counts",
-    "native_session_window_counts",
-    # SQL-surface shapes
-    "not_in_null_aware_anti", "recursive_cte_tree_walk",
-    "lateral_top2_per_segment", "grouping_sets_counts",
-    "except_all_user_bags", "try_arithmetic_probe", "events_key_skew_report",
+    "nation_pair_revenue", "top_supplier_revenue", "large_quantity_orders",
+    "part_revenue_concentration", "ship_delay_priority_counts",
+    "disjunctive_brand_revenue", "orders_above_avg_price",
+    "orders_above_customer_avg", "exists_late_lineitems",
+    "top_revenue_orders", "order_count_distribution",
+    # windows / ranking / aggregates
+    "stats_moments_by_flag", "first_last_window_probe",
+    "rank_distribution_probe", "argmax_latest_event",
+    "mode_event_type_per_user", "conditional_agg_filter", "cube_counts",
+    "pivot_multi_agg", "unpivot_daily", "value_bucket_histogram",
+    "profile_orders", "having_active_users", "approx_sketches",
+    "bool_argmax_agg_probe",
+    # scalar / semi-structured function probes
+    "date_parts", "date_arithmetic_probe", "parse_timestamp_format",
+    "string_functions_probe", "math_functions_probe",
+    "regexp_functions_probe", "array_functions_probe",
+    "map_functions_probe", "variant_extract_stats",
+    "parameterized_sql_probe", "inclusive_range_count",
+    # text / LLM-data operators
+    "bpe_token_count", "rolling_hash_fingerprint", "posexplode_tokens",
+    "top_terms", "sentiment_scores", "sorted_sources_by_lang",
+    "fuzzy_brand_distance", "word_runs_udtf",
+    "stratified_sample_contract", "embedding_clusters_contract",
+    # temporal / CDC / lakehouse shapes
+    "time_grain_rollup", "upsert_orders_snapshot", "scd2_user_state",
+    "snapshot_diff_orders", "asof_join_tolerance", "salted_join_revenue",
+    "quality_expectations_orders", "null_safe_join_counts",
+    "forecast_revenue_delta",
 ]
 
 
