@@ -648,11 +648,53 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         s38(pi * di, 10_000, 2).alias("sum_disc_price"),
         s38(pi * di * ti, 1_000_000, 2).alias("sum_charge"),
         (F.sum("l_quantity") / n).alias("avg_qty"),
+        # avg_price divides the ROUNDED sum (not round-of-quotient) because
+        # the oracle twin above is written as round(sum)/count — the two
+        # forms differ in the last double bit for some group sizes, so this
+        # expression is pinned to the oracle's; change both or neither.
         (s38(pi, 100, 2) / n).alias("avg_price"),
         (s38(F.round(F.col("l_discount") * 100, 0).cast("bigint"), 100, 4) / n).alias(
             "avg_disc"
         ),
         n.alias("count_order"),
+    )
+
+
+@register(
+    "money_scale_contract",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN abs(l_extendedprice*100 - round(l_extendedprice*100)) > 1e-6 THEN 1 ELSE 0 END) AS BIGINT) AS price_violations,
+           CAST(sum(CASE WHEN abs(l_discount*100      - round(l_discount*100))      > 1e-6 THEN 1 ELSE 0 END) AS BIGINT) AS discount_violations,
+           CAST(sum(CASE WHEN abs(l_tax*100           - round(l_tax*100))           > 1e-6 THEN 1 ELSE 0 END) AS BIGINT) AS tax_violations,
+           CAST(sum(CASE WHEN abs(l_quantity          - round(l_quantity))          > 1e-6 THEN 1 ELSE 0 END) AS BIGINT) AS quantity_violations
+    FROM lineitem
+    """,
+)
+def money_scale_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-generator contract probe (ADVICE r03): the fixed-point money
+    rewrites (q1_pricing_summary, revenue_by_region,
+    stats_moments_by_flag) assume prices/discounts/taxes are EXACTLY
+    2-decimal and quantities integral — F.round(x*100) silently snaps any
+    finer value to cents, skewing sums with no error signal. This query
+    counts violations of that invariant per column (all must be 0); it is
+    part of the oracle-gated registry, so a future data change that
+    breaks the invariant turns these counters nonzero on both engines and
+    is caught by the soak/gate review rather than by silent sum drift."""
+    li = _t(spark, sf_dir, "lineitem")
+
+    def viol(col: str, scale: int = 100) -> Column:
+        x = F.col(col) * scale if scale != 1 else F.col(col)
+        return F.sum(
+            F.when(F.abs(x - F.round(x, 0)) > 1e-6, 1).otherwise(0)
+        ).cast("bigint")
+
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        viol("l_extendedprice").alias("price_violations"),
+        viol("l_discount").alias("discount_violations"),
+        viol("l_tax").alias("tax_violations"),
+        viol("l_quantity", 1).alias("quantity_violations"),
     )
 
 

