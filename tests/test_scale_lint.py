@@ -32,6 +32,7 @@ WHITELIST = {
     "tfidf_exact_features": "broadcast scalar n_docs count gather",
     "unigram_logprob_scores": "broadcast scalar corpus-total gather",
     "small_quantity_revenue": "scalar agg final gather",
+    "money_scale_contract": "scalar agg final gather (5 counters)",
     "events_key_skew_report": "scalar agg over per-key counts gather",
     # windows over PRE-AGGREGATED day-grain frames (~1 row/day): documented
     # safe — the fact table was reduced by groupBy(day) before the window
