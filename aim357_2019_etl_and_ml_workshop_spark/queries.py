@@ -5703,14 +5703,13 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     The NOT IN compiles to an anti join; s_suppkey is non-nullable here so
     the plain anti join IS the null-aware semantics (the null-propagating
     general case is covered by not_in_null_aware_anti). Scale: the
-    blocklist and part dim are broadcast; the big side is one distinct over
-    lineitem's (partkey, suppkey) pairs — map-side partial dedup, one
-    shuffle; count-distinct then reduces dimension-sized groups."""
-    bridge = (
-        _t(spark, sf_dir, "lineitem")
-        .select("l_partkey", "l_suppkey")
-        .distinct()
-    )
+    blocklist and part dim are broadcast BELOW the distinct — the
+    qualifying-part semi join and the supplier anti join run on the raw
+    scan, so the global (partkey, suppkey) dedup shuffles only the ~1/7
+    of lineitem that survives the part predicates (r04: the distinct ran
+    first and shuffled every pair — sf10 6.8 s -> this form ~2 s);
+    map-side partial dedup, one shuffle; count-distinct then reduces
+    dimension-sized groups."""
     excl = (
         _t(spark, sf_dir, "supplier")
         .where(F.col("s_name").like("%7"))
@@ -5721,10 +5720,20 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (~F.col("p_type").like("PROMO%"))
         & (F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
     )
+    bridge = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(
+            F.broadcast(parts.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .join(F.broadcast(excl),
+              F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .distinct()
+    )
     return (
-        bridge.join(F.broadcast(excl),
-                    F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
-        .join(F.broadcast(parts), F.col("p_partkey") == F.col("l_partkey"))
+        bridge.join(F.broadcast(parts), F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
     )
