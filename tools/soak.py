@@ -40,10 +40,17 @@ EXCLUDE = {
         "contract; ~4G pairs at sf10). Runs full-oracle at sf0.3 in "
         "SOAK_r03; the corpus-scale twin embedding_neardup_lsh runs here"
     ),
+    "ngram_jaccard_pairs": (
+        "exact shingle-join all-pairs baseline: its Spark side IS the "
+        "quadratic ground truth (pair explosion OOMed an 8g heap at sf10 "
+        "in the first r04 soak attempt). Full-oracle at sf0.3 in "
+        "SOAK_r03; banded scale twins minhash_near_duplicates / "
+        "simhash_near_duplicates run here"
+    ),
 }
 
 
-def run_suite(spark, registry, sf_dir: str) -> tuple[dict, dict]:
+def run_suite(spark, registry, sf_dir: str) -> tuple[dict, dict, object]:
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name, fn in registry.items():
@@ -51,13 +58,22 @@ def run_suite(spark, registry, sf_dir: str) -> tuple[dict, dict]:
         try:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             times[name] = round(time.perf_counter() - t0, 2)
-        except Exception as exc:  # record, keep sweeping
+            spark.catalog.clearCache()
+        except Exception as exc:  # record, restart the session, keep going
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
-        spark.catalog.clearCache()
+            # an executor/driver OOM poisons the single-JVM local session —
+            # every later query would fail spuriously (r04 attempt #1:
+            # one heap blowout turned 70 green queries into ERRORs).
+            # Restart and re-derive the registry's session-bound state.
+            try:
+                spark.stop()
+            except Exception:
+                pass
+            spark = get_spark("registry-soak")
         print(
             f"  {name}: {times.get(name, 'ERROR')}s", file=sys.stderr, flush=True
         )
-    return times, errors
+    return times, errors, spark
 
 
 def main() -> None:
@@ -79,9 +95,9 @@ def main() -> None:
         if n not in EXCLUDE and n not in skip
     }
     print(f"sf1 sweep ({len(registry)} queries)", file=sys.stderr)
-    t1, e1 = run_suite(spark, registry, sf1_dir)
+    t1, e1, spark = run_suite(spark, registry, sf1_dir)
     print(f"sf10 sweep ({len(registry)} queries)", file=sys.stderr)
-    t10, e10 = run_suite(spark, registry, sf10_dir)
+    t10, e10, spark = run_suite(spark, registry, sf10_dir)
 
     flags = {}
     for name, s10 in t10.items():
