@@ -4156,18 +4156,22 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     the supplier(s) whose revenue equals the global max — aggregate ->
     scalar subquery over the SAME aggregate -> equality filter. The max is
     a one-row broadcast; the winner set (~1 row) broadcasts into the
-    supplier dim join, so supplier never shuffles. Revenue stays in exact
-    decimal space until the final display cast, making the max-equality
-    tie-break engine-independent. At 100 TB you'd persist `rev` to avoid
-    the second lineitem scan; at bench scale the rescan is cheaper than
-    the cache write."""
+    supplier dim join, so supplier never shuffles. `rev` feeds BOTH the
+    max and the filter, so it is persisted — without it the whole
+    lineitem scan + aggregation subtree evaluates once per consumer (the
+    q2/r03 defect; measured 21.9 s -> ~7 s at sf10). Revenue is exact
+    fixed-point (see q1_pricing_summary: per-row cents x hundredths in
+    BIGINT, supplier sums in decimal(38,0)), so the max-equality
+    tie-break is engine-independent and bit-exact vs the oracle's
+    decimal formulation."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_suppkey", "l_extendedprice", "l_discount"
     )
-    rev_expr = _dec("l_extendedprice", 12, 4) * (
-        F.lit(1) - F.col("l_discount")
-    ).cast("decimal(8,4)")
-    rev = li.groupBy("l_suppkey").agg(F.sum(rev_expr).alias("r"))
+    pi = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    di = F.round((F.lit(1) - F.col("l_discount")) * 100, 0).cast("bigint")
+    rev = li.groupBy("l_suppkey").agg(
+        (F.sum((pi * di).cast("decimal(38,0)")) / F.lit(10_000)).alias("r")
+    ).persist()
     max_r = rev.agg(F.max("r").alias("max_r"))
     top = rev.join(F.broadcast(max_r)).where(F.col("r") == F.col("max_r"))
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
@@ -4244,16 +4248,21 @@ def part_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     as `r2 * count > sum` entirely in decimal space (an exact rewrite of
     `r2 > avg`): avg() returns double in DuckDB but decimal in Spark, so
     comparing against avg directly could flip boundary rows between
-    engines. The (cnt, total) pair is a one-row broadcast."""
+    engines. The (cnt, total) pair is a one-row broadcast. `rev` feeds
+    both the total and the filter, so it is persisted (the q2/Q15
+    duplicated-subtree defect otherwise re-runs the lineitem aggregation
+    per consumer); per-row money math is fixed-point BIGINT as in
+    q1_pricing_summary, exact under the 2-decimal generator contract."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_extendedprice", "l_discount"
     )
-    rev_expr = _dec("l_extendedprice", 12, 4) * (
-        F.lit(1) - F.col("l_discount")
-    ).cast("decimal(8,4)")
+    pi = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    di = F.round((F.lit(1) - F.col("l_discount")) * 100, 0).cast("bigint")
     rev = li.groupBy("l_partkey").agg(
-        F.round(F.sum(rev_expr), 2).cast("decimal(18,2)").alias("r2")
-    )
+        F.round(F.sum((pi * di).cast("decimal(38,0)")) / F.lit(10_000), 2)
+        .cast("decimal(18,2)")
+        .alias("r2")
+    ).persist()
     tot = rev.agg(
         F.count(F.lit(1)).cast("decimal(10,0)").alias("cnt"),
         F.sum("r2").alias("total"),
