@@ -12,6 +12,11 @@ Usage: python tools/soak.py [out.json]
 Env: SPARK_GRAFT_SOAK_SF1_DIR / SPARK_GRAFT_SOAK_SF10_DIR override the
 .localdata defaults; SPARK_GRAFT_SOAK_SKIP names comma-separated queries
 to skip (with reasons recorded).
+
+Long soaks survive process churn via a JSONL checkpoint
+(SPARK_GRAFT_SOAK_CKPT, default .localdata/soak_ckpt.jsonl): one line per
+completed query per sweep; a rerun loads it and skips what's already
+timed, so an external kill mid-sweep costs only the in-flight query.
 """
 
 from __future__ import annotations
@@ -50,17 +55,61 @@ EXCLUDE = {
 }
 
 
-def run_suite(spark, registry, sf_dir: str) -> tuple[dict, dict, object]:
+def _ckpt_path() -> str:
+    base = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    return os.environ.get(
+        "SPARK_GRAFT_SOAK_CKPT",
+        os.path.join(base, ".localdata", "soak_ckpt.jsonl"),
+    )
+
+
+def _ckpt_load(sweep: str) -> tuple[dict, dict]:
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
+    path = _ckpt_path()
+    if os.path.exists(path):
+        with open(path) as f:
+            for line in f:
+                try:
+                    rec = json.loads(line)
+                except ValueError:
+                    continue
+                if rec.get("sweep") != sweep:
+                    continue
+                if "sec" in rec:
+                    times[rec["name"]] = rec["sec"]
+                else:
+                    errors[rec["name"]] = rec.get("err", "?")
+    return times, errors
+
+
+def _ckpt_append(rec: dict) -> None:
+    path = _ckpt_path()
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+
+
+def run_suite(spark, registry, sf_dir: str, sweep: str) -> tuple[dict, dict, object]:
+    times, errors = _ckpt_load(sweep)
+    if times or errors:
+        print(
+            f"  [resume] {len(times)} timed + {len(errors)} errored "
+            f"loaded from checkpoint",
+            file=sys.stderr,
+        )
     for name, fn in registry.items():
+        if name in times or name in errors:
+            continue
         t0 = time.perf_counter()
         try:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             times[name] = round(time.perf_counter() - t0, 2)
+            _ckpt_append({"sweep": sweep, "name": name, "sec": times[name]})
             spark.catalog.clearCache()
         except Exception as exc:  # record, restart the session, keep going
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            _ckpt_append({"sweep": sweep, "name": name, "err": errors[name]})
             # an executor/driver OOM poisons the single-JVM local session —
             # every later query would fail spuriously (r04 attempt #1:
             # one heap blowout turned 70 green queries into ERRORs).
@@ -95,9 +144,9 @@ def main() -> None:
         if n not in EXCLUDE and n not in skip
     }
     print(f"sf1 sweep ({len(registry)} queries)", file=sys.stderr)
-    t1, e1, spark = run_suite(spark, registry, sf1_dir)
+    t1, e1, spark = run_suite(spark, registry, sf1_dir, "sf1")
     print(f"sf10 sweep ({len(registry)} queries)", file=sys.stderr)
-    t10, e10, spark = run_suite(spark, registry, sf10_dir)
+    t10, e10, spark = run_suite(spark, registry, sf10_dir, "sf10")
 
     flags = {}
     for name, s10 in t10.items():
