@@ -406,6 +406,24 @@ def lsh_topk(
         "cv",
         all_planes,
     )
+    # The bucket join + pair emission + partial pair-dedup all run INSIDE
+    # the stage that scans the candidate side (q is broadcast), so their
+    # parallelism is whatever the parquet split count happens to be — and
+    # the work per split is the EXPLODED pair count, not the input size.
+    # Measured at sf10 (local[32], 13 splits): one task sat single-threaded
+    # on ~10^8 emitted pairs for 30+ min while 31 cores idled. Trim the
+    # exploded frame to bare (c_id, table, bucket) rows (~24 B each — the
+    # vectors are re-gathered after the dedup anyway) and round-robin it
+    # across the session's shuffle width: a cheap narrow-row shuffle that
+    # buys balanced, full-width pair generation regardless of input splits
+    # or bucket skew.
+    try:
+        n_out = int(
+            candidates.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    except (TypeError, ValueError):
+        n_out = candidates.sparkSession.sparkContext.defaultParallelism
+    c = c.select("c_id", "table", "bucket").repartition(n_out)
     qmap = {
         int(r[0]): np.asarray(r[1], dtype=np.float64)
         for r in queries.select(id_col, vec_col).collect()

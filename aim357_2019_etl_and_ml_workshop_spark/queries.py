@@ -957,13 +957,31 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ANN top-k is a SERVING-shaped workload: the corpus grows with the data,
+# the query batch does not. Batch = every step-th vec_id with
+# step = max(50, N // 100): identical to the historical %50 rule at every
+# conformance/bench SF (N <= 5000 there, so step stays 50 and the driver's
+# oracle gate sees byte-identical results), but bounded at ~100 queries as
+# the corpus scales — without the bound, |Q| grew linearly with N and every
+# ANN query (and its exact recall denominator) was quadratic in SF; the
+# first r04 sf10 soak spent 30+ min inside lsh_ann_topk on a 4k-query
+# batch. The oracle SQL derives the same step arithmetic from count(*).
+_ANN_STEP_SQL = "greatest(50, (SELECT count(*) FROM embeddings) // 100)"
+
+
+def _ann_queries(emb: DataFrame) -> DataFrame:
+    step = max(50, emb.count() // 100)
+    return emb.where(F.col("vec_id") % step == 0)
+
+
 @register(
     "embedding_cosine_topk",
-    """
+    f"""
     WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ), q AS (
-        SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 50 = 0
+        SELECT vec_id AS q_id, v AS qv FROM e
+        WHERE vec_id % {_ANN_STEP_SQL} = 0
     ), p AS (
         SELECT q_id, e.vec_id AS c_id,
                round(list_dot_product(qv, v)
@@ -989,7 +1007,7 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_vec("embedding").alias("v")
     )
-    q = emb.where(F.col("vec_id") % 50 == 0)
+    q = _ann_queries(emb)
     return brute_force_topk(emb, q, k=5)
 
 
@@ -1175,7 +1193,7 @@ def lsh_ann_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_vec("embedding").alias("v")
     )
-    q = emb.where(F.col("vec_id") % 50 == 0)
+    q = _ann_queries(emb)
     return lsh_topk(emb, q, k=5, n_tables=16, n_bits=4, multiprobe=1)
 
 
@@ -1470,7 +1488,7 @@ def ivf_ann_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_vec("embedding").alias("v")
     )
-    q = emb.where(F.col("vec_id") % 50 == 0)
+    q = _ann_queries(emb)
     key = (sf_dir, 16)
     if key not in _IVF_CENTROID_CACHE:
         # one Lloyd pass over a 1k-row seeded sample: centroid quality only
@@ -3404,9 +3422,9 @@ def embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "lsh_recall_check",
-    """
+    f"""
     SELECT CAST(count(*) AS BIGINT) AS n_queries, 5 AS k, TRUE AS recall_ge_09
-    FROM embeddings WHERE vec_id % 50 = 0
+    FROM embeddings WHERE vec_id % {_ANN_STEP_SQL} = 0
     """,
 )
 def lsh_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3438,9 +3456,9 @@ def lsh_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ivf_recall_check",
-    """
+    f"""
     SELECT CAST(count(*) AS BIGINT) AS n_queries, 5 AS k, TRUE AS recall_ge_07
-    FROM embeddings WHERE vec_id % 50 = 0
+    FROM embeddings WHERE vec_id % {_ANN_STEP_SQL} = 0
     """,
 )
 def ivf_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -52,6 +52,13 @@ EXCLUDE = {
         "SOAK_r03; banded scale twins minhash_near_duplicates / "
         "simhash_near_duplicates run here"
     ),
+    "minhash_recall_check": (
+        "recall contract whose denominator IS the excluded "
+        "ngram_jaccard_pairs exact join (inlined on the Spark side by "
+        "definition of recall) — same quadratic-by-design cost, same "
+        "OOM at sf10. Verified full-oracle at sf0.3 in SOAK_r03 and at "
+        "every conformance SF; minhash_near_duplicates itself runs here"
+    ),
 }
 
 
