@@ -53,6 +53,19 @@ def _ts_us(base: str) -> int:
     return np.datetime64(base, "us").astype(np.int64)
 
 
+# Cap parquet row groups at 32k rows (~16 MB for the text/vector tables,
+# aligned with the local-mode maxPartitionBytes): the generator's 512k-row
+# write batches previously left small-but-compute-heavy tables (documents,
+# embeddings) as a SINGLE row group, and a one-row-group file scans as ONE
+# Spark task no matter the split count — at sf10 every documents scan ran
+# single-threaded while 31 cores idled (DuckDB parallelizes inside a row
+# group, so only the Spark side was handicapped). A real corpus at scale is
+# thousands of files/groups; bounded groups make the local proxy behave
+# like that. Values are untouched — generation batching (CHUNK) and seeds
+# are unchanged; only the writer's group layout differs.
+ROW_GROUP_ROWS = 32_768
+
+
 def _write(outdir: str, name: str, schema: pa.Schema, batches) -> None:
     path = os.path.join(outdir, f"{name}.parquet")
     with pq.ParquetWriter(path, schema, compression="snappy") as w:
@@ -60,7 +73,7 @@ def _write(outdir: str, name: str, schema: pa.Schema, batches) -> None:
             w.write_table(pa.Table.from_arrays(
                 [pa.array(cols[f.name], type=f.type) for f in schema],
                 schema=schema,
-            ))
+            ), row_group_size=ROW_GROUP_ROWS)
     meta = pq.ParquetFile(path).metadata
     print(f"  {name}: {meta.num_rows} rows, {meta.num_row_groups} row groups")
 
