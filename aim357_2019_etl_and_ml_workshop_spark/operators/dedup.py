@@ -618,8 +618,12 @@ def embedding_near_duplicates(
     broadcast_max_rows: int = 2_000_000,
     broadcast_max_bytes: int = 512 << 20,
 ) -> DataFrame:
-    """Embedding-cosine near-dup (SURVEY.md §2.12): LSH-bucketed candidate
-    pairs -> exact cosine filter at ``threshold``. Same banding trade-off as
+    """Embedding-cosine near-dup (SURVEY.md §2.12), adaptive strategy:
+    while the vector matrix fits the broadcast byte budget the answer is
+    computed EXACTLY by a distributed tiled matmul sweep (see
+    similarity._tiled_matmul_pairs — zero pair shuffle, BLAS-rate, recall
+    1.0); past the budget, LSH-bucketed candidate pairs -> exact cosine
+    filter at ``threshold``. Same banding trade-off as
     MinHash: candidates come from equi-joins on (table, bucket), never the
     O(n^2) cross product; exact cosine runs only on collisions.
     ``max_bucket_size`` drops degenerate hyperplane buckets (e.g. a mass of
@@ -641,16 +645,30 @@ def embedding_near_duplicates(
     from .similarity import (
         _collect_gather,
         _multi_table_buckets,
-        _pair_cosine_gather,
         _pair_cosine_udf,
+        _tiled_matmul_pairs,
         hyperplanes,
     )
 
     first = df.select(F.size(vec_col).alias("d")).first()
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    # Strategy switch on the broadcast budget. Banded LSH is subquadratic
+    # only when the similarity gap is strong; at a weak gap (the candidate
+    # fraction -> 1) its bucket self-join shuffles ~n^2/2 pair ids through
+    # a dedup before any verify — measured 20+ min at sf10 vs seconds for
+    # the dense tiled sweep. While the matrix fits the same byte budget
+    # every verify path already uses, the tiled matmul is strictly better:
+    # EXACT (recall 1.0), zero pair shuffle, BLAS-rate compute. Past the
+    # budget (true corpus scale) the banded path below is the plan — its
+    # cost is gap-governed, which is the honest LSH contract.
+    gather = _collect_gather(
+        vecs, broadcast_max_rows, broadcast_max_bytes, int(first["d"])
+    )
+    if gather is not None:
+        return _tiled_matmul_pairs(df.sparkSession, gather, threshold)
     all_planes = [
         hyperplanes(int(first["d"]), n_bits, 42 + 1000 * t) for t in range(n_tables)
     ]
-    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     banded = _multi_table_buckets(vecs, "vec", all_planes).select(
         "id", "table", "bucket"
     ).persist()
@@ -686,28 +704,20 @@ def embedding_near_duplicates(
             .repartition(n_wide, "id_a", "id_b")
             .dropDuplicates(["id_a", "id_b"])
         )
-        gather = _collect_gather(
-            vecs, broadcast_max_rows, broadcast_max_bytes, int(first["d"])
+        # This branch only runs past the broadcast budget (the tiled sweep
+        # handled the in-budget case above), so the verify re-attaches each
+        # vector once via equi-joins against the deduped pair set.
+        va = vecs.select(
+            F.col("id").alias("id_a"), F.col("vec").alias("va")
         )
-        if gather is not None:
-            sim_col = _pair_cosine_gather(df.sparkSession, gather)(
-                F.col("id_a"), F.col("id_b")
-            )
-            out = cand.select("id_a", "id_b", sim_col.alias("sim")).where(
-                F.col("sim") >= threshold
-            )
-        else:
-            va = vecs.select(
-                F.col("id").alias("id_a"), F.col("vec").alias("va")
-            )
-            vb = vecs.select(
-                F.col("id").alias("id_b"), F.col("vec").alias("vb")
-            )
-            pairs = cand.join(va, "id_a").join(vb, "id_b")
-            sim = _pair_cosine_udf()("va", "vb")
-            out = pairs.select("id_a", "id_b", sim.alias("sim")).where(
-                F.col("sim") >= threshold
-            )
+        vb = vecs.select(
+            F.col("id").alias("id_b"), F.col("vec").alias("vb")
+        )
+        pairs = cand.join(va, "id_a").join(vb, "id_b")
+        sim = _pair_cosine_udf()("va", "vb")
+        out = pairs.select("id_a", "id_b", sim.alias("sim")).where(
+            F.col("sim") >= threshold
+        )
         out = out.localCheckpoint(eager=True)
     finally:
         banded.unpersist(blocking=False)

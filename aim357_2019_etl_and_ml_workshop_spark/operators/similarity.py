@@ -203,6 +203,77 @@ def _pair_cosine_gather(spark, gather: tuple):
     return bcos
 
 
+def _tiled_matmul_pairs(
+    spark,
+    gather: tuple,
+    threshold: float,
+    tile_rows: int | None = None,
+) -> DataFrame:
+    """EXACT all-pairs cosine >= threshold via a distributed tiled matmul
+    over a broadcast id->matrix: the work unit is a TILE PAIR (i <= j), and
+    each task computes one (tile x tile) dense similarity block at BLAS
+    speed, emitting only the rows above threshold.
+
+    Why this exists: banded LSH candidate generation is only subquadratic
+    when the similarity gap is strong. At a weak gap (near-isotropic
+    embeddings, low threshold) the candidate fraction approaches 1, and
+    the bucket self-join degenerates into shuffling ~n^2/2 16-byte pair
+    rows through a dedup before a per-pair verify — measured at sf10
+    (200k vectors): 20+ min and ~10^10 raw join rows, vs ~2.5 Tflop of
+    dense matmul that BLAS clears in seconds. When the whole matrix fits
+    the broadcast budget (the same rows x dim x 8 budget every verify
+    path uses), the tiled sweep is strictly better: exact (recall 1.0,
+    not an approximation), no pair shuffle at all (only T(T+1)/2 tiny
+    tile-index rows move), and compute bounded by n^2 d / BLAS-rate.
+    Above the budget the caller keeps the banded path, whose cost model
+    wins back at strong gaps / distributed matrices.
+
+    ids in ``gather`` are sorted, so tile i's ids all precede tile j's
+    for i < j — (id_a < id_b) holds by construction; the diagonal tile
+    emits its strict upper triangle. Similarity is round(·, 6), matching
+    every other cosine path."""
+    ids, mat, norms = gather
+    n = len(ids)
+    schema = "id_a bigint, id_b bigint, sim double"
+    if n == 0:
+        return spark.createDataFrame([], schema)
+    if tile_rows is None:
+        # aim for ~2 tile-pairs per core without degenerating tiny inputs
+        tile_rows = max(1024, min(16384, n // 32 + 1))
+    n_tiles = (n + tile_rows - 1) // tile_rows
+    pairs = [(i, j) for i in range(n_tiles) for j in range(i, n_tiles)]
+    bc = spark.sparkContext.broadcast(gather)
+
+    def kern(batches):
+        g_ids, g_mat, g_norm = bc.value
+        for pdf in batches:
+            for ti, tj in zip(pdf["ti"].to_numpy(), pdf["tj"].to_numpy()):
+                a0, a1 = ti * tile_rows, min((ti + 1) * tile_rows, n)
+                b0, b1 = tj * tile_rows, min((tj + 1) * tile_rows, n)
+                sims = np.round(
+                    (g_mat[a0:a1] @ g_mat[b0:b1].T)
+                    / np.outer(g_norm[a0:a1], g_norm[b0:b1]),
+                    6,
+                )
+                hit = sims >= threshold
+                if ti == tj:
+                    hit &= np.triu(np.ones_like(hit, dtype=bool), k=1)
+                ra, rb = np.nonzero(hit)
+                if ra.size:
+                    yield pd.DataFrame(
+                        {
+                            "id_a": g_ids[a0 + ra],
+                            "id_b": g_ids[b0 + rb],
+                            "sim": sims[ra, rb],
+                        }
+                    )
+
+    tiles = spark.createDataFrame(pairs, "ti int, tj int").repartition(
+        min(len(pairs), spark.sparkContext.defaultParallelism * 2)
+    )
+    return tiles.mapInPandas(kern, schema)
+
+
 def _local_topk_merge(
     withv: DataFrame,
     qmap: dict,

@@ -657,3 +657,52 @@ def test_screen_exact_duplicates_flags_cross_side_dups(spark):
         for r in screen_exact_duplicates(new, corpus, "text", "doc_id").collect()
     }
     assert got == {10: True, 11: False}
+
+
+def test_embedding_neardup_tiled_exact_and_banded_agree(spark):
+    """embedding_near_duplicates' in-budget strategy (tiled matmul sweep)
+    must equal the numpy brute-force pair set EXACTLY — it is not an
+    approximation — and the over-budget banded-LSH fallback (forced via a
+    tiny broadcast_max_rows) must be a verified subset that still recalls
+    every high-similarity pair on this geometry (deterministic seeds)."""
+    import numpy as np
+
+    from aim357_2019_etl_and_ml_workshop_spark.operators.dedup import (
+        embedding_near_duplicates,
+    )
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(40, 8)
+    vecs = np.vstack([base, base[:10] + 0.05 * rng.randn(10, 8)])
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id bigint, v array<double>",
+    )
+    norms = np.linalg.norm(vecs, axis=1)
+    sims = np.round((vecs @ vecs.T) / np.outer(norms, norms), 6)
+    expect = {
+        (i, j): sims[i, j]
+        for i in range(len(vecs))
+        for j in range(i + 1, len(vecs))
+        if sims[i, j] >= 0.9
+    }
+    assert len(expect) >= 10  # the perturbed copies are near-dups
+
+    tiled = {
+        (r.id_a, r.id_b): r.sim
+        for r in embedding_near_duplicates(
+            df, "vec_id", "v", threshold=0.9
+        ).collect()
+    }
+    assert set(tiled) == set(expect)
+    for k in expect:
+        assert abs(tiled[k] - expect[k]) <= 1e-6
+
+    banded = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_duplicates(
+            df, "vec_id", "v", threshold=0.9, broadcast_max_rows=4
+        ).collect()
+    }
+    assert banded <= set(expect)
+    assert banded == set(expect)  # 16 tables x 4 bits: recall 1 here
