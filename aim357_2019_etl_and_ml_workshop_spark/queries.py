@@ -2332,6 +2332,31 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, "doc_a", "doc_b")
 
 
+@register("neardup_clusters_banded")
+def neardup_clusters_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component clustering over the BANDED near-dup pair set
+    (MinHash-LSH candidates verified with exact Jaccard) — the
+    corpus-scale twin of neardup_clusters, whose pair source is the
+    quadratic exact shingle self-join BY ORACLE CONTRACT (the recursive
+    CTE recomputes the exact pair set, so that query cannot swap in a
+    banded source and is excluded from big-SF soaks alongside
+    ngram_jaccard_pairs). This twin exercises the same component operator
+    at full scale on the subquadratic pair source a 100 TB dedup actually
+    uses. Rows-only WAIVER: the pair set is banding-dependent (recall < 1
+    below the banding threshold), so labels aren't SQL-recomputable; the
+    component operator is full-oracle verified via neardup_clusters at
+    conformance SFs, and the pair source carries its own driver-checked
+    contract (minhash_recall_check)."""
+    from .operators.dedup import connected_components, minhash_near_duplicates
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = minhash_near_duplicates(
+        docs, "text", "doc_id", threshold=0.05, num_hashes=32, bands=16,
+        eager_release=True,
+    )
+    return connected_components(pairs, "id_a", "id_b")
+
+
 @register(
     "sentiment_scores",
     """

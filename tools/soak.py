@@ -59,6 +59,21 @@ EXCLUDE = {
         "OOM at sf10. Verified full-oracle at sf0.3 in SOAK_r03 and at "
         "every conformance SF; minhash_near_duplicates itself runs here"
     ),
+    "neardup_clusters": (
+        "component labels over the exact ngram_jaccard_pairs pair set BY "
+        "ORACLE CONTRACT (the recursive-CTE oracle recomputes the exact "
+        "pairs, so a banded source cannot be substituted) — the shingle "
+        "self-join filled ~90 GB of shuffle spill at sf10 in the second "
+        "r04 attempt. Full-oracle at sf0.3 in SOAK_r03 and at conformance "
+        "SFs; the scale twin neardup_clusters_banded (same component "
+        "operator over the verified MinHash pair set) runs here"
+    ),
+    "neardup_representatives": (
+        "representative election over neardup_clusters' labels — "
+        "inherits the exact quadratic pair source above. Full-oracle at "
+        "sf0.3 in SOAK_r03 (5.3 s Spark vs 414 s DuckDB) and at "
+        "conformance SFs; neardup_clusters_banded covers the scale path"
+    ),
 }
 
 
