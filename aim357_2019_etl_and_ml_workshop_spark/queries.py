@@ -3124,9 +3124,22 @@ def recursive_cte_tree_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     and nested-loops the whole part table once per depth level (measured
     534 s at sf1 vs seconds for this form). Frontier stays small relative
     to the table, so each step is a broadcast-able join at scale; depth
-    cap bounds runtime."""
+    cap bounds runtime.
+
+    Spark's cteRecursionRowLimit safety valve defaults to 1M accumulated
+    rows; the walk legitimately touches every part reachable from key 1
+    (each key appears at exactly one depth), so the true bound is
+    |part| + 1 — at sf10 (2M parts) the default limit aborts the query.
+    Raise it to the known bound, derived from the parquet footer count
+    (cheap metadata action), rather than an unbounded constant."""
     from .sql_surface import engine_sql
 
+    n_part = _t(spark, sf_dir, "part").count()
+    limit = int(
+        spark.conf.get("spark.sql.cteRecursionRowLimit", "1000000")
+    )
+    if n_part + 16 > limit:
+        spark.conf.set("spark.sql.cteRecursionRowLimit", str(n_part + 16))
     return engine_sql(spark, sf_dir, _TREE_WALK_SQL)
 
 
