@@ -268,9 +268,10 @@ def _tiled_matmul_pairs(
                         }
                     )
 
-    tiles = spark.createDataFrame(pairs, "ti int, tj int").repartition(
-        min(len(pairs), spark.sparkContext.defaultParallelism * 2)
-    )
+    tiles = spark.createDataFrame(pairs, "ti int, tj int")
+    n_slices = min(len(pairs), spark.sparkContext.defaultParallelism * 2)
+    if n_slices > 1:  # a 1-tile input would repartition to SinglePartition
+        tiles = tiles.repartition(n_slices)
     return tiles.mapInPandas(kern, schema)
 
 

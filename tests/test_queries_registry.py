@@ -29,6 +29,7 @@ ROWS_ONLY = {
     "lsh_ann_topk",
     "ivf_ann_topk",
     "embedding_neardup_lsh",
+    "neardup_clusters_banded",
     "tfidf_features",
     "stratified_sample_docs",
     "embedding_clusters",
