@@ -116,6 +116,9 @@ _DRIVER_PRIORITY = [
     "snapshot_diff_orders", "asof_join_tolerance", "salted_join_revenue",
     "quality_expectations_orders", "null_safe_join_counts",
     "forecast_revenue_delta",
+    # --- registered during round 4 (beyond the 50-sample window; roll
+    # into round 5's prefix with the other never-verified keys) ---
+    "money_scale_contract", "neardup_clusters_banded",
 ]
 
 
