@@ -1,0 +1,231 @@
+"""Property-based tests (hypothesis) for the algorithmic operators whose
+correctness arguments are combinatorial rather than example-shaped: tiling
+boundaries in the dense near-dup sweep, union-find vs distributed label
+propagation, windowed sequence packing, and hash-bucket sampling
+determinism. Each property drives the REAL Spark operator on generated
+inputs and compares against an independent pure-python reference —
+example-based tests pin known cases; these hunt the edges (n % tile_rows,
+singleton components, empty strata, budget-boundary tokens).
+
+Examples are capped low because every example is a Spark job; the spark
+fixture is session-scoped so no health-check suppression is needed.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+# ---------------------------------------------------------------------------
+# tiled matmul sweep == brute force, at every tiling
+# ---------------------------------------------------------------------------
+
+
+@settings(**SETTINGS)
+@given(data=st.data())
+def test_tiled_matmul_pairs_matches_bruteforce_any_tiling(spark, data):
+    from aim357_2019_etl_and_ml_workshop_spark.operators.similarity import (
+        _tiled_matmul_pairs,
+    )
+
+    n = data.draw(st.integers(min_value=1, max_value=60), label="n")
+    dim = data.draw(st.integers(min_value=2, max_value=12), label="dim")
+    tile = data.draw(st.integers(min_value=1, max_value=n + 3), label="tile")
+    thr = data.draw(
+        st.floats(min_value=-0.5, max_value=0.99, allow_nan=False),
+        label="threshold",
+    )
+    seed = data.draw(st.integers(min_value=0, max_value=2**16), label="seed")
+    rng = np.random.RandomState(seed)
+    mat = rng.randn(n, dim)
+    mat[np.linalg.norm(mat, axis=1) < 1e-9] += 1.0  # no zero vectors
+    ids = np.sort(
+        rng.choice(np.arange(5 * n + 5, dtype=np.int64), size=n, replace=False)
+    )
+    norms = np.linalg.norm(mat, axis=1)
+    got = {
+        (r.id_a, r.id_b): r.sim
+        for r in _tiled_matmul_pairs(
+            spark, (ids, mat, norms), thr, tile_rows=tile
+        ).collect()
+    }
+    sims = np.round(mat @ mat.T / np.outer(norms, norms), 6)
+    # pairs within 1e-6 of the threshold may legitimately land on either
+    # side of round(·, 6) under a different BLAS summation order — assert
+    # exact agreement away from the boundary, containment at it.
+    for i in range(n):
+        for j in range(i + 1, n):
+            key, s = (int(ids[i]), int(ids[j])), sims[i, j]
+            if s >= thr + 1e-6:
+                assert key in got and abs(got[key] - s) <= 1e-6
+            elif s < thr - 1e-6:
+                assert key not in got
+
+
+# ---------------------------------------------------------------------------
+# connected components: driver union-find == distributed propagation == BFS
+# ---------------------------------------------------------------------------
+
+
+def _bfs_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    adj: dict[int, set] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    out: dict[int, int] = {}
+    for start in adj:
+        if start in out:
+            continue
+        seen, frontier = {start}, [start]
+        while frontier:
+            nxt = []
+            for x in frontier:
+                for y in adj[x]:
+                    if y not in seen:
+                        seen.add(y)
+                        nxt.append(y)
+            frontier = nxt
+        lo = min(seen)
+        for x in seen:
+            out[x] = lo
+    return out
+
+
+@settings(**SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),
+            st.integers(min_value=0, max_value=40),
+        ).filter(lambda t: t[0] != t[1]),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_connected_components_both_paths_match_bfs(spark, edges):
+    from aim357_2019_etl_and_ml_workshop_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    want = _bfs_components(edges)
+    via_unionfind = {
+        r.id: r.comp
+        for r in connected_components(
+            pairs, small_graph_threshold=10**9
+        ).collect()
+    }
+    via_distributed = {
+        r.id: r.comp
+        for r in connected_components(pairs, small_graph_threshold=0).collect()
+    }
+    assert via_unionfind == want
+    assert via_distributed == want
+
+
+# ---------------------------------------------------------------------------
+# sequence packing: windowed bin assignment == python reference
+# ---------------------------------------------------------------------------
+
+
+@settings(**SETTINGS)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=400),  # doc_id
+            st.sampled_from(["en", "de", "zh"]),
+            st.integers(min_value=1, max_value=40),  # word count
+        ),
+        min_size=1,
+        max_size=50,
+        unique_by=lambda t: t[0],
+    ),
+    budget=st.integers(min_value=1, max_value=64),
+    shard_size=st.sampled_from([7, 100]),
+)
+def test_pack_sequences_matches_reference(spark, docs, budget, shard_size):
+    from aim357_2019_etl_and_ml_workshop_spark.operators.mlpipeline import (
+        pack_sequences,
+    )
+
+    rows = [(i, lang, " ".join(["w"] * k)) for i, lang, k in docs]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+    got = {
+        r.doc_id: (r.lang, r.shard, r.n_tok, r.bin)
+        for r in pack_sequences(
+            df, budget_tokens=budget, shard_size=shard_size
+        ).collect()
+    }
+    want = {}
+    groups: dict[tuple, list] = {}
+    for i, lang, k in docs:
+        groups.setdefault((lang, i // shard_size), []).append((i, k))
+    for (lang, shard), members in groups.items():
+        cum = 0
+        for i, k in sorted(members):
+            want[i] = (lang, shard, k, cum // budget)
+            cum += k
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling: partitioning-independent membership
+# ---------------------------------------------------------------------------
+
+
+@settings(**SETTINGS)
+@given(
+    ids=st.lists(
+        st.integers(min_value=0, max_value=10_000),
+        min_size=1,
+        max_size=60,
+        unique=True,
+    ),
+    fracs=st.fixed_dictionaries(
+        {
+            "en": st.sampled_from([0.0, 0.25, 0.5, 1.0]),
+            "de": st.sampled_from([0.0, 0.5, 1.0]),
+        }
+    ),
+)
+def test_deterministic_stratified_sample_is_partitioning_independent(
+    spark, ids, fracs
+):
+    from aim357_2019_etl_and_ml_workshop_spark.operators.dedup import (
+        deterministic_stratified_sample,
+    )
+
+    rows = [(i, "en" if i % 2 == 0 else "de") for i in ids]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    kept1 = {
+        r.doc_id
+        for r in deterministic_stratified_sample(df, "lang", fracs).collect()
+    }
+    shuffled = df.repartition(7, "lang").sortWithinPartitions(
+        F.col("doc_id").desc()
+    )
+    kept2 = {
+        r.doc_id
+        for r in deterministic_stratified_sample(
+            shuffled, "lang", fracs
+        ).collect()
+    }
+    want = set()
+    for i, lang in rows:
+        pct = int(round(fracs[lang] * 100))
+        bucket = int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16) % 100
+        if bucket < pct:
+            want.add(i)
+    assert kept1 == want
+    assert kept2 == want
