@@ -1681,14 +1681,23 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.02; approx median between the exact p40 and p60). A sketch regression
     flips a boolean and fails the hash."""
     ev = _t(spark, sf_dir, "events")
-    agg = ev.groupBy("event_type").agg(
+    # The exact COUNT(DISTINCT) runs in its OWN aggregation, joined back on
+    # the 5-row group key: mixing a distinct aggregate with the
+    # imperative-buffer aggregates (percentile / HLL / GK) makes Catalyst
+    # plan an Expand that duplicates EVERY input row through the percentile
+    # buffers' partial aggregation — measured 58 s combined vs 5.4 s split
+    # at sf10 (10M events). The join is two tiny post-agg frames.
+    sketches = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
         F.percentile_approx("value", 0.5, 10000).alias("approx_median"),
-        F.countDistinct("user_id").alias("exact_users"),
         F.expr("percentile(value, 0.4)").alias("p40"),
         F.expr("percentile(value, 0.6)").alias("p60"),
         _count(None),
     )
+    exact_d = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    agg = sketches.join(exact_d, "event_type")
     rel_err = F.abs(F.col("approx_users") - F.col("exact_users")) / F.col(
         "exact_users"
     )
