@@ -384,6 +384,17 @@ def fuzzy_substitution_pairs(
     keyed = t.select(
         id_col, "_s", "_l", F.explode(sigs).alias("k")
     ).select(id_col, "_s", "_l", "k.combo", "k.sig")
+    # The signature frames are byte-tiny (short strings), so AQE's
+    # size-based coalescing collapses the self-join AND the pipelined
+    # verify+distinct onto 1-2 tasks (measured: the whole sf10 match ran
+    # single-threaded, 21.9 s for a join whose output is 2.25M verified
+    # pairs). An explicit hash repartition on the join keys is exempt from
+    # coalescing, and both sides inherit the same distribution, so the
+    # join adds no further exchange and runs at full width.
+    n_wide = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    keyed = keyed.repartition(n_wide, "_l", "combo", "sig")
     a = keyed.select(
         F.col(id_col).alias("id_a"), F.col("_s").alias("s_a"),
         "_l", "combo", "sig",
