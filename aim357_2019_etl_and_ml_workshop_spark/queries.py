@@ -2418,8 +2418,12 @@ def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     # Persist so the range bounds sampled for the offsets pass are the exact
     # partitioning the final pass reuses (bounds are sampled per execution).
+    # Range width follows the session's shuffle partitions (a literal 32
+    # would cap a cluster's sort at 32 reducers); the driver-side offsets
+    # collect stays bounded by the partition count either way.
+    n_range = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     part = (
-        df.repartitionByRange(32, "o_totalprice", "o_orderkey")
+        df.repartitionByRange(n_range, "o_totalprice", "o_orderkey")
         .withColumn("_pid", F.spark_partition_id())
         .persist()
     )
