@@ -229,3 +229,48 @@ def test_deterministic_stratified_sample_is_partitioning_independent(
             want.add(i)
     assert kept1 == want
     assert kept2 == want
+
+
+# ---------------------------------------------------------------------------
+# salted self-join skew split: answer-preserving at every salt count
+# ---------------------------------------------------------------------------
+
+
+@settings(**SETTINGS)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=300),  # doc_id
+            st.sampled_from(["aaa bbb ccc", "aaa bbb ddd", "xyz qrs tuv",
+                             "one two three four", "aaa bbb ccc"]),
+        ),
+        min_size=2,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    n_salt=st.sampled_from([1, 2, 5]),
+    threshold=st.sampled_from([0, 2]),
+)
+def test_simhash_skew_split_preserves_the_answer(spark, docs, n_salt, threshold):
+    """skew_split_bucket_size salts hot chunk buckets into independent
+    join cells; the verified pair set must be IDENTICAL to the plain
+    self-join for any salt count and any threshold (0 = every bucket
+    salted), including duplicate-heavy inputs where whole buckets are one
+    repeated text."""
+    from aim357_2019_etl_and_ml_workshop_spark.operators.dedup import (
+        simhash_near_duplicates,
+    )
+
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    plain = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_near_duplicates(df, "text", "doc_id").collect()
+    }
+    salted = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_near_duplicates(
+            df, "text", "doc_id",
+            skew_split_bucket_size=threshold, n_salt=n_salt,
+        ).collect()
+    }
+    assert salted == plain
