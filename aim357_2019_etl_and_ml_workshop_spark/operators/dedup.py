@@ -478,8 +478,10 @@ def simhash_near_duplicates(
     raises.
 
     ``skew_split_bucket_size``: chunk buckets larger than this are salted
-    into n_salt x (n_salt+1)/2 independent join cells instead of being
-    dropped (``_salted_self_pairs``) — the ANSWER-PRESERVING skew guard
+    into n_salt^2 independent join cells instead of being
+    dropped (``_salted_self_pairs``; both sides replicate across the full
+    salt range so both pair orientations survive the id_a < id_b filter —
+    a triangular n(n+1)/2 scheme orients by salt and loses pairs) — the ANSWER-PRESERVING skew guard
     for duplicate-heavy corpora, where one boilerplate chunk value shared
     by m docs otherwise lands C(m, 2) pair emissions on the single task
     owning the key. Composes with (and is usually preferable to)
@@ -667,10 +669,14 @@ def incremental_near_duplicates(
         )
     if max_bucket_size is not None and corpus_banded is None:
         # the hot-bucket count and the anti-join both consume corpus_ch:
-        # without a persist the full tokenize+explode+bits-wide-sum
+        # without materialization the full tokenize+explode+bits-wide-sum
         # fingerprint subtree executes twice (precomputed state is already
-        # a materialized store — no need there)
-        corpus_ch = corpus_ch.persist()
+        # a materialized store — no need there). Eager localCheckpoint
+        # rather than persist(): this function is called per nightly
+        # batch, and persist() entries accumulate for the session lifetime
+        # unless the caller unpersists, while checkpoint blocks are
+        # released when the frame is GC'd (ADVICE r04).
+        corpus_ch = corpus_ch.localCheckpoint(eager=True)
     if max_bucket_size is not None:
         hot = (
             corpus_ch.groupBy("chunk", "cv")

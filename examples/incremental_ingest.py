@@ -7,6 +7,10 @@ persisted-state API):
    - near-dup state: simhash banding (id, fp, chunk, cv) via
      ``simhash_banding_state`` — both written as parquet model state
 2. per batch:
+   0. intra-batch dedup: exact (min-id representative per canonical
+      fingerprint) + a batch-sized self near-dup pass — docs duplicated
+      WITHIN one batch would otherwise all pass the state screen and
+      seed duplicate state
    a. exact screen: ``screen_exact_duplicates`` probes the batch against
       the exact state (text never shuffles — both sides reduce to
       (id, fp) before the join)
@@ -38,6 +42,7 @@ from aim357_2019_etl_and_ml_workshop_spark.operators.dedup import (
     normalize_text,
     screen_exact_duplicates,
     simhash_banding_state,
+    simhash_near_duplicates,
 )
 from aim357_2019_etl_and_ml_workshop_spark.session import get_spark
 from aim357_2019_etl_and_ml_workshop_spark.sources.io import read_testdata
@@ -68,6 +73,32 @@ def main() -> None:
 
     try:
         for i, batch in enumerate(batches, 1):
+            # ---- intra-batch dedup (ADVICE r04): two identical/near-dup
+            # docs arriving in the SAME nightly batch would each pass the
+            # state screen (the state predates both) and both seed
+            # duplicate state. Exact: keep the min-doc_id representative
+            # per canonical fingerprint; near: a batch-sized self
+            # near-dup pass, dropping the higher id of each pair (keeps
+            # the least id per duplicate chain). Both are O(batch).
+            n_raw = batch.count()
+            reps = (
+                batch.select(
+                    "doc_id", F.md5(normalize_text("text")).alias("fp")
+                )
+                .groupBy("fp")
+                .agg(F.min("doc_id").alias("doc_id"))
+                .select("doc_id")
+            )
+            batch = batch.join(reps, "doc_id", "left_semi")
+            intra_losers = (
+                simhash_near_duplicates(
+                    batch, "text", "doc_id", max_hamming=3, chunks=4
+                )
+                .select(F.col("id_b").alias("doc_id"))
+                .distinct()
+            )
+            batch = batch.join(intra_losers, "doc_id", "left_anti")
+
             state_fp = spark.read.parquet(exact_state)
             # exact screen against the persisted fingerprint set: reuse
             # screen_exact_duplicates' join by presenting the state as a
@@ -105,8 +136,9 @@ def main() -> None:
             n_exact = n_batch - survivors.count()
             n_accept = accepted.count()
             print(
-                f"batch {i}: {n_batch} docs, {n_exact} exact dups, "
-                f"{survivors.count() - n_accept} near dups, "
+                f"batch {i}: {n_raw} docs, {n_raw - n_batch} intra-batch "
+                f"dups, {n_exact} exact dups vs state, "
+                f"{survivors.count() - n_accept} near dups vs state, "
                 f"{n_accept} accepted"
             )
 

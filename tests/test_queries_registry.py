@@ -147,3 +147,42 @@ def test_minhash_plan_shares_shingle_table(spark, sf_dir):
     assert plan.count("InMemoryTableScan") >= 4, (
         "shingle/candidate cache sharing regressed"
     )
+
+
+def test_reader_cache_bounded(spark, sf_dir, monkeypatch):
+    """_READER_CACHE is an LRU with a hard entry cap: a long-lived service
+    looping many sf_dirs must not accumulate logical plans without bound
+    (VERDICT r04 #3). Exercised with the cap lowered so a handful of real
+    readers overflow it; also proves clear_reader_cache() empties it."""
+    q.clear_reader_cache()
+    monkeypatch.setattr(q, "_READER_CACHE_MAX", 3)
+    for table in ("region", "nation", "customer", "supplier", "part"):
+        q._t(spark, sf_dir, table)
+    assert len(q._READER_CACHE) == 3
+    # LRU order: most recent three survive
+    kept = {k[2] for k in q._READER_CACHE}
+    assert kept == {"customer", "supplier", "part"}
+    # a hit refreshes recency: touch 'customer', add one more, 'supplier'
+    # is now the eviction victim
+    q._t(spark, sf_dir, "customer")
+    q._t(spark, sf_dir, "orders")
+    assert {k[2] for k in q._READER_CACHE} == {"customer", "part", "orders"}
+    q.clear_reader_cache()
+    assert len(q._READER_CACHE) == 0
+
+
+def test_cte_recursion_limit_restored(spark, sf_dir):
+    """recursive_cte_tree_walk raises the session-global
+    spark.sql.cteRecursionRowLimit to the walk's data-derived bound, but
+    must restore the runaway-recursion safety valve afterwards (ADVICE
+    r04): the result is materialized eagerly under the raised limit, so
+    later queries in the same session keep the configured guard."""
+    key = "spark.sql.cteRecursionRowLimit"
+    prior = spark.conf.get(key, "1000000")
+    try:
+        spark.conf.set(key, "50")  # < |part| + 16 at sf0.001 -> must raise
+        df = q.queries()["recursive_cte_tree_walk"](spark, sf_dir)
+        assert spark.conf.get(key) == "50", "safety valve not restored"
+        assert df.count() > 0  # executes fine post-restore (checkpointed)
+    finally:
+        spark.conf.set(key, prior)
