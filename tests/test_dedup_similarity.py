@@ -706,3 +706,130 @@ def test_embedding_neardup_tiled_exact_and_banded_agree(spark):
     }
     assert banded <= set(expect)
     assert banded == set(expect)  # 16 tables x 4 bits: recall 1 here
+
+
+# ---------------------------------------------------------------------------
+# Banded cluster path: value-level checks (VERDICT r04 "Next round" #6).
+# Strict label equality vs the exact path is only guaranteed in the banded
+# path's DESIGN regime (duplicate pairs well above the banding threshold,
+# where pigeonhole/band recall is deterministic-complete); below it the
+# recall<1 waiver applies. So: (a) exact equality on a design-regime
+# corpus, (b) zero-false-positive containment on real testdata.
+# ---------------------------------------------------------------------------
+
+
+def _components_py(edges, nodes):
+    """Driver-side union-find ground truth (blocking-independent)."""
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+def _jaccard_3gram(a: str, b: str) -> float:
+    def sh(t):
+        toks = t.split()
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+    sa, sb = sh(a), sh(b)
+    if not sa or not sb:
+        return 0.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_banded_clusters_equal_exact_in_design_regime(spark):
+    """On a corpus whose true duplicates are exact copies or 1-2 token
+    edits (3-gram Jaccard >= ~0.9 — the boilerplate/crawl-dup regime the
+    banded path is built for), the full banded pipeline (minhash ->
+    banding -> exact-Jaccard verify -> connected components) must produce
+    the IDENTICAL (id, component) labeling as a blocking-independent
+    all-pairs ground truth: band recall at s>=0.9 with 16 bands x 2 rows
+    is complete on any fixed corpus (deterministic seeds — no flake), and
+    the exact verification step removes every band false positive."""
+    import random
+
+    from aim357_2019_etl_and_ml_workshop_spark.operators.dedup import (
+        connected_components,
+    )
+
+    rng = random.Random(42)
+    vocab = [f"tok{i}" for i in range(400)]
+    texts = {}
+    # 40 mutually-dissimilar base docs (disjoint-ish random vocab draws)
+    for i in range(40):
+        texts[i] = " ".join(rng.choice(vocab) for _ in range(60))
+    # 5 duplicate groups: exact copies and 1-2 token edits of a fresh base
+    next_id = 100
+    for g in range(5):
+        base = " ".join(rng.choice(vocab) for _ in range(60))
+        group = [base]
+        for _ in range(2 + g % 3):
+            toks = base.split()
+            for _ in range(1 + g % 2):  # 1-2 single-token edits
+                toks[rng.randrange(len(toks))] = rng.choice(vocab)
+            group.append(" ".join(toks))
+        for t in group:
+            texts[next_id] = t
+            next_id += 1
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in texts.items()]
+    )
+
+    threshold = 0.5
+    ids = sorted(texts)
+    exact_edges = [
+        (a, b)
+        for ai, a in enumerate(ids)
+        for b in ids[ai + 1 :]
+        if _jaccard_3gram(texts[a], texts[b]) >= threshold
+    ]
+    assert len(exact_edges) >= 10  # the dup groups actually connect
+    want = _components_py(exact_edges, {n for e in exact_edges for n in e})
+
+    pairs = minhash_near_duplicates(
+        docs, "text", "doc_id", threshold=threshold, num_hashes=32, bands=16
+    )
+    got_pairs = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got_pairs == set(exact_edges)
+    got = {
+        r[0]: r[1]
+        for r in connected_components(pairs, "id_a", "id_b").collect()
+    }
+    assert got == want
+
+
+def test_banded_pairs_subset_of_exact_on_testdata(spark, sf_dir):
+    """On real testdata at the registry's low threshold (0.05) the banded
+    pair source may MISS low-similarity pairs (documented recall waiver),
+    but must never INVENT one: every banded pair must appear in the exact
+    shingle self-join's pair set with Jaccard >= threshold — the
+    value-level half of neardup_clusters_banded that is checkable without
+    banding-recall assumptions."""
+    from aim357_2019_etl_and_ml_workshop_spark import queries as q
+
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in q.queries()["ngram_jaccard_pairs"](spark, sf_dir).collect()
+    }
+    banded = {
+        (r.id_a, r.id_b)
+        for r in minhash_near_duplicates(
+            read_testdata(spark, sf_dir, "documents").select("doc_id", "text"),
+            "text",
+            "doc_id",
+            threshold=0.05,
+            num_hashes=32,
+            bands=16,
+            eager_release=True,
+        ).collect()
+    }
+    assert banded, "banded path found nothing — test corpus regressed"
+    assert banded <= exact, f"false positives: {sorted(banded - exact)[:5]}"

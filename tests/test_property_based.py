@@ -274,3 +274,100 @@ def test_simhash_skew_split_preserves_the_answer(spark, docs, n_salt, threshold)
         ).collect()
     }
     assert salted == plain
+
+
+# ---------------------------------------------------------------------------
+# incremental (batch-vs-corpus) dedup == self-join over the union
+# ---------------------------------------------------------------------------
+
+
+_DOC_TEXT = st.lists(
+    st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta"]),
+    min_size=1,
+    max_size=8,
+).map(" ".join)
+
+
+@settings(**SETTINGS)
+@given(
+    docs=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=10_000), _DOC_TEXT),
+        min_size=2,
+        max_size=30,
+        unique_by=lambda t: t[0],
+    ),
+    split=st.data(),
+)
+def test_incremental_dedup_equals_selfjoin_over_union(spark, docs, split):
+    """The invariant nightly ingest relies on (VERDICT r04 #8): for ANY
+    split of a corpus into accepted-state C and incoming batch B,
+    (a) screen_exact_duplicates(B, C) flags exactly the batch docs whose
+        canonical fingerprint exists in C, and
+    (b) incremental_near_duplicates(B, C) returns exactly the CROSS pairs
+        (b in B, c in C) of the complete-banding self-join over C u B —
+        i.e. processing data incrementally finds the same batch-vs-corpus
+        duplicates as reprocessing everything at once; and the persisted
+        corpus_banded= state path is identical to the corpus_df= path.
+    The tiny vocab makes exact and near collisions common."""
+    from aim357_2019_etl_and_ml_workshop_spark.operators.dedup import (
+        incremental_near_duplicates,
+        screen_exact_duplicates,
+        simhash_banding_state,
+        simhash_near_duplicates,
+    )
+
+    flags = [
+        split.draw(st.booleans(), label=f"in_batch_{i}")
+        for i in range(len(docs))
+    ]
+    if all(flags):
+        flags[0] = False  # corpus must be non-empty
+    if not any(flags):
+        flags[-1] = True  # batch must be non-empty
+    corpus_rows = [d for d, f in zip(docs, flags) if not f]
+    batch_rows = [d for d, f in zip(docs, flags) if f]
+    schema = "doc_id bigint, text string"
+    corpus = spark.createDataFrame(corpus_rows, schema)
+    batch = spark.createDataFrame(batch_rows, schema)
+
+    # (a) exact screen == python fingerprint-set reference
+    def canon_fp(t):
+        return hashlib.md5(" ".join(t.lower().split()).encode()).hexdigest()
+
+    corpus_fps = {canon_fp(t) for _, t in corpus_rows}
+    want_flags = {i: canon_fp(t) in corpus_fps for i, t in batch_rows}
+    got_flags = {
+        r[0]: r.is_dup
+        for r in screen_exact_duplicates(batch, corpus, "text", "doc_id").collect()
+    }
+    assert got_flags == want_flags
+
+    # (b) near-dup probe == cross-pair slice of the union self-join
+    union = spark.createDataFrame(corpus_rows + batch_rows, schema)
+    batch_ids = {i for i, _ in batch_rows}
+    self_pairs = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_near_duplicates(union, "text", "doc_id").collect()
+    }
+    want_cross = {
+        (a, b, h) if a in batch_ids else (b, a, h)
+        for (a, b, h) in self_pairs
+        if (a in batch_ids) != (b in batch_ids)
+    }
+    got_cross = {
+        (r.new_id, r.corpus_id, r.hamming)
+        for r in incremental_near_duplicates(
+            batch, corpus, "text", "doc_id"
+        ).collect()
+    }
+    assert got_cross == want_cross
+
+    # persisted-state path == inline-corpus path
+    state = simhash_banding_state(corpus, "text", "doc_id")
+    got_state = {
+        (r.new_id, r.corpus_id, r.hamming)
+        for r in incremental_near_duplicates(
+            batch, None, "text", "doc_id", corpus_banded=state
+        ).collect()
+    }
+    assert got_state == want_cross
