@@ -519,7 +519,16 @@ def simhash_near_duplicates(
             .select("chunk", "cv")
         )
         chunked = chunked.join(F.broadcast(hot), ["chunk", "cv"], "left_anti")
-    cand = (
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    # The Hamming verification is a per-row expression of (fp_a, fp_b), so
+    # it runs BEFORE the de-duplicating distinct: band false positives
+    # (pairs agreeing on one chunk but > max_hamming apart) die map-side
+    # inside the join stage instead of riding the distinct's shuffle, and
+    # the shuffle rows shrink to (id_a, id_b, hamming) — duplicates of a
+    # surviving pair carry identical hamming, so distinct-after-filter
+    # returns the same set as the previous filter-after-distinct form
+    # (oracle-verified unchanged; r5 plan change).
+    out = (
         _salted_self_pairs(
             chunked,
             ["chunk", "cv"],
@@ -529,12 +538,9 @@ def simhash_near_duplicates(
             n_salt=n_salt,
         )
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "fp_a", "fp_b")
+        .where(ham <= max_hamming)
+        .select("id_a", "id_b", ham.alias("hamming"))
         .distinct()
-    )
-    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
-    out = cand.where(ham <= max_hamming).select(
-        "id_a", "id_b", ham.alias("hamming")
     )
     if eager_release:
         out = out.localCheckpoint(eager=True)
@@ -691,14 +697,17 @@ def incremental_near_duplicates(
         new_df, text_col, id_col, chunks=chunks, bits=bits, hash_fn=hash_fn,
         out_id="new_id", out_fp="fp_n",
     )
-    cand = (
-        corpus_ch.join(new_ch, ["chunk", "cv"])
-        .select("new_id", "corpus_id", "fp_n", "fp_c")
-        .distinct()
-    )
     ham = F.bit_count(F.col("fp_n").bitwiseXOR(F.col("fp_c")))
-    return cand.where(ham <= max_hamming).select(
-        "new_id", "corpus_id", ham.alias("hamming")
+    # Hamming verify BEFORE the distinct (same plan shape as
+    # simhash_near_duplicates): band false positives die map-side inside
+    # the probe join, and only verified (new_id, corpus_id, hamming)
+    # triples — identical across the chunks a pair collides in — reach
+    # the de-duplicating shuffle.
+    return (
+        corpus_ch.join(new_ch, ["chunk", "cv"])
+        .where(ham <= max_hamming)
+        .select("new_id", "corpus_id", ham.alias("hamming"))
+        .distinct()
     )
 
 
