@@ -833,3 +833,39 @@ def test_banded_pairs_subset_of_exact_on_testdata(spark, sf_dir):
     }
     assert banded, "banded path found nothing — test corpus regressed"
     assert banded <= exact, f"false positives: {sorted(banded - exact)[:5]}"
+
+
+def test_skew_split_boilerplate_regime_pair_set_equal(spark):
+    """The skew split's DESIGN regime, scaled to pytest (VERDICT r04 #3):
+    ONE boilerplate text shared by many docs makes every simhash chunk a
+    single hot bucket whose C(m, 2) pair emission the plain join serializes
+    onto one task. Salting must return the IDENTICAL pair set — ids and
+    hamming values, not just counts. m=120 keeps the C(m,2)=7140-pair
+    answer collectable; tools/measure_skew_split.py runs the same shape at
+    m=10^4 over sf1 for the wall-clock crossover recorded in PERF.md."""
+    boiler = (
+        "subscribe to our newsletter terms of service privacy policy all "
+        "rights reserved copyright contact us about careers press blog"
+    )
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=boiler) for i in range(120)]
+        + [
+            Row(doc_id=1000 + i, text=f"unique background document number {i} "
+                f"with distinct words {i * 7} and {i * 13}")
+            for i in range(40)
+        ]
+    )
+    kw = dict(max_hamming=3, chunks=4, eager_release=True)
+    plain = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_near_duplicates(docs, "text", "doc_id", **kw).collect()
+    }
+    salted = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_near_duplicates(
+            docs, "text", "doc_id",
+            skew_split_bucket_size=50, n_salt=8, **kw,
+        ).collect()
+    }
+    assert len(plain) >= 120 * 119 // 2  # the boilerplate clique is all pairs
+    assert salted == plain

@@ -53,14 +53,19 @@ def build_corpus(spark, sf_dir: str, m: int):
         (F.col("id") + F.lit(1_000_000_000)).alias("doc_id"),
         F.lit(boiler).alias("text"),
     )
-    # materialize once so corpus construction cost is excluded from timing
-    return base.unionByName(dups).localCheckpoint(eager=True)
+    # Materialize to a temp parquet (NOT localCheckpoint: the inter-run
+    # clearCache() drops localCheckpoint's backing blocks, which are
+    # unrecoverable by design) so corpus construction is excluded from
+    # timing and each run rebuilds its DataFrame from disk.
+    path = os.path.join(".localdata", f"_skew_corpus_m{m}.parquet")
+    base.unionByName(dups).write.mode("overwrite").parquet(path)
+    return path
 
 
-def timed(corpus, skew_split_bucket_size, n_salt=8):
+def timed(spark, corpus_path, skew_split_bucket_size, n_salt=8):
     t0 = time.time()
     out = simhash_near_duplicates(
-        corpus,
+        spark.read.parquet(corpus_path),
         "text",
         "doc_id",
         max_hamming=3,
@@ -83,14 +88,13 @@ def main() -> None:
     m = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000
     runs = int(sys.argv[3]) if len(sys.argv) > 3 else 2
     spark = get_spark("skew-split-measure")
-    corpus = build_corpus(spark, sf_dir, m)
-    corpus.count()
+    corpus_path = build_corpus(spark, sf_dir, m)
 
     results = {"sf_dir": sf_dir, "m": m}
     for label, thresh in [("plain", None), ("salted_8", 4096)]:
         best = None
         for _ in range(runs):
-            sec, pairs, checksum = timed(corpus, thresh)
+            sec, pairs, checksum = timed(spark, corpus_path, thresh)
             spark.catalog.clearCache()
             best = min(best, sec) if best is not None else sec
         results[label] = {
