@@ -400,12 +400,24 @@ def _salted_self_pairs(
     key's C(m, 2) work spread over n_salt^2 independent join cells. Cold
     keys take the plain join untouched.
 
-    When to use: when ONE bucket's pair emission dominates a straggler
-    task — the duplicate-heavy-corpus regime (m ~ 10^5+ rows on one
-    key). At moderate skew the replication overhead exceeds the tail it
-    removes: measured on sf10 synthetic documents (hottest chunk buckets
-    ~10^3 rows), plain 44 s vs salted 63 s (n_salt=8) / 87 s (16), same
-    3.58M-pair result. Hence opt-in, not default."""
+    When to use: ONLY when hot buckets straggle against idle executors —
+    a large cluster with a handful of mega-buckets. On a saturated box it
+    never pays, even in its design regime: measured with ONE boilerplate
+    key over the sf1 documents background (tools/measure_skew_split.py,
+    32 cores, chunks=4, checksum-equal answers), m=10^4 dups is plain
+    15.7 s vs salted 19.0 s and m=3x10^4 (4.5x10^8 result pairs) is
+    plain 184 s vs salted 252 s; earlier, moderate skew (sf10, hottest
+    buckets ~10^3 rows) was plain 44 s vs salted 63-87 s. Two reasons:
+    (a) with chunks >= a few hot keys the plain join's hot tasks already
+    occupy cores, so splitting buys no parallelism a single box can use;
+    (b) plain co-locates both orientations of every hot pair in one task,
+    so the map-side partial of the downstream distinct dedups them before
+    the shuffle, while salting scatters the twins across cells (gx, gy)
+    vs (gy, gx) and pays the full 2x shuffle volume. The crossover needs
+    executors-idle-while-hot-tasks-run (cluster-scale), and past m ~ 10^5
+    on one key the C(m, 2) answer itself is the problem — run exact/
+    canonical dedup first (curation funnel stage 1) so near-dup only sees
+    one representative per identical text. Hence opt-in, not default."""
     a = keyed.select(
         *[F.col(src).alias(dst) for src, dst in a_cols.items()], *key_cols
     )

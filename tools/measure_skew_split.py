@@ -70,7 +70,11 @@ def timed(spark, corpus_path, skew_split_bucket_size, n_salt=8):
         "doc_id",
         max_hamming=3,
         chunks=4,
-        eager_release=True,
+        # NOT eager_release: that localCheckpoints the full C(m,2) pair
+        # list into block storage (OOM at m=3x10^4 even on a 32g heap).
+        # The (count, checksum) aggregate consumes pairs streaming; the
+        # chunk cache is dropped by the inter-run clearCache() instead.
+        eager_release=False,
         skew_split_bucket_size=skew_split_bucket_size,
         n_salt=n_salt,
     )
