@@ -627,41 +627,69 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     Money aggregates are EXACT and order-independent via fixed-point:
     prices/discounts/taxes are 2-decimal, so each row's products run in
     BIGINT (cents x hundredths; one codegen multiply instead of chained
-    decimal multiplies — measured 1.5x on the whole query at sf10) and
-    only the sums accumulate in decimal(38,0), which has no row-count
-    ceiling. The rescaling quotients are exact (result scale 6 covers the
-    2+2+2-decimal charge), so the output doubles equal the oracle's
-    decimal-sum formulation bit-for-bit; quantity sums are integral
-    doubles (exact)."""
+    decimal multiplies), per-bucket partial sums stay in BIGINT (bounded
+    structurally — see the inline comment), and only the tiny per-bucket
+    partials merge in decimal(38,0), which has no row-count ceiling. The
+    rescaling quotients are exact (result scale 6 covers the 2+2+2-decimal
+    charge), so the output doubles equal the oracle's decimal-sum
+    formulation bit-for-bit; quantity sums are integral doubles (exact)."""
     li = _t(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
     )
     pi = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
     di = F.round((F.lit(1) - F.col("l_discount")) * 100, 0).cast("bigint")
     ti = F.round((F.lit(1) + F.col("l_tax")) * 100, 0).cast("bigint")
+    dci = F.round(F.col("l_discount") * 100, 0).cast("bigint")
 
-    def s38(c, div, digits):
+    # Two-level integer accumulation (same pattern as stats_moments_by_
+    # flag, but with a COUNTER-BUCKET partial key instead of the task id):
+    # per-row products stay BIGINT, partial sums run in codegen long adds
+    # grouped by (_b, flag, status) where _b slices each task's row stream
+    # into 2^20-row buckets via the monotonically_increasing_id counter
+    # bits. That bounds every long accumulator STRUCTURALLY — max partial
+    # is 2^20 x 1.15e11 (the scaled charge term) ~ 1.2e17, 76x inside
+    # long range regardless of split size or maxPartitionBytes, with no
+    # reliance on ANSI overflow errors (the engine session runs ANSI-off
+    # for try-cast parity). Only the per-bucket partials merge in
+    # decimal(38,0) (no row-count ceiling). The partial aggregate still
+    # collapses map-side inside the scan stage (one row per bucket per
+    # group), so shuffle volume stays trivial; the Decimal accumulator no
+    # longer touches every row, which was this query's hot cost.
+    b = F.shiftrightunsigned(F.monotonically_increasing_id(), 20)
+    part = li.groupBy(
+        b.alias("_b"), "l_returnflag", "l_linestatus"
+    ).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("l_quantity").alias("_sqty"),
+        F.sum(pi).alias("_sp"),
+        F.sum(pi * di).alias("_spd"),
+        F.sum(pi * di * ti).alias("_spdt"),
+        F.sum(dci).alias("_sdisc"),
+    )
+
+    def m38(col, div, digits):
         # decimal all the way to the final round, THEN cast: rounding the
         # exact decimal matches the oracle's round-then-cast even when a
         # huge sum is not exactly double-representable
-        q = F.sum(c.cast("decimal(38,0)")) / F.lit(div)
+        q = F.sum(F.col(col).cast("decimal(38,0)")) / F.lit(div)
         return F.round(q, digits).cast("double")
 
-    n = F.count(F.lit(1))
-    return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum("l_quantity").alias("sum_qty"),
-        s38(pi, 100, 2).alias("sum_base_price"),
-        s38(pi * di, 10_000, 2).alias("sum_disc_price"),
-        s38(pi * di * ti, 1_000_000, 2).alias("sum_charge"),
-        (F.sum("l_quantity") / n).alias("avg_qty"),
+    # _sqty partials/total are exact in double (integral quantities <= 50;
+    # totals far below 2^53), so the two-level sum is order-independent
+    # and bit-equal to the single-level form.
+    n = F.sum("_n")
+    return part.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("_sqty").alias("sum_qty"),
+        m38("_sp", 100, 2).alias("sum_base_price"),
+        m38("_spd", 10_000, 2).alias("sum_disc_price"),
+        m38("_spdt", 1_000_000, 2).alias("sum_charge"),
+        (F.sum("_sqty") / n).alias("avg_qty"),
         # avg_price divides the ROUNDED sum (not round-of-quotient) because
         # the oracle twin above is written as round(sum)/count — the two
         # forms differ in the last double bit for some group sizes, so this
         # expression is pinned to the oracle's; change both or neither.
-        (s38(pi, 100, 2) / n).alias("avg_price"),
-        (s38(F.round(F.col("l_discount") * 100, 0).cast("bigint"), 100, 4) / n).alias(
-            "avg_disc"
-        ),
+        (m38("_sp", 100, 2) / n).alias("avg_price"),
+        (m38("_sdisc", 100, 4) / n).alias("avg_disc"),
         n.alias("count_order"),
     )
 
@@ -2902,31 +2930,54 @@ def stats_moments_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     < 17 significant digits so the double cast is value-preserving), then
     the statistics are one deterministic double expression — the same
     IEEE754 operation tree in both engines, so even unrounded bits match.
-    At scale this is ONE HashAggregate pass (all moments partial-aggregate
-    map-side); no second pass over the data, unlike naive avg-then-deviation
-    formulations."""
+    At scale this is ONE pass over the data (all moments partial-aggregate
+    map-side inside the scan stage; the follow-up merge aggregate sees one
+    row per (task, flag)); no second data pass, unlike naive
+    avg-then-deviation formulations."""
     li = _t(spark, sf_dir, "lineitem")
-    # Fixed-point moments: the inputs are exactly 2-decimal (quantities
-    # integral), so per-row products run in BIGINT (one codegen multiply
-    # vs a decimal multiply) and only the SUM accumulates in decimal(38,0)
-    # — exact at any row count, order-independent, and ~1.5x faster than
-    # decimal products end-to-end. The rescaling divisions are exact
-    # decimal quotients (scale 6 >= needed scale), so the doubles fed to
-    # the statistics expression are bit-identical to the oracle's
-    # decimal-sum casts.
+    # Fixed-point moments, accumulated in two exact integer levels:
+    # inputs are 2-decimal (quantities integral), so per-row products run
+    # in BIGINT, the PER-TASK partial sums stay in BIGINT (codegen long
+    # adds — the decimal accumulator was the query's hot cost: Decimal
+    # boxing on every row), and only the per-(task, flag) partials merge
+    # in decimal(38,0). spark_partition_id() is constant within a task,
+    # so the first aggregate still collapses map-side to one row per
+    # (task, flag) — shuffle volume identical to the single-level form;
+    # the second (tiny) aggregate adds one negligible exchange. Exactness
+    # is structural, not probabilistic: the largest per-task partial
+    # (sqq <= rows_per_task x 2500, quantities <= 50) would need ~3.7e15
+    # rows in ONE task to overflow a long, while a 128 MB input split
+    # holds ~1e6 lineitem rows — nine orders of headroom that no
+    # maxPartitionBytes setting can close (2 GB task-input hard limits
+    # sit ~2e7 rows). The decimal merge has no row-count ceiling at all.
+    # Same output doubles as the single-level decimal form, bit-for-bit
+    # (oracle hash verified unchanged at sf0.01/sf0.1).
     qi = F.round(F.col("l_quantity"), 0).cast("bigint")
     di = F.round(F.col("l_discount") * 100, 0).cast("bigint")
 
-    def s38(c, div):
-        return (F.sum(c.cast("decimal(38,0)")) / F.lit(div)).cast("double")
+    part = li.groupBy(
+        F.spark_partition_id().alias("_pid"), "l_returnflag"
+    ).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(qi).alias("_sq"),
+        F.sum(qi * qi).alias("_sqq"),
+        F.sum(di).alias("_sd"),
+        F.sum(di * di).alias("_sdd"),
+        F.sum(qi * di).alias("_sqd"),
+    )
 
-    s = li.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n"),
-        s38(qi, 1).alias("sq"),
-        s38(qi * qi, 1).alias("sqq"),
-        s38(di, 100).alias("sd"),
-        s38(di * di, 10_000).alias("sdd"),
-        s38(qi * di, 100).alias("sqd"),
+    def m38(c, div):
+        return (
+            F.sum(F.col(c).cast("decimal(38,0)")) / F.lit(div)
+        ).cast("double")
+
+    s = part.groupBy("l_returnflag").agg(
+        F.sum("_n").alias("n"),
+        m38("_sq", 1).alias("sq"),
+        m38("_sqq", 1).alias("sqq"),
+        m38("_sd", 100).alias("sd"),
+        m38("_sdd", 10_000).alias("sdd"),
+        m38("_sqd", 100).alias("sqd"),
     )
     n, sq, sqq, sd, sdd, sqd = [F.col(c) for c in ["n", "sq", "sqq", "sd", "sdd", "sqd"]]
     return s.select(
@@ -3237,10 +3288,18 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents sharing any 5-gram with a held-out eval set (here the
     doc_id%97 pseudo-benchmark), reporting distinct overlapping shingles
     per contaminated doc. Word 5-grams via one array transform (tokens
-    materialized once), exploded and distinct-ed; the eval shingle set is
-    tiny so Catalyst broadcasts it — at 100 TB this is a broadcast semi
-    join per shingle, never a shuffle of the corpus. Exact-match oracle;
-    MinHash (minhash_near_duplicates) is the probabilistic scale-out twin."""
+    materialized once); the eval shingle set is small BY DESIGN (held-out
+    benchmarks are fixed-size, they do not grow with the corpus), so it
+    broadcasts. The load-bearing order: corpus shingles probe the
+    broadcast eval set FIRST, map-side inside the scan stage, and only
+    the overlap survivors — a sliver of the corpus — reach the
+    de-duplicating shuffle. Distinct-then-filter == filter-then-distinct
+    by set algebra, so the answer is unchanged (oracle hash verified),
+    but the corpus-wide (doc_id, shingle) distinct + persist the r4 form
+    paid (73M cached rows at sf10, and a full corpus shuffle; at 100 TB
+    an impossible materialization) is gone entirely — the only full-data
+    work is explode + broadcast hash probe, which pipelines. Exact-match
+    oracle; minhash_near_duplicates is the probabilistic scale-out twin."""
     # tokens materialized in their own projection: inlining the split inside
     # the transform lambda re-evaluates it per shingle index (O(tokens^2))
     d = spread_for_cpu(_t(spark, sf_dir, "documents")).select(
@@ -3253,13 +3312,18 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i, 5)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    # the distinct shingle table feeds BOTH the eval-set subtree and the
-    # corpus side — persist so the explode+distinct runs once
-    gd = d.select("doc_id", F.explode(sh).alias("sh")).distinct().persist()
-    eval_sh = gd.where(F.col("doc_id") % 97 == 0).select("sh").distinct()
+    # the eval side re-derives its shingles from a 1/97 filtered scan —
+    # cheaper than persisting the corpus-wide shingle table to share it
+    eval_sh = (
+        d.where(F.col("doc_id") % 97 == 0)
+        .select(F.explode(sh).alias("sh"))
+        .distinct()
+    )
     return (
-        gd.where(F.col("doc_id") % 97 != 0)
+        d.where(F.col("doc_id") % 97 != 0)
+        .select("doc_id", F.explode(sh).alias("sh"))
         .join(F.broadcast(eval_sh), "sh")
+        .distinct()
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_overlap"))
     )
