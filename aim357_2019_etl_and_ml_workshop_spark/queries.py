@@ -3382,12 +3382,27 @@ def cumulative_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation happens FIRST (one shuffle, partial map-side), so the
     unpartitioned running-sum window sees only ~one row per day; that's
     the scale rule for global windows: never window the fact table, window
-    the aggregate. Sums stay decimal through the window (exact at any
-    order), rounded in decimal space before the double cast."""
-    d = (
+    the aggregate. The per-day sum uses the integer-partial/decimal-merge
+    pattern (see stats_moments_by_flag): 2-decimal prices become cents in
+    BIGINT, per-(task, day) partials are codegen long adds (bounded:
+    <= 2e7 rows/task x 5e7 cents ~ 1e15, 9000x inside long range), and
+    the decimal(38,0) merge has no ceiling. The running window then sums
+    ~one exact decimal per day (exact at any order), rounded in decimal
+    space before the double cast — value-identical to the oracle's
+    all-decimal form."""
+    ci = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    part = (
         _t(spark, sf_dir, "orders")
-        .groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
-        .agg(F.sum(_dec("o_totalprice", 18, 4)).alias("day_dec"))
+        .groupBy(
+            F.spark_partition_id().alias("_pid"),
+            F.date_trunc("day", "o_orderdate").alias("day"),
+        )
+        .agg(F.sum(ci).alias("_sc"))
+    )
+    d = part.groupBy("day").agg(
+        (F.sum(F.col("_sc").cast("decimal(38,0)")) / F.lit(100)).alias(
+            "day_dec"
+        )
     )
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return d.select(
@@ -5936,10 +5951,14 @@ def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     filters lineitem; a per-(supp, part) conditional/total sum pair feeds
     the threshold; qualifying suppkeys semi-filter supplier.
 
-    Determinism: quantity sums go through DECIMAL (exact, order-free) and
-    the half comparison is 2*q > total — integer-exact in both engines, no
-    0.5 float. Scale: the part blocklist is broadcast into the lineitem
-    scan's semi join; one grouped pass over the filtered lineitem; the
+    Determinism: quantities are integral (<= 50), so the sums run in pure
+    BIGINT — exact and order-free with no decimal accumulator at all (a
+    single (supp, part) group would need ~1.8e17 rows to overflow a
+    long), and the half comparison is 2*q > total — integer-exact in both
+    engines, no 0.5 float. The sums never appear in the output, so the
+    oracle's DECIMAL formulation yields the identical qualifying set.
+    Scale: the part blocklist is broadcast into the lineitem scan's semi
+    join; one grouped pass over the filtered lineitem; the
     qualifying-supplier set is dimension-sized and drives a broadcast semi
     join against supplier — no big-side shuffle beyond the one aggregate."""
     pk = (
@@ -5953,15 +5972,14 @@ def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     in98 = (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp")) & (
         F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp")
     )
-    zero = F.lit(0).cast("decimal(12,2)")
+    qi = F.round(F.col("l_quantity"), 0).cast("bigint")
     qty = (
         li.join(F.broadcast(pk),
                 F.col("l_partkey") == F.col("p_partkey"), "left_semi")
         .groupBy("l_suppkey", "l_partkey")
         .agg(
-            F.sum(F.when(in98, _dec("l_quantity", 12, 2)).otherwise(zero))
-            .alias("q_1998"),
-            F.sum(_dec("l_quantity", 12, 2)).alias("q_total"),
+            F.sum(F.when(in98, qi).otherwise(F.lit(0))).alias("q_1998"),
+            F.sum(qi).alias("q_total"),
         )
     )
     qualifying = (
