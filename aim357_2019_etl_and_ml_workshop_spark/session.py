@@ -96,6 +96,17 @@ def get_spark(app_name: str = "aim357-spark-engine", master: str | None = None) 
     local[$SPARK_GRAFT_CPUS]. Shuffle partitions ~ cores locally; on a
     cluster AQE coalesces the 2x-cores initial number downward at runtime.
     """
+    # One BLAS thread per Python worker: Spark already assigns one task
+    # per core, so a multithreaded OpenBLAS inside each of 32 workers
+    # spawns 32x32 spinning threads whose sched_yield busy-wait is pure
+    # kernel time (measured on the tiled-matmul sweep: 92-98% SYSTEM cpu,
+    # 310 s -> 27 s at sf10 with this pin + buffer reuse; standalone, the
+    # same 8 tiles cost 40 CPU-s multithreaded vs 9 single-threaded).
+    # setdefault: an operator who wants a different BLAS layout can still
+    # export their own value before launching. Must be set before the JVM
+    # spawns — Python workers inherit the executor JVM's environment.
+    for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(_v, "1")
     cores = _default_parallelism()
     builder = (
         SparkSession.builder.appName(app_name)
