@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -148,7 +149,9 @@ def run_suite(spark, registry, sf_dir: str, sweep: str) -> tuple[dict, dict, obj
 
 
 def main() -> None:
-    out_path = sys.argv[1] if len(sys.argv) > 1 else "SOAK_r04.json"
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "SOAK_r05.json"
+    m = re.search(r"_r0*(\d+)", os.path.basename(out_path))
+    round_no = int(m.group(1)) if m else 0
     base = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sf1_dir = os.environ.get(
         "SPARK_GRAFT_SOAK_SF1_DIR", os.path.join(base, ".localdata", "sf1")
@@ -182,7 +185,7 @@ def main() -> None:
             flags[name] = {"sf1_sec": s1, "sf10_sec": s10, "budget": budget}
 
     out = {
-        "round": 4,
+        "round": round_no,
         "what": (
             "full-registry spark-only soak (noop sink, single run per "
             "query per SF); excluded queries are quadratic-by-design "
