@@ -271,3 +271,53 @@ def leakage_safe_split(
         .otherwise(F.lit("test"))
         .alias("split"),
     )
+
+
+def temperature_mixture_weights(
+    docs: DataFrame,
+    source_col: str = "source",
+    mass_col: str = "n_chars",
+    alpha: float = 0.3,
+    budget_docs: int = 10_000,
+) -> DataFrame:
+    """Temperature-scaled source mixing weights — the standard recipe for
+    balancing a multi-source training corpus (sampling probability
+    proportional to p_s^alpha, alpha in (0, 1], so low-resource sources are
+    oversampled relative to their natural share without ever outranking a
+    larger source). Per source s with natural share p_s = mass_s / total:
+
+        weight_s     = p_s^alpha / sum_t p_t^alpha
+        oversample_s = weight_s / p_s          (>1 for small sources)
+        expected_docs_s = weight_s * budget_docs
+
+    ``mass_col`` is the share denominator (characters by default — a
+    byte/token-mass proxy; pass a token-count column for token-exact
+    mixing). alpha=1 recovers natural sampling; alpha->0 approaches
+    uniform-per-source.
+
+    Scale: one groupBy over the corpus (map-side partial — only
+    |sources| rows shuffle), then two unpartitioned-window sums over the
+    per-source frame for the normalizations. That single-partition window
+    is over the MIXTURE TABLE, not the corpus: even a web-crawl domain
+    mixture (~10^7 rows of three numerics) is one small task, and the
+    corpus is scanned exactly once. Floats are round(6) so cross-engine
+    pow/sum fold-order stays invisible (the tfidf_exact idiom)."""
+    per_src = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col(mass_col)).alias("mass"),
+    )
+    w_all = Window.partitionBy()
+    p = F.col("mass").cast("double") / F.sum("mass").over(w_all)
+    shared = per_src.withColumn("_p", p).withColumn(
+        "_pa", F.pow(F.col("_p"), F.lit(float(alpha)))
+    )
+    weight = F.col("_pa") / F.sum("_pa").over(w_all)
+    return shared.select(
+        "source",
+        "n_docs",
+        "mass",
+        F.round(F.col("_p"), 6).alias("p_source"),
+        F.round(weight, 6).alias("weight"),
+        F.round(weight / F.col("_p"), 6).alias("oversample"),
+        F.round(weight * F.lit(float(budget_docs)), 4).alias("expected_docs"),
+    )

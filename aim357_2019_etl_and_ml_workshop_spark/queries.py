@@ -5362,6 +5362,40 @@ def source_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mixture_weights_by_source",
+    """
+    WITH per_src AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS mass
+        FROM documents GROUP BY 1
+    ), shares AS (
+        SELECT *, CAST(mass AS DOUBLE) / sum(mass) OVER () AS p,
+               pow(CAST(mass AS DOUBLE) / sum(mass) OVER (), 0.3) AS pa
+        FROM per_src
+    )
+    SELECT source, n_docs, mass,
+           round(p, 6) AS p_source,
+           round(pa / sum(pa) OVER (), 6) AS weight,
+           round((pa / sum(pa) OVER ()) / p, 6) AS oversample,
+           round(pa / sum(pa) OVER () * 10000.0, 4) AS expected_docs
+    FROM shares
+    """,
+)
+def mixture_weights_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled data-mixing weights per source (alpha=0.3 over
+    character mass, 10k-doc budget) — the sampling table a multi-source
+    pretraining pipeline feeds its reader
+    (operators/curation.temperature_mixture_weights). One corpus pass;
+    the normalizing windows run over the |sources|-row mixture table."""
+    from .operators.curation import temperature_mixture_weights
+
+    return temperature_mixture_weights(
+        _t(spark, sf_dir, "documents"),
+        "source", "n_chars", alpha=0.3, budget_docs=10_000,
+    )
+
+
+@register(
     "unigram_logprob_scores",
     """
     WITH toks AS (

@@ -869,3 +869,41 @@ def test_skew_split_boilerplate_regime_pair_set_equal(spark):
     }
     assert len(plain) >= 120 * 119 // 2  # the boilerplate clique is all pairs
     assert salted == plain
+
+
+def test_temperature_mixture_weights_semantics(spark):
+    """alpha=0.3 must flatten toward uniform WITHOUT reordering: weights
+    sum to 1, below-natural-share sources get oversample > 1 (and
+    above-share sources < 1), share order is preserved, and alpha=1
+    recovers the natural distribution exactly."""
+    import math
+
+    from aim357_2019_etl_and_ml_workshop_spark.operators.curation import (
+        temperature_mixture_weights,
+    )
+
+    rows = [(i, f"s{i % 4}", [100, 400, 1500, 8000][i % 4]) for i in range(64)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+
+    out = {
+        r["source"]: r
+        for r in temperature_mixture_weights(
+            docs, "source", "n_chars", alpha=0.3, budget_docs=1000
+        ).collect()
+    }
+    assert set(out) == {"s0", "s1", "s2", "s3"}
+    assert abs(sum(r["weight"] for r in out.values()) - 1.0) < 1e-4
+    assert abs(sum(r["expected_docs"] for r in out.values()) - 1000.0) < 0.1
+    # flattening: small sources oversampled, big sources undersampled,
+    # natural-share ORDER preserved (alpha in (0,1] is monotone in p)
+    shares = sorted(out.values(), key=lambda r: r["p_source"])
+    assert shares[0]["oversample"] > 1.0 > shares[-1]["oversample"]
+    weights = [r["weight"] for r in shares]
+    assert weights == sorted(weights)
+    # alpha=1 is natural sampling: weight == p_source for every source
+    nat = temperature_mixture_weights(
+        docs, "source", "n_chars", alpha=1.0, budget_docs=1000
+    ).collect()
+    for r in nat:
+        assert math.isclose(r["weight"], r["p_source"], abs_tol=2e-6)
+        assert math.isclose(r["oversample"], 1.0, abs_tol=2e-6)

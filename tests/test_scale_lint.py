@@ -39,6 +39,10 @@ WHITELIST = {
     "window_daily_diff": "post-agg daily window (~30 rows)",
     "moving_avg_7day": "post-agg daily window (~30 rows)",
     "cumulative_daily_revenue": "post-agg daily window (~1 row/day)",
+    # normalizing windows over the PER-SOURCE mixture table (|sources|
+    # rows of three numerics — the corpus was reduced by groupBy(source)
+    # first; even a 10^7-domain web-crawl mixture is one small task)
+    "mixture_weights_by_source": "post-agg per-source mixture window",
 }
 
 
