@@ -131,6 +131,19 @@ def main() -> None:
     mix = stratified_sample(decontam, "lang", {l: 0.8 for l in langs})
     report.append(("sampled mix", mix.count()))
 
+    # 8b. temperature-scaled source mixing table (p^0.3 over char mass):
+    # the per-source sampling weights a multi-source reader consumes —
+    # computed on the CLEAN corpus so boilerplate-heavy sources don't
+    # inflate their own share
+    from aim357_2019_etl_and_ml_workshop_spark.operators.curation import (
+        temperature_mixture_weights,
+    )
+
+    weights = temperature_mixture_weights(
+        mix, "source", "n_chars", alpha=0.3, budget_docs=10_000
+    )
+    report.append(("mixture sources", weights.count()))
+
     # 9. pack into token-budget bins and assign deterministic shards
     packed = pack_sequences(mix, "doc_id", "text", "lang", budget_tokens=512)
     sharded = shard_assign(
