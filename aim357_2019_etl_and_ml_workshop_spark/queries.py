@@ -94,6 +94,10 @@ _DRIVER_PRIORITY = [
     "neardup_clusters_banded", "embedding_neardup_lsh", "tfidf_features",
     "stratified_sample_docs", "embedding_clusters",
     "simhash_near_duplicates",
+    # --- round-5 additions/rewrites needing a first driver verdict:
+    # mixture_weights_by_source is new; rank_distribution_probe swapped to
+    # the distributed-rank implementation this round. ---
+    "mixture_weights_by_source", "rank_distribution_probe",
     # --- fill: least-recently-verified keys (all r1) so the 50-sample's
     # spare slots deepen cumulative re-verification instead of idling. ---
     "flagship_daily_type_counts", "global_count", "union_tagged_counts",
