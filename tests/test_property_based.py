@@ -371,3 +371,59 @@ def test_incremental_dedup_equals_selfjoin_over_union(spark, docs, split):
         ).collect()
     }
     assert got_state == want_cross
+
+
+# ---------------------------------------------------------------------------
+# distributed rank stats == built-in window, at every width / skew / size
+# ---------------------------------------------------------------------------
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "a", "a", "b", "c"]),  # skewed parts
+            st.integers(min_value=0, max_value=50),  # tie-heavy order value
+            st.sampled_from(["p1", "p2", "p3"]),  # dense levels (ties)
+        ),
+        min_size=1,
+        max_size=120,
+    ),
+    width=st.integers(min_value=1, max_value=9),
+)
+def test_distributed_rank_stats_matches_window_any_width(spark, rows, width):
+    """Range-split local ranks + broadcast offsets must equal the built-in
+    one-task-per-part window for ANY split width, part skew, and order-value
+    tie pattern — the unique id appended as tiebreaker makes the order
+    total, which is the operator's stated contract."""
+    from pyspark.sql import Window
+
+    from aim357_2019_etl_and_ml_workshop_spark.operators.analytics import (
+        distributed_rank_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(i, p, v, d) for i, (p, v, d) in enumerate(rows)],
+        "k long, part string, v long, lvl string",
+    ).repartition(3)
+
+    w = Window.partitionBy("part").orderBy("v", "k")
+    wp = Window.partitionBy("part").orderBy("lvl")
+    ref = {
+        r["k"]: (r["pr"], r["cd"], r["dr"])
+        for r in df.select(
+            "k",
+            F.round(F.percent_rank().over(w), 6).alias("pr"),
+            F.round(F.cume_dist().over(w), 6).alias("cd"),
+            F.dense_rank().over(wp).alias("dr"),
+        ).collect()
+    }
+    got = {
+        r["k"]: (r["pr"], r["cd"], r["dr"])
+        for r in distributed_rank_stats(
+            df, "part", [F.col("v"), F.col("k")], dense_col="lvl", width=width
+        )
+        .select("k", "pr", "cd", "dr")
+        .collect()
+    }
+    assert got == ref
