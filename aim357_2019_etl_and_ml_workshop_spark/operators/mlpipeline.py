@@ -70,18 +70,22 @@ def tfidf_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     # the fit and this transform
     model = fit_tfidf(df, text_col)
     out = model.transform(df)
-    # SparseVector -> scalar summaries via a tiny UDF-free path is not
-    # available (VectorUDT), so summarize with a vectorized expr over the
-    # transformed columns instead: term count from the cleaned tokens and
-    # the max IDF weight via ml functions.
-    from pyspark.ml.functions import vector_to_array
-
-    arr = vector_to_array(F.col("features"))
+    # Summarize from the vector's STORED values via unwrap_udt, not a
+    # densified copy: vector_to_array materializes numFeatures (4096)
+    # doubles per document, so max/sum folded 4096 slots per row —
+    # ~40x more work (and ~20 GB of transient arrays per million docs)
+    # than the ~1e2 stored sparse entries actually carrying weight.
+    # Equivalent by value: TF-IDF weights are >= 0 (tf >= 0, MLlib idf
+    # ln((N+1)/(df+1)) >= 0 since df <= N), so the dense max equals the
+    # stored max whenever any entry exists (coalesce covers the
+    # empty-vector doc, whose dense max was 0.0), and absent entries
+    # add 0 to the sum.
+    vals = F.unwrap_udt(F.col("features")).getField("values")
     return out.select(
         F.col(id_col),
         F.size(F.col("_clean")).alias("n_terms"),
-        F.round(F.array_max(arr), 6).alias("top_weight"),
-        F.round(F.aggregate(arr, F.lit(0.0), lambda a, x: a + x), 6).alias(
+        F.round(F.coalesce(F.array_max(vals), F.lit(0.0)), 6).alias("top_weight"),
+        F.round(F.aggregate(vals, F.lit(0.0), lambda a, x: a + x), 6).alias(
             "weight_sum"
         ),
     )
