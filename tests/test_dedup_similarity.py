@@ -612,6 +612,61 @@ def test_incremental_neardup_precomputed_state_matches_derived(spark):
         assert from_state == derived and len(derived) > 0
 
 
+@pytest.mark.parametrize(
+    "bits,chunks,max_hamming,hash_fn",
+    [
+        (64, 4, 3, "xxhash64"),   # even sub widths (48 = 4x12)
+        (60, 4, 3, "portable60"), # uneven sub widths (45 = 12+11+11+11)
+        (64, 4, 0, "xxhash64"),   # n_sub=1: whole complement is the key
+        (64, 8, 2, "xxhash64"),   # narrow chunks, 3 slices of 56 bits
+        (60, 3, 2, "portable60"), # chunks=3, comp=40 into 3 slices
+    ],
+)
+def test_simhash_two_level_banding_equals_all_pairs(
+    spark, bits, chunks, max_hamming, hash_fn
+):
+    """Complete-mode banding (now two-level: clean chunk + clean slice of
+    its complement) must return EXACTLY the all-pairs popcount scan over
+    the same fingerprints, across even/uneven slice geometries and the
+    n_sub=1 degenerate case. The corpus mixes a boilerplate clique, close
+    variants, and unrelated docs so every Hamming regime appears."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = (
+        [Row(doc_id=i, text=base) for i in range(1, 8)]
+        + [Row(doc_id=10 + i, text=base + f" tail{i}") for i in range(8)]
+        + [
+            Row(doc_id=30 + i, text=f"unrelated doc {i} with words {i * 3} "
+                f"and {i * 11} plus filler token{i % 5}")
+            for i in range(10)
+        ]
+    )
+    docs = spark.createDataFrame(rows)
+    fps = {
+        r.doc_id: r.simhash
+        for r in simhash_fingerprints(
+            docs, "text", "doc_id", bits=bits, hash_fn=hash_fn
+        ).collect()
+    }
+    want = {}
+    ids = sorted(fps)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = ids[i], ids[j]
+            d = bin((fps[a] ^ fps[b]) & ((1 << bits) - 1)).count("1")
+            if d <= max_hamming:
+                want[(a, b)] = d
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_duplicates(
+            docs, "text", "doc_id", max_hamming=max_hamming,
+            chunks=chunks, bits=bits, hash_fn=hash_fn,
+        ).collect()
+    }
+    assert got == want
+    if max_hamming > 0:
+        assert len(want) > 0  # the clique keeps the test non-vacuous
+
+
 def test_simhash_pigeonhole_guard_raises(spark):
     """max_hamming > chunks-1 silently under-recalls; both banded entry
     points must refuse it unless allow_incomplete=True is passed."""
