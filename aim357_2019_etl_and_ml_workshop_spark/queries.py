@@ -3306,32 +3306,53 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     by set algebra, so the answer is unchanged (oracle hash verified),
     but the corpus-wide (doc_id, shingle) distinct + persist the r4 form
     paid (73M cached rows at sf10, and a full corpus shuffle; at 100 TB
-    an impossible materialization) is gone entirely — the only full-data
-    work is explode + broadcast hash probe, which pipelines. Exact-match
-    oracle; minhash_near_duplicates is the probabilistic scale-out twin."""
+    an impossible materialization) is gone entirely. The probe itself is
+    HASH-FIRST (r5): the corpus side never materializes its ~1e8 5-gram
+    strings — it probes a 5-argument xxhash64 of the token slice (one
+    long per gram, no string allocation/garbage in the scan stage)
+    against the broadcast eval (hash, shingle) pairs, and only
+    hash-survivors build the actual string, which must then equal the
+    eval string riding the same broadcast row — so a 64-bit collision
+    can only add a FILTERED row, never a counted one, and the result
+    stays exact-match to the oracle. Exact oracle; minhash_near_duplicates
+    is the probabilistic scale-out twin."""
     # tokens materialized in their own projection: inlining the split inside
     # the transform lambda re-evaluates it per shingle index (O(tokens^2))
     d = spread_for_cpu(_t(spark, sf_dir, "documents")).select(
         "doc_id", F.split(F.lower("text"), " ").alias("_toks")
     )
-    sh = F.when(
+    # gram positions 1..min(len-4, 200): the 200-gram prefix cap is part of
+    # the query contract (mirrors the oracle's generate_series(1, 200) and
+    # curation.py's decontam_prefix — bounds the explode at any doc length)
+    n_grams = F.least(F.size("_toks") - 4, F.lit(200))
+    gram_hash = F.when(
         F.size("_toks") >= 5,
         F.transform(
-            F.sequence(F.lit(1), F.size("_toks") - 4),
-            lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i, 5)),
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.xxhash64(
+                *[F.element_at(F.col("_toks"), i + j) for j in range(5)]
+            ),
         ),
-    ).otherwise(F.array().cast("array<string>"))
-    # the eval side re-derives its shingles from a 1/97 filtered scan —
-    # cheaper than persisting the corpus-wide shingle table to share it
-    eval_sh = (
+    ).otherwise(F.array().cast("array<bigint>"))
+    gram_str = lambda pos: F.concat_ws(  # noqa: E731 — built for survivors only
+        " ", F.slice(F.col("_toks"), pos, 5)
+    )
+    # eval side: one scan building the (hash, shingle) pairs — held-out
+    # benchmarks are fixed-size, so the pair table broadcasts at any corpus
+    # scale; distinct keeps one row per eval shingle
+    eval_pairs = (
         d.where(F.col("doc_id") % 97 == 0)
-        .select(F.explode(sh).alias("sh"))
+        .select("_toks", F.posexplode(gram_hash).alias("_p", "h"))
+        .select("h", gram_str(F.col("_p") + 1).alias("sh"))
         .distinct()
     )
     return (
         d.where(F.col("doc_id") % 97 != 0)
-        .select("doc_id", F.explode(sh).alias("sh"))
-        .join(F.broadcast(eval_sh), "sh")
+        .select("doc_id", "_toks", F.posexplode(gram_hash).alias("_p", "h"))
+        .join(F.broadcast(eval_pairs), "h")
+        # string equality verifies the hash match; collisions die here
+        .where(gram_str(F.col("_p") + 1) == F.col("sh"))
+        .select("doc_id", "sh")
         .distinct()
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_overlap"))
