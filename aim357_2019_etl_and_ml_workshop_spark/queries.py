@@ -5886,19 +5886,27 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", "l_extendedprice"
     )
+    parts = (
+        _t(spark, sf_dir, "part")
+        .where((F.col("p_size") <= 10) & (F.col("p_type") == "ECONOMY"))
+        .select("p_partkey", "p_type")
+    )
+    # The part predicate is the query's most selective filter, and per-
+    # partkey results are independent, so it pushes BELOW the aggregate:
+    # a broadcast semi on qualifying partkeys joins the region semi
+    # inside the lineitem scan, and the groupBy + window then run on the
+    # qualifying ~2% of pairs instead of every (partkey, suppkey)
+    # (attaching p_type via the inner join after the window is unchanged).
     ps = (
         li.join(F.broadcast(rs.select("s_suppkey")),
                 F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(parts.select("p_partkey")),
+              F.col("l_partkey") == F.col("p_partkey"), "left_semi")
         .groupBy(
             F.col("l_partkey").alias("partkey"),
             F.col("l_suppkey").alias("suppkey"),
         )
         .agg(F.min("l_extendedprice").alias("supply_cost"))
-    )
-    parts = (
-        _t(spark, sf_dir, "part")
-        .where((F.col("p_size") <= 10) & (F.col("p_type") == "ECONOMY"))
-        .select("p_partkey", "p_type")
     )
     w_part = Window.partitionBy("partkey")
     return (
@@ -5946,13 +5954,17 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     The NOT IN compiles to an anti join; s_suppkey is non-nullable here so
     the plain anti join IS the null-aware semantics (the null-propagating
     general case is covered by not_in_null_aware_anti). Scale: the
-    blocklist and part dim are broadcast BELOW the distinct — the
-    qualifying-part semi join and the supplier anti join run on the raw
-    scan, so the global (partkey, suppkey) dedup shuffles only the ~1/7
-    of lineitem that survives the part predicates (r04: the distinct ran
-    first and shuffled every pair — sf10 6.8 s -> this form ~2 s);
-    map-side partial dedup, one shuffle; count-distinct then reduces
-    dimension-sized groups."""
+    blocklist and part dim are broadcast on the raw scan — the
+    qualifying-part semi join and the supplier anti join filter inside
+    the scan stage, and the ONLY shuffle is the count-distinct
+    aggregate's own two-level rewrite (partial dedup of (brand, type,
+    size, suppkey) map-side, then dimension-sized counting). The earlier
+    explicit bridge DISTINCT on (partkey, suppkey) ahead of the
+    aggregate was a second full exchange carrying a FINER key than the
+    aggregate needs — the distinct aggregate's internal (group, suppkey)
+    dedup subsumes it, since every partkey maps to one (brand, type,
+    size) class (r04 moved the filters below the distinct, 6.8 -> ~2 s
+    at sf10; r05 removes the now-redundant exchange entirely)."""
     excl = (
         _t(spark, sf_dir, "supplier")
         .where(F.col("s_name").like("%7"))
@@ -5967,13 +5979,8 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "lineitem")
         .select("l_partkey", "l_suppkey")
         .join(
-            F.broadcast(parts.select("p_partkey")),
-            F.col("l_partkey") == F.col("p_partkey"),
-            "left_semi",
-        )
-        .join(F.broadcast(excl),
-              F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
-        .distinct()
+            F.broadcast(excl),
+            F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
     )
     return (
         bridge.join(F.broadcast(parts), F.col("p_partkey") == F.col("l_partkey"))
