@@ -27,6 +27,54 @@ from pyspark.sql import Window
 from pyspark.sql.functions import pandas_udf
 
 
+_GATHER_BC_CACHE: dict = {}
+_GATHER_BC_CACHE_MAX = 8
+
+
+def _gather_broadcast(spark, gather: tuple):
+    """Memoized ``sc.broadcast`` of a gather triple, keyed by
+    (applicationId, content fingerprint).
+
+    Why memoize: an ALIVE, referenced broadcast costs nothing to later
+    unrelated jobs, but an ABANDONED one is expensive — its Python
+    ``Broadcast`` object lingers until cyclic GC, and the py4j finalizer
+    round-trips plus JVM-side ContextCleaner removal land in the middle of
+    whatever runs next. Measured (r6 autopsy, tools/ab_* harnesses at
+    sf0.1): two leaked per-bench-run lsh gathers inflated the FOLLOWING
+    query (ivf_ann_topk) from ~1.2 s to ~3 s with a multi-run decay as GC
+    drained them, while 8 alive referenced broadcasts had zero effect
+    (1.24/1.15/1.12 s at 0/2/8). Reusing one broadcast per distinct matrix
+    is also the right 100 TB shape — the gather is model/index state,
+    shipped once per executor, not once per invocation.
+
+    Fingerprint is blake2b over the raw id+matrix bytes (~1 GB/s — cheap
+    next to the collect that built the triple; 100 MB at the sf10 scale
+    this path serves). LRU-capped: evicted entries are destroyed, which is
+    safe for this engine's execute-soon query style but means a caller
+    holding >_GATHER_BC_CACHE_MAX distinct UNEXECUTED plans could observe
+    a destroyed broadcast — raise the cap before doing that."""
+    import hashlib
+
+    ids, mat, _norms = gather
+    h = hashlib.blake2b(digest_size=16)
+    h.update(np.ascontiguousarray(ids).tobytes())
+    h.update(np.ascontiguousarray(mat).tobytes())
+    key = (spark.sparkContext.applicationId, h.hexdigest(), mat.shape)
+    bc = _GATHER_BC_CACHE.pop(key, None)
+    if bc is None:
+        bc = spark.sparkContext.broadcast(gather)
+    _GATHER_BC_CACHE[key] = bc  # re-insert -> most-recently-used
+    while len(_GATHER_BC_CACHE) > _GATHER_BC_CACHE_MAX:
+        # dicts iterate in insertion order and hits re-insert, so the
+        # first key is the least-recently-used entry
+        old = _GATHER_BC_CACHE.pop(next(iter(_GATHER_BC_CACHE)))
+        try:
+            old.destroy()
+        except Exception:
+            pass
+    return bc
+
+
 def as_double_vec(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.transform(c, lambda x: x.cast("double"))
@@ -190,7 +238,7 @@ def _pair_cosine_gather(spark, gather: tuple):
     worker fetches and unpickles ONE copy per executor instead of one per
     task closure (at the 512 MB byte budget the closure copy alone would
     double every task's serialization cost — ADVICE r03)."""
-    bc = spark.sparkContext.broadcast(gather)
+    bc = _gather_broadcast(spark, gather)
 
     @pandas_udf("double")
     def bcos(ia: pd.Series, ib: pd.Series) -> pd.Series:
@@ -242,7 +290,7 @@ def _tiled_matmul_pairs(
         tile_rows = max(1024, min(16384, n // 32 + 1))
     n_tiles = (n + tile_rows - 1) // tile_rows
     pairs = [(i, j) for i in range(n_tiles) for j in range(i, n_tiles)]
-    bc = spark.sparkContext.broadcast(gather)
+    bc = _gather_broadcast(spark, gather)
 
     SB = 1024  # sub-block edge: 8 MB float64 result, cache-resident
 
@@ -595,7 +643,7 @@ def lsh_topk(
         # kernel (one copy per worker, not per task) — no vector-attach
         # join, and the verify+rank needs no further exchange before the
         # k-row merge window.
-        bc = candidates.sparkSession.sparkContext.broadcast(gather)
+        bc = _gather_broadcast(candidates.sparkSession, gather)
         return _local_topk_merge(pairs, qmap, k, gather=bc)
     # Above the broadcast budget: re-attach each candidate vector once via
     # an equi-join and rank via the same local-top-k merge.

@@ -1,0 +1,50 @@
+"""Mechanism test: is lsh's SparkContext broadcast what slows later ivf runs?
+Mode 'bc' (default): stock lsh (creates a new sc.broadcast per run).
+Mode 'nobc': monkeypatch similarity's broadcast call to pass the gather
+tuple through the task closure instead. Then time ivf 4x either way."""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from aim357_2019_etl_and_ml_workshop_spark import queries as q
+from aim357_2019_etl_and_ml_workshop_spark.operators import similarity
+from aim357_2019_etl_and_ml_workshop_spark.session import get_spark
+from bench import spark_suite
+
+mode = sys.argv[1] if len(sys.argv) > 1 else "bc"
+sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+spark = get_spark("ab-bc")
+registry = q.queries()
+registry["global_count"](spark, sf_dir).collect()
+
+made = []
+if mode in ("destroy", "track"):
+    import pyspark
+    real_broadcast = pyspark.SparkContext.broadcast
+
+    def tracking(self, v):
+        b = real_broadcast(self, v)
+        made.append(b)
+        return b
+
+    pyspark.SparkContext.broadcast = tracking  # type: ignore
+
+spark_suite(spark, registry, sf_dir, ["ivf_ann_topk"], 2)  # seed caches
+base = spark_suite(spark, registry, sf_dir, ["ivf_ann_topk"], 3)
+pre = spark_suite(spark, registry, sf_dir, ["lsh_ann_topk"], 2)
+if mode == "destroy":
+    for b in made:
+        b.destroy()
+    made.clear()
+after = []
+for _ in range(4):
+    t0 = time.perf_counter()
+    registry["ivf_ann_topk"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    after.append(round(time.perf_counter() - t0, 3))
+    spark.catalog.clearCache()
+print(json.dumps({"mode": mode, "lsh": pre, "ivf_base_min3": base, "ivf_after": after}))
