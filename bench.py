@@ -121,9 +121,18 @@ SF1_SUBSET = [
 SF10_SUBSET = [n for n in SF1_SUBSET if n != "embedding_cosine_topk"]
 
 
-def duckdb_suite(sf_dir: str, names: list[str]) -> dict:
+def duckdb_suite(sf_dir: str, names: list[str], runs: int = 3) -> dict:
     """Time each headline query's oracle SQL in DuckDB over the same parquet
-    at the same thread count — the native single-node denominator."""
+    at the same thread count — the native single-node denominator.
+
+    Best-of-``runs`` per query, same aggregation as the Spark side
+    (VERDICT r05 #3: the r5 driver artifact's denominator was a single
+    run and wobbled 40% round-over-round on identical SQL — at these
+    sub-second magnitudes single-run noise was the dominant error bar of
+    the whole suite ratio). Timed in THIS process, immediately before the
+    Spark suite, so both sides see the same box state; the timestamp in
+    BENCH_DETAIL lets cross-round comparisons check they compare like
+    with like."""
     import duckdb
 
     from aim357_2019_etl_and_ml_workshop_spark.sources.io import (
@@ -146,12 +155,19 @@ def duckdb_suite(sf_dir: str, names: list[str]) -> dict:
         if name not in oracles:
             skipped.append(name)
             continue
-        t0 = time.perf_counter()
-        con.execute(oracles[name]).fetchall()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = None
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            con.execute(oracles[name]).fetchall()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 4)
     return {
         "engine": "duckdb",
         "threads": threads,
+        "runs_per_query": runs,
+        "agg": "min",
+        "timed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "value": round(sum(timings.values()), 4),
         "queries": timings,
         "skipped": skipped,
@@ -159,19 +175,29 @@ def duckdb_suite(sf_dir: str, names: list[str]) -> dict:
 
 
 def spark_suite(
-    spark, registry, sf_dir: str, names: list[str], runs: int
+    spark, registry, sf_dir: str, names: list[str], runs: int,
+    warm_pass: bool = False,
 ) -> dict[str, float]:
     """Best-of-`runs` noop-sink wall time per query, cache cleared between
-    runs (see main's rationale)."""
+    runs (see main's rationale).
+
+    ``warm_pass=True`` prepends one UNTIMED execution of each query before
+    its timed runs. Back-to-back full-bench A/B (r6): without it, a fresh
+    JVM's first suite ran uniformly ~15-20% slower than an immediate rerun
+    even at min-of-3 — C2/janino compilation amortizes across more
+    executions than one query's own runs provide. The warm pass makes the
+    published number the steady-state plan cost, reproducible across
+    process launches (VERDICT r05 #3's ±10% criterion)."""
     timings: dict[str, float] = {}
     for name in names:
         fn = registry[name]
         best = None
-        for _ in range(runs):
+        for i in range(runs + (1 if warm_pass else 0)):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
+            if not (warm_pass and i == 0):
+                best = dt if best is None else min(best, dt)
             spark.catalog.clearCache()
         timings[name] = round(best, 4)
     return timings
@@ -233,11 +259,25 @@ def main() -> None:
         os.path.exists(os.path.join(sf10_dir, "lineitem.parquet"))
         and os.environ.get("SPARK_GRAFT_SKIP_SF10") != "1"
     )
+    # Both sides use the same best-of-N aggregation (default 3, VERDICT
+    # r05 #3 — single runs at sub-second magnitudes made methodology the
+    # dominant error bar of the suite ratio).
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     # DuckDB denominators first, on a quiet machine — running them after
     # the Spark suite measures them under JVM memory/CPU pressure instead.
-    oracle = duckdb_suite(sf_dir, HEADLINE)
-    oracle_sf1 = duckdb_suite(sf1_dir, SF1_SUBSET) if run_sf1 else None
-    oracle_sf10 = duckdb_suite(sf10_dir, SF10_SUBSET) if run_sf10 else None
+    # The PRIMARY (sf0.1) denominator is additionally re-sampled AFTER the
+    # Spark suite and the per-query min of the two phases is published:
+    # back-to-back full-bench A/Bs (r6) showed this box's state drifting
+    # >10% BETWEEN phases of a single bench run (one pre-phase denominator
+    # hit 19.1 s where six others sat at 14-16 s on identical SQL), and a
+    # one-phase sample inherits that drift into the suite ratio. Sampling
+    # both ends of the window bounds the denominator by the quieter phase
+    # — the same steady-state estimate min-of-N already targets per query.
+    oracle = duckdb_suite(sf_dir, HEADLINE, runs)
+    oracle_sf1 = duckdb_suite(sf1_dir, SF1_SUBSET, runs) if run_sf1 else None
+    oracle_sf10 = (
+        duckdb_suite(sf10_dir, SF10_SUBSET, runs) if run_sf10 else None
+    )
 
     spark = get_spark("engine-bench")
     registry = q.queries()
@@ -245,17 +285,34 @@ def main() -> None:
     # Warmup: JVM + parquet footer caches, one tiny action.
     registry["global_count"](spark, sf_dir).collect()
 
-    # Best-of-2 per query (labeled in the output): single-run wall times on
+    # Best-of-N per query (labeled in the output): single-run wall times on
     # this box vary ±25% with unrelated load; the min reflects the plan's
     # steady-state execution rather than scheduler luck. The cache is
     # cleared between runs so every run pays its own intermediate
     # materializations (queries that persist shared subtrees neither leak
     # across runs nor coast on a previous run's cache).
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
-    timings = spark_suite(spark, registry, sf_dir, HEADLINE, runs)
+    timings = spark_suite(
+        spark, registry, sf_dir, HEADLINE, runs, warm_pass=True
+    )
+
+    # Post-phase denominator re-sample (see the pre-phase comment above).
+    oracle_post = duckdb_suite(sf_dir, HEADLINE, runs)
+    oracle["phases"] = {
+        "pre": {"timed_at": oracle["timed_at"], "value": oracle["value"]},
+        "post": {
+            "timed_at": oracle_post["timed_at"],
+            "value": oracle_post["value"],
+        },
+    }
+    oracle["queries"] = {
+        n: min(oracle["queries"][n], oracle_post["queries"][n])
+        for n in oracle["queries"]
+    }
+    oracle["value"] = round(sum(oracle["queries"].values()), 4)
 
     detail = {
         "metric": "headline_suite_total",
+        "timed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
@@ -271,7 +328,9 @@ def main() -> None:
     detail.update(ratio_block(timings, oracle))
 
     if run_sf1:
-        t_sf1 = spark_suite(spark, registry, sf1_dir, SF1_SUBSET, runs)
+        t_sf1 = spark_suite(
+            spark, registry, sf1_dir, SF1_SUBSET, runs, warm_pass=True
+        )
         sf1_block = {
             "sf": 1.0,
             "dir": sf1_dir,
@@ -283,7 +342,9 @@ def main() -> None:
         detail["sf1"] = sf1_block
 
     if run_sf10:
-        t_sf10 = spark_suite(spark, registry, sf10_dir, SF10_SUBSET, runs)
+        t_sf10 = spark_suite(
+            spark, registry, sf10_dir, SF10_SUBSET, runs, warm_pass=True
+        )
         sf10_block = {
             "sf": 10.0,
             "dir": sf10_dir,
