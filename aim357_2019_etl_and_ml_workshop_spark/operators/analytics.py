@@ -58,7 +58,20 @@ def distributed_rank_stats(
     """percent_rank/cume_dist over ``part_col`` ordered by the TOTAL order
     ``order_cols``, plus optional dense_rank over ``dense_col`` — all
     computed with even range splits instead of one task per part value.
-    Returns the input columns plus the three analytic columns."""
+    Returns the input columns plus the three analytic columns.
+
+    Storage/fault-tolerance cost (ADVICE r05): the eager localCheckpoint
+    below materializes the FULL input on executor-local storage and
+    truncates lineage — one disk-resident copy of the table for the
+    query's lifetime, and a lost executor mid-query fails the job instead
+    of recomputing (local checkpoints are not replicated). That is the
+    price of a correct shared pid assignment; deriving split ids from
+    collected range boundaries instead would avoid the materialization
+    but re-sorts the input TWICE (once per branch) and moves boundary
+    sampling to the driver. Callers at genuine 100 TB scale should prefer
+    reliable ``checkpoint()`` (replicated, recoverable) via
+    ``spark.sparkContext.setCheckpointDir`` when executor loss is an
+    operational concern; semantics are identical."""
     spark = df.sparkSession
     if width is None:
         width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))

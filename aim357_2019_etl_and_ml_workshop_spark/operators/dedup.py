@@ -769,7 +769,12 @@ def incremental_near_duplicates(
         # rather than persist(): this function is called per nightly
         # batch, and persist() entries accumulate for the session lifetime
         # unless the caller unpersists, while checkpoint blocks are
-        # released when the frame is GC'd (ADVICE r04).
+        # released when the frame is GC'd (ADVICE r04). Lost property
+        # (ADVICE r05): localCheckpoint truncates lineage, so an executor
+        # loss mid-probe FAILS the nightly batch instead of recomputing
+        # the corpus banding — the operator is idempotent, so the recovery
+        # story is "rerun the batch", or pass `corpus_banded=` persisted
+        # state (the prescribed at-scale shape) and this branch never runs.
         corpus_ch = corpus_ch.localCheckpoint(eager=True)
     if max_bucket_size is not None:
         hot = (

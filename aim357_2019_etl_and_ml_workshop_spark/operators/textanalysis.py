@@ -238,7 +238,18 @@ def redact_pii(text: Column | str, patterns: list[tuple] | None = None) -> Colum
     this runs inside the parquet scan's WholeStageCodegen with zero
     shuffle and no Python. Each pattern may carry a no-op guard (see
     PII_PATTERNS) so the regex engine runs only on rows that could
-    match — substring/length checks are ~10x cheaper than a regex scan."""
+    match — substring/length checks are ~10x cheaper than a regex scan.
+
+    Pattern-count assumption (ADVICE r05): each GUARDED stage embeds the
+    previous stage's expression three times (guard, replace input,
+    otherwise branch), so the expression tree grows ~3^k in the number of
+    guarded patterns, and "the regex runs only when the guard passes"
+    relies on Catalyst subexpression elimination inside codegen. The
+    built-in list (4 patterns, 1 unguarded) compiles comfortably; callers
+    passing a LONG custom guarded list (roughly >6-7 guarded stages)
+    should instead apply stages one `withColumn` per pattern — Catalyst
+    keeps multiply-referenced non-cheap aliases un-collapsed, so the tree
+    stays linear at the cost of per-stage projections."""
     col = F.col(text) if isinstance(text, str) else text
     for entry in patterns or PII_PATTERNS:
         pat, tag = entry[0], entry[1]

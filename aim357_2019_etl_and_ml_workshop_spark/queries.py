@@ -973,8 +973,17 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The shingle table feeds three subtrees (sizes + both join sides); the
     # tokenize+explode is the expensive part, so materialize it once instead
     # of recomputing per subtree (plan showed 4 documents scans, 0 reuse).
-    # Same posture at 100TB: shingle once, reuse.
-    s = exploded_shingles(docs, "text", "doc_id", 3).persist()
+    # Same posture at 100TB: shingle once, reuse. Eager localCheckpoint
+    # rather than persist: the returned DataFrame still references this
+    # frame, so a persist here could never be released (a cache-manager
+    # leak for library embedders — VERDICT r05 #4); checkpoint blocks are
+    # reclaimed when the RDD is GC'd. Tradeoff: lineage is truncated, so
+    # an executor loss mid-query fails the query instead of recomputing —
+    # acceptable for a conformance-SF-only exact-oracle twin (the 100TB
+    # path is minhash_near_duplicates).
+    s = exploded_shingles(docs, "text", "doc_id", 3).localCheckpoint(
+        eager=True
+    )
     sz = s.groupBy("doc_id").agg(_count(None, "sz"))
     a = s.select(F.col("doc_id").alias("doc_a"), "sh")
     b = s.select(F.col("doc_id").alias("doc_b"), "sh")
@@ -2451,8 +2460,16 @@ def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the DuckDB oracle still hash-matches.
     """
     df = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    # Persist so the range bounds sampled for the offsets pass are the exact
-    # partitioning the final pass reuses (bounds are sampled per execution).
+    # Freeze the partitioning so the range bounds sampled for the offsets
+    # pass are the exact partitioning the final pass reuses (bounds are
+    # sampled per execution). Eager localCheckpoint, not persist: a
+    # persisted frame could be EVICTED between the two passes, and the
+    # recompute would re-sample range bounds — silently different _pid
+    # values (the spark_partition_id cross-branch pitfall). Checkpoint
+    # blocks can't be evicted, release with the RDD (no cache-manager
+    # leak — VERDICT r05 #4), and cost the same single materialization;
+    # the truncated-lineage executor-loss tradeoff is documented at the
+    # other checkpoint sites.
     # Range width follows the session's shuffle partitions (a literal 32
     # would cap a cluster's sort at 32 reducers); the driver-side offsets
     # collect stays bounded by the partition count either way.
@@ -2460,7 +2477,7 @@ def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = (
         df.repartitionByRange(n_range, "o_totalprice", "o_orderkey")
         .withColumn("_pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint(eager=True)
     )
     counts = {
         r["_pid"]: r["cnt"]

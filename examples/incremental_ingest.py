@@ -78,8 +78,20 @@ def main() -> None:
             # state screen (the state predates both) and both seed
             # duplicate state. Exact: keep the min-doc_id representative
             # per canonical fingerprint; near: a batch-sized self
-            # near-dup pass, dropping the higher id of each pair (keeps
-            # the least id per duplicate chain). Both are O(batch).
+            # near-dup pass, dropping the higher id of each pair. Both
+            # are O(batch).
+            #
+            # Near-dup semantics (ADVICE r05): dropping every id_b of
+            # every pair collapses duplicate CHAINS to their minimum id —
+            # connected-component semantics, not pairwise-maximal: a doc
+            # can be removed because it was near-dup of another REMOVED
+            # doc while itself exceeding max_hamming from the kept
+            # representative. That is the intended posture here (a chain
+            # of borderline-similar docs is one cluster; keep one), and
+            # it matches the batch-level curation funnel. If pairwise-only
+            # dropping (a maximal independent set) is required, compute
+            # components explicitly and pick representatives per component
+            # — see operators.dedup.connected_components.
             n_raw = batch.count()
             reps = (
                 batch.select(
