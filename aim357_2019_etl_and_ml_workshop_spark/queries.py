@@ -81,37 +81,40 @@ def register(name: str, oracle: str | None = None):
 # round; everything else follows in registration order and remains covered
 # by the local gate. (VERDICT r02 "Next round" #2.)
 _DRIVER_PRIORITY = [
-    # --- round-5 rotation: r01 u r02 u r03 u r04 = 150/164 distinct keys,
-    # zero failures. The 14 keys below have never appeared in any driver
-    # CORRECTNESS artifact: 8 oracle-backed (expect full hash verdicts)
-    # followed by the 6 remaining rows-only waivers (expect `no_oracle`
-    # rows — the point is to put their waiver status on the driver record
-    # too, per VERDICT r04 "Next round" #1). ---
-    "scd2_user_state", "snapshot_diff_orders", "asof_join_tolerance",
-    "salted_join_revenue", "quality_expectations_orders",
-    "null_safe_join_counts", "forecast_revenue_delta",
-    "money_scale_contract",
-    "neardup_clusters_banded", "embedding_neardup_lsh", "tfidf_features",
-    "stratified_sample_docs", "embedding_clusters",
-    "simhash_near_duplicates",
-    # --- round-5 additions/rewrites needing a first driver verdict:
-    # mixture_weights_by_source is new; rank_distribution_probe swapped to
-    # the distributed-rank implementation this round. ---
-    "mixture_weights_by_source", "rank_distribution_probe",
-    # --- fill: least-recently-verified keys (all r1) so the 50-sample's
-    # spare slots deepen cumulative re-verification instead of idling. ---
-    "flagship_daily_type_counts", "global_count", "union_tagged_counts",
-    "group_by_event_type", "counts_by_day", "counts_by_day_type",
-    "pivot_daily_by_type", "strict_range_rows", "upper_bound_sanity_count",
-    "like_prefix_filter", "project_rename_cast", "epoch_bucket_counts",
-    "min_max_epoch_bounds", "date_spine", "spine_left_join_gapfill",
-    "order_limit_topk", "inner_join_daily", "union_by_name",
-    "window_daily_diff", "tumbling_hourly_counts", "top3_per_status",
-    "q1_pricing_summary", "revenue_by_region", "customer_order_stats",
-    "json_extract_sum", "dedup_distinct_pairs", "dedup_docs_fingerprint",
-    "token_count", "text_quality", "ngram_jaccard_pairs",
-    "embedding_cosine_topk", "count_distinct_users", "rollup_counts",
-    "sessionize_user_counts", "lang_id_heuristic", "quality_features",
+    # --- round-6 rotation (VERDICT r05 #6): cumulative driver coverage is
+    # 165/165 with zero failures, but 114 keys carry exactly ONE verdict.
+    # Order: (a) queries whose implementation changed THIS round (ngram
+    # shingle/ntile partitioning moved to eager localCheckpoint; lsh/ivf
+    # ANN gather broadcasts memoized) so the driver re-verdicts the new
+    # code first; then (b) every remaining key sorted least-recently-
+    # verified first (oracle-backed before rows-only at equal staleness),
+    # computed from CORRECTNESS_r01-r05. The 50-sample thus lands second
+    # verdicts exactly where the record is thinnest. ---
+    "ngram_jaccard_pairs", "ntile_quartiles", "lsh_ann_topk",
+    "ivf_ann_topk", "lsh_recall_check", "ivf_recall_check",
+    "minhash_recall_check", "minhash_near_duplicates",
+    "rank_distribution_probe",
+    "lang_id_heuristic", "quality_features", "deepar_export",
+    "forecast_quantiles", "customers_without_orders",
+    "customers_with_orders_semi",
+    "intersect_user_sets", "except_user_sets", "median_value_by_type",
+    "moving_avg_7day", "multimodal_decode_meta", "sql_flagship_twin",
+    "simhash_fingerprints", "embedding_neardup_blocked",
+    "asof_join_last_signup",
+    "range_join_campaign_counts", "latest_state_per_user",
+    "chunk_documents",
+    "streaming_hourly_counts", "sliding_window_counts", "neardup_clusters",
+    "grouping_sets_counts", "except_all_user_bags", "range_frame_peak_rate",
+    "forward_fill_last_value", "not_in_null_aware_anti",
+    "recursive_cte_tree_walk",
+    "decontaminate_ngram_overlap", "cumulative_daily_revenue",
+    "lateral_top2_per_segment",
+    "pii_redaction_rollup", "repetition_filter", "neardup_representatives",
+    "sequence_packing", "shard_assignment_counts", "dormant_rich_customers",
+    "sole_return_supplier", "unshipped_priority_revenue",
+    "market_share_by_year",
+    "nation_year_profit", "returned_item_losses", "promo_revenue_pct",
+    "simhash_portable_fingerprints",
 ]
 
 
