@@ -90,6 +90,7 @@ _DRIVER_PRIORITY = [
     # verified first (oracle-backed before rows-only at equal staleness),
     # computed from CORRECTNESS_r01-r05. The 50-sample thus lands second
     # verdicts exactly where the record is thinnest. ---
+    "multimodal_curation_pipeline",  # new in r6 — first driver verdict
     "ngram_jaccard_pairs", "ntile_quartiles", "lsh_ann_topk",
     "ivf_ann_topk", "lsh_recall_check", "ivf_recall_check",
     "minhash_recall_check", "minhash_near_duplicates",
@@ -1517,6 +1518,108 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = attach_multimodal(docs, "payload", "image/fake")
     decoded = decode_features(media)
     return decoded.select("content_hash", "width", "height", "n_frames")
+
+
+@register(
+    "multimodal_curation_pipeline",
+    r"""
+    WITH tagged AS (
+        SELECT doc_id, text, md5(text) AS content_hash,
+               min(doc_id) OVER (PARTITION BY md5(text)) AS _mid,
+               count(*) OVER (PARTITION BY md5(text)) AS n_copies
+        FROM documents
+    )
+    SELECT doc_id, content_hash, CAST(n_copies AS BIGINT) AS n_copies,
+           CAST(1 + ascii(substr(text, 1, 1)) % 64 AS INTEGER) AS width,
+           CAST(1 + ascii(substr(text, 2, 1)) % 64 AS INTEGER) AS height,
+           CAST(1 + length(text) % 7 AS INTEGER) AS n_frames,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER)
+               AS n_tok,
+           round(CAST(length(text)
+                      - length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                      AS DOUBLE) / length(text), 4) AS non_alpha,
+           (len(regexp_split_to_array(trim(text), '\s+')) BETWEEN 5
+                AND 10000
+            AND CAST(length(text)
+                     - length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                     AS DOUBLE) / length(text) <= 0.3) AS kept,
+           CAST(length(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                     '[EMAIL]', 'g'),
+                   '\+?[0-9]{1,3}[-. (]{0,2}[0-9]{3}[-. )]{0,2}[0-9]{3}[-. ]?[0-9]{4}',
+                   '[PHONE]', 'g'),
+                 '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}',
+                 '[IP]', 'g'),
+               '[0-9]{4,}', '[NUM]', 'g')) AS INTEGER) AS redacted_len
+    FROM tagged WHERE doc_id = _mid
+    """,
+)
+def multimodal_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-bearing documents through the full multimodal + curation
+    composition (VERDICT r05 #7): attach_multimodal tags each doc's payload
+    (text bytes stand in for image bytes, as in multimodal_decode_meta),
+    split_payload_table separates the light relational side from the
+    payload store, exact dedup runs BY CONTENT HASH on the light side
+    (keep-min-id — only (hash, id) rows shuffle, never payload bytes),
+    payloads re-attach at the consumption edge for decode_features, and the
+    surviving representatives flow through the text-curation operators
+    (token/non-alpha quality gate and the PII redaction chain). One row per
+    distinct payload: provenance (n_copies), decoded pseudo-metadata,
+    quality verdict, redacted length — every stage SQL-recomputed by the
+    oracle. At 100 TB the shape is the point: payload bytes cross the wire
+    exactly once (the re-attach equi-join), dedup and curation shuffle only
+    light rows."""
+    from .operators.multimodal import (
+        attach_multimodal,
+        decode_features,
+        split_payload_table,
+    )
+    from .operators.textanalysis import redact_pii
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text"), F.col("text").cast("binary").alias("payload")
+    )
+    media = attach_multimodal(docs, "payload", "image/fake")
+    light, payloads = split_payload_table(media)
+    w = Window.partitionBy("content_hash")
+    reps = (
+        light.withColumn("_mid", F.min("doc_id").over(w))
+        .withColumn("n_copies", F.count(F.lit(1)).over(w))
+        .where(F.col("doc_id") == F.col("_mid"))
+        .drop("_mid")
+    )
+    # decode runs over the DISTINCT payload store (once per unique payload,
+    # not once per document copy); the typed metadata joins back to the
+    # light side on the hash key
+    meta = decode_features(
+        payloads.withColumn("media_type", F.lit("image/fake"))
+    ).select("content_hash", "width", "height", "n_frames")
+    decoded = reps.join(meta, "content_hash")
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    n_chars = F.length(F.col("text"))
+    alpha = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
+    non_alpha = F.round(
+        (n_chars - alpha).cast("double") / n_chars, 4
+    )
+    kept = n_tok.between(5, 10000) & (
+        ((n_chars - alpha).cast("double") / n_chars) <= 0.3
+    )
+    return decoded.select(
+        "doc_id",
+        "content_hash",
+        "n_copies",
+        "width",
+        "height",
+        "n_frames",
+        n_tok.alias("n_tok"),
+        non_alpha.alias("non_alpha"),
+        kept.alias("kept"),
+        F.length(redact_pii("text")).alias("redacted_len"),
+    )
 
 
 _IVF_CENTROID_CACHE: dict = {}
