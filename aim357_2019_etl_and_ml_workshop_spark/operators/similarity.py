@@ -27,13 +27,27 @@ from pyspark.sql import Window
 from pyspark.sql.functions import pandas_udf
 
 
+import threading
+
+_GATHER_BC_LOCK = threading.Lock()
 _GATHER_BC_CACHE: dict = {}
-_GATHER_BC_CACHE_MAX = 8
+_GATHER_BC_CACHE_MAX = 16
+# Evicted-but-possibly-still-referenced broadcasts: a DataFrame built over
+# an evicted gather may not have executed yet, and its JVM plan references
+# the broadcast by id — destroy() would make that plan fail at runtime.
+# Eviction therefore only unpersist(blocking=False)s (frees executor
+# copies; re-fetchable on next use) and parks the Python object here, so
+# it neither hits cyclic GC (the churn pathology the memo exists to avoid)
+# nor dies while a held plan might need it. destroy() happens only on
+# graveyard overflow — i.e. a gather evicted _GATHER_BC_GRAVE_MAX distinct
+# gathers ago — or via clear_gather_cache().
+_GATHER_BC_GRAVE: list = []
+_GATHER_BC_GRAVE_MAX = 16
 
 
 def _gather_broadcast(spark, gather: tuple):
     """Memoized ``sc.broadcast`` of a gather triple, keyed by
-    (applicationId, content fingerprint).
+    (applicationId, content fingerprint). Thread-safe.
 
     Why memoize: an ALIVE, referenced broadcast costs nothing to later
     unrelated jobs, but an ABANDONED one is expensive — its Python
@@ -49,30 +63,66 @@ def _gather_broadcast(spark, gather: tuple):
 
     Fingerprint is blake2b over the raw id+matrix bytes (~1 GB/s — cheap
     next to the collect that built the triple; 100 MB at the sf10 scale
-    this path serves). LRU-capped: evicted entries are destroyed, which is
-    safe for this engine's execute-soon query style but means a caller
-    holding >_GATHER_BC_CACHE_MAX distinct UNEXECUTED plans could observe
-    a destroyed broadcast — raise the cap before doing that."""
+    this path serves). Entries keyed by a stale applicationId (their
+    SparkContext was stopped/replaced) are dropped on every call so dead
+    apps never occupy LRU slots. LRU eviction defers destroy() through a
+    graveyard (see above): a library consumer can hold up to
+    ``_GATHER_BC_CACHE_MAX + _GATHER_BC_GRAVE_MAX`` distinct unexecuted
+    gather-backed plans (32) before a held plan could observe a destroyed
+    broadcast — raise the caps before doing that (documented in API.md)."""
     import hashlib
 
     ids, mat, _norms = gather
     h = hashlib.blake2b(digest_size=16)
     h.update(np.ascontiguousarray(ids).tobytes())
     h.update(np.ascontiguousarray(mat).tobytes())
-    key = (spark.sparkContext.applicationId, h.hexdigest(), mat.shape)
-    bc = _GATHER_BC_CACHE.pop(key, None)
-    if bc is None:
-        bc = spark.sparkContext.broadcast(gather)
-    _GATHER_BC_CACHE[key] = bc  # re-insert -> most-recently-used
-    while len(_GATHER_BC_CACHE) > _GATHER_BC_CACHE_MAX:
-        # dicts iterate in insertion order and hits re-insert, so the
-        # first key is the least-recently-used entry
-        old = _GATHER_BC_CACHE.pop(next(iter(_GATHER_BC_CACHE)))
-        try:
-            old.destroy()
-        except Exception:
-            pass
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, h.hexdigest(), mat.shape)
+    with _GATHER_BC_LOCK:
+        for stale in [k for k in _GATHER_BC_CACHE if k[0] != app_id]:
+            old = _GATHER_BC_CACHE.pop(stale)
+            try:
+                old.destroy()
+            except Exception:
+                pass  # context already stopped — nothing to free
+        bc = _GATHER_BC_CACHE.pop(key, None)
+        if bc is None:
+            bc = spark.sparkContext.broadcast(gather)
+        _GATHER_BC_CACHE[key] = bc  # re-insert -> most-recently-used
+        while len(_GATHER_BC_CACHE) > _GATHER_BC_CACHE_MAX:
+            # dicts iterate in insertion order and hits re-insert, so the
+            # first key is the least-recently-used entry
+            old = _GATHER_BC_CACHE.pop(next(iter(_GATHER_BC_CACHE)))
+            try:
+                old.unpersist(blocking=False)
+            except Exception:
+                pass
+            _GATHER_BC_GRAVE.append(old)
+        while len(_GATHER_BC_GRAVE) > _GATHER_BC_GRAVE_MAX:
+            old = _GATHER_BC_GRAVE.pop(0)
+            try:
+                old.destroy()
+            except Exception:
+                pass
     return bc
+
+
+def clear_gather_cache(destroy: bool = True) -> None:
+    """Explicit lifecycle hook: drop every memoized gather broadcast (and
+    the eviction graveyard). ``destroy=True`` frees the JVM-side blocks —
+    call it only when no returned DataFrame plan is still pending
+    execution (engine shutdown, test teardown); ``destroy=False`` just
+    forgets the references and lets ContextCleaner reclaim them lazily."""
+    with _GATHER_BC_LOCK:
+        stale = list(_GATHER_BC_CACHE.values()) + _GATHER_BC_GRAVE
+        _GATHER_BC_CACHE.clear()
+        _GATHER_BC_GRAVE.clear()
+    if destroy:
+        for bc in stale:
+            try:
+                bc.destroy()
+            except Exception:
+                pass
 
 
 def as_double_vec(col: Column | str) -> Column:
