@@ -765,7 +765,15 @@ def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     discounts are 2-decimal by the generator contract, so cents x
     hundredths runs in BIGINT per order and only the region-level sums
     accumulate in decimal(38,0), matching the oracle's decimal sum
-    bit-for-bit)."""
+    bit-for-bit).
+
+    Plan closure (PERF.md r7, tools/ab_revenue.py): the zero-wide-exchange
+    broadcast-map alternative ties at sf0.1 (the per-job floor dominates)
+    and loses 1.75x at sf10 (15M-entry broadcast map build+probe beats no
+    shuffle) — and is impossible at 100 TB where orders is not
+    broadcastable. This shape is final; the residual sf0.1 gap vs DuckDB
+    is scan/stage fixed cost (bare scan+agg alone is 5x the full DuckDB
+    query), bounded in PERF.md."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
@@ -1497,19 +1505,34 @@ def moving_avg_7day(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_decode_meta",
     """
+    WITH b AS (
+        SELECT text, hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS blen
+        FROM documents
+    )
     SELECT md5(text) AS content_hash,
-           CAST(1 + ascii(substr(text, 1, 1)) % 64 AS INTEGER) AS width,
-           CAST(1 + ascii(substr(text, 2, 1)) % 64 AS INTEGER) AS height,
-           CAST(1 + length(text) % 7 AS INTEGER) AS n_frames
-    FROM documents
+           CAST(1 + (CASE WHEN blen < 1 THEN 0 ELSE
+                 (strpos('0123456789ABCDEF', substr(hx, 1, 1)) - 1) * 16
+               + (strpos('0123456789ABCDEF', substr(hx, 2, 1)) - 1) END)
+               % 64 AS INTEGER) AS width,
+           CAST(1 + (CASE WHEN blen < 2 THEN 0 ELSE
+                 (strpos('0123456789ABCDEF', substr(hx, 3, 1)) - 1) * 16
+               + (strpos('0123456789ABCDEF', substr(hx, 4, 1)) - 1) END)
+               % 64 AS INTEGER) AS height,
+           CAST(1 + blen % 7 AS INTEGER) AS n_frames
+    FROM b
     """,
 )
 def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode plumbing under oracle check: documents' text bytes
-    stand in for media payloads (ASCII -> byte == codepoint), mapInPandas
-    runs the deterministic fake decoder, and the oracle recomputes the same
-    pseudo-metadata in SQL. Validates the Arrow batch path end-to-end:
-    binary column in, typed metadata out."""
+    stand in for media payloads, mapInPandas runs the deterministic fake
+    decoder, and the oracle recomputes the same pseudo-metadata in SQL —
+    BYTE-exact (ADVICE r06): the oracle derives width/height from the
+    first two UTF-8 BYTES via hex(encode(text)) and n_frames from
+    octet_length, matching deterministic_fake_decoder's head-byte /
+    len(bytes) math for any text (multi-byte characters, empty strings
+    with the decoder's zero-padding) — not just ASCII. Validates the
+    Arrow batch path end-to-end: binary column in, typed metadata out."""
     from .operators.multimodal import attach_multimodal, decode_features
 
     docs = _t(spark, sf_dir, "documents").select(
@@ -1525,14 +1548,21 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     WITH tagged AS (
         SELECT doc_id, text, md5(text) AS content_hash,
+               hex(encode(text)) AS hx, octet_length(encode(text)) AS blen,
                min(doc_id) OVER (PARTITION BY md5(text)) AS _mid,
                count(*) OVER (PARTITION BY md5(text)) AS n_copies
         FROM documents
     )
     SELECT doc_id, content_hash, CAST(n_copies AS BIGINT) AS n_copies,
-           CAST(1 + ascii(substr(text, 1, 1)) % 64 AS INTEGER) AS width,
-           CAST(1 + ascii(substr(text, 2, 1)) % 64 AS INTEGER) AS height,
-           CAST(1 + length(text) % 7 AS INTEGER) AS n_frames,
+           CAST(1 + (CASE WHEN blen < 1 THEN 0 ELSE
+                 (strpos('0123456789ABCDEF', substr(hx, 1, 1)) - 1) * 16
+               + (strpos('0123456789ABCDEF', substr(hx, 2, 1)) - 1) END)
+               % 64 AS INTEGER) AS width,
+           CAST(1 + (CASE WHEN blen < 2 THEN 0 ELSE
+                 (strpos('0123456789ABCDEF', substr(hx, 3, 1)) - 1) * 16
+               + (strpos('0123456789ABCDEF', substr(hx, 4, 1)) - 1) END)
+               % 64 AS INTEGER) AS height,
+           CAST(1 + blen % 7 AS INTEGER) AS n_frames,
            CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER)
                AS n_tok,
            round(CAST(length(text)
@@ -1570,9 +1600,11 @@ def multimodal_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     (token/non-alpha quality gate and the PII redaction chain). One row per
     distinct payload: provenance (n_copies), decoded pseudo-metadata,
     quality verdict, redacted length — every stage SQL-recomputed by the
-    oracle. At 100 TB the shape is the point: payload bytes cross the wire
-    exactly once (the re-attach equi-join), dedup and curation shuffle only
-    light rows."""
+    oracle (decode metadata BYTE-exact via hex(encode(text)), matching the
+    decoder's head-byte math for non-ASCII text too — ADVICE r06; see
+    multimodal_decode_meta). At 100 TB the shape is the point: payload
+    bytes cross the wire exactly once (the re-attach equi-join), dedup and
+    curation shuffle only light rows."""
     from .operators.multimodal import (
         attach_multimodal,
         decode_features,

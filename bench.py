@@ -129,10 +129,14 @@ def duckdb_suite(sf_dir: str, names: list[str], runs: int = 3) -> dict:
     (VERDICT r05 #3: the r5 driver artifact's denominator was a single
     run and wobbled 40% round-over-round on identical SQL — at these
     sub-second magnitudes single-run noise was the dominant error bar of
-    the whole suite ratio). Timed in THIS process, immediately before the
-    Spark suite, so both sides see the same box state; the timestamp in
-    BENCH_DETAIL lets cross-round comparisons check they compare like
-    with like."""
+    the whole suite ratio). Each query also gets one UNTIMED warm
+    execution before its timed runs — the same warm-pass treatment the
+    Spark side gets (ADVICE r06: without it the DuckDB min included its
+    cold first run, a small residual bias in Spark's favor; both sides'
+    minima are now over warm runs only). Timed in THIS process,
+    immediately before the Spark suite, so both sides see the same box
+    state; the timestamp in BENCH_DETAIL lets cross-round comparisons
+    check they compare like with like."""
     import duckdb
 
     from aim357_2019_etl_and_ml_workshop_spark.sources.io import (
@@ -156,17 +160,19 @@ def duckdb_suite(sf_dir: str, names: list[str], runs: int = 3) -> dict:
             skipped.append(name)
             continue
         best = None
-        for _ in range(runs):
+        for i in range(runs + 1):
             t0 = time.perf_counter()
             con.execute(oracles[name]).fetchall()
             dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
+            if i > 0:  # run 0 is the untimed warm pass
+                best = dt if best is None else min(best, dt)
         timings[name] = round(best, 4)
     return {
         "engine": "duckdb",
         "threads": threads,
         "runs_per_query": runs,
         "agg": "min",
+        "warm_pass": True,
         "timed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "value": round(sum(timings.values()), 4),
         "queries": timings,
@@ -295,6 +301,17 @@ def main() -> None:
         spark, registry, sf_dir, HEADLINE, runs, warm_pass=True
     )
 
+    # Reproducibility evidence (VERDICT r06 #8): a same-session second
+    # full pass at the primary SF; the published number must reproduce
+    # within ±10% back-to-back or the methodology — not the plans — is
+    # what changed between rounds. No warm pass needed: the JVM is warm.
+    rerun = spark_suite(spark, registry, sf_dir, HEADLINE, runs)
+    rerun_total = round(sum(rerun.values()), 4)
+    base_total = round(sum(timings.values()), 4)
+    rerun_delta_pct = round(
+        100.0 * abs(rerun_total - base_total) / base_total, 2
+    )
+
     # Post-phase denominator re-sample (see the pre-phase comment above).
     oracle_post = duckdb_suite(sf_dir, HEADLINE, runs)
     oracle["phases"] = {
@@ -323,6 +340,9 @@ def main() -> None:
         ),
         "runs_per_query": runs,
         "agg": "min",
+        "rerun_total_sec": rerun_total,
+        "rerun_delta_pct": rerun_delta_pct,
+        "rerun_queries": rerun,
         "oracle": oracle,
     }
     detail.update(ratio_block(timings, oracle))
@@ -386,6 +406,7 @@ def main() -> None:
         "oracle_sec": round(oracle["value"], 2),
         "spark_vs_oracle_ratio": detail["spark_vs_oracle_ratio"],
         "spark_vs_oracle_geomean": detail["spark_vs_oracle_geomean"],
+        "rerun_delta_pct": rerun_delta_pct,
         "detail": "BENCH_DETAIL.json",
     }
     for key in ("sf1", "sf10"):

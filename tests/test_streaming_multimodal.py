@@ -744,3 +744,47 @@ def test_incremental_ingest_crash_recovery(spark, tmp_path):
     out = spark.read.parquet(str(tmp_path / "out"))
     ids = sorted(r.event_id for r in out.collect())
     assert ids == list(range(30))  # no loss, no duplicates
+
+
+def test_decode_oracle_byte_exact_non_ascii(spark, tmp_path):
+    """ADVICE r06: the multimodal decode oracles must match the decoder's
+    BYTE math, not codepoint math — exercised on multi-byte UTF-8, empty,
+    and 1-char texts, where the old ascii(substr(...))/length(text) oracle
+    diverges. Runs the registry query AND its DuckDB oracle over a tiny
+    documents table containing exactly those texts."""
+    import duckdb
+
+    from aim357_2019_etl_and_ml_workshop_spark import queries as Q
+
+    texts = ["héllo wörld", "", "A", "中文 document 漢字", "plain ascii doc"]
+    sf_dir = str(tmp_path / "sf_nonascii")
+    os.makedirs(sf_dir)
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)],
+        "doc_id bigint, text string",
+    )
+    docs.write.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    spark_rows = sorted(
+        map(tuple, Q._REGISTRY["multimodal_decode_meta"](spark, sf_dir).collect())
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{os.path.join(sf_dir, 'documents.parquet')}/*.parquet')"
+    )
+    oracle_rows = sorted(
+        map(tuple, con.execute(Q._ORACLE["multimodal_decode_meta"]).fetchall())
+    )
+    assert spark_rows == oracle_rows
+    # ground truth: decoder math on raw UTF-8 bytes
+    expected = sorted(
+        (
+            __import__("hashlib").md5(t.encode()).hexdigest(),
+            deterministic_fake_decoder(t.encode())["width"],
+            deterministic_fake_decoder(t.encode())["height"],
+            deterministic_fake_decoder(t.encode())["n_frames"],
+        )
+        for t in texts
+    )
+    assert spark_rows == expected

@@ -1,7 +1,10 @@
 """Mechanism test: is lsh's SparkContext broadcast what slows later ivf runs?
-Mode 'bc' (default): stock lsh (creates a new sc.broadcast per run).
-Mode 'nobc': monkeypatch similarity's broadcast call to pass the gather
-tuple through the task closure instead. Then time ivf 4x either way."""
+Modes (unknown modes error rather than silently running stock):
+- 'bc' (default): stock lsh behavior.
+- 'track': wrap SparkContext.broadcast to record every Broadcast created.
+- 'destroy': like 'track', then explicitly destroy() the recorded
+  broadcasts right after lsh — isolates abandoned-broadcast churn.
+Then time ivf either way."""
 from __future__ import annotations
 
 import json
@@ -17,6 +20,8 @@ from aim357_2019_etl_and_ml_workshop_spark.session import get_spark
 from bench import spark_suite
 
 mode = sys.argv[1] if len(sys.argv) > 1 else "bc"
+if mode not in ("bc", "track", "destroy"):
+    raise SystemExit(f"unknown mode {mode!r}: expected bc | track | destroy")
 sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 spark = get_spark("ab-bc")
 registry = q.queries()

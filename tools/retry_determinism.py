@@ -54,7 +54,7 @@ DEFAULT_QUERIES = [
 
 def fail_once_wrap(df):
     """Identity mapInPandas that fails every task's first attempt when
-    enabled via the _FAIL flag module global (closure-captured)."""
+    enabled via the _STATE["fail"] module-global flag (closure-captured)."""
     schema = df.schema
 
     def kern(batches):
