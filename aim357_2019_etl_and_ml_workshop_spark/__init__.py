@@ -24,10 +24,11 @@ Every namespace below is a plain module re-export; the full per-function
 docs live on the functions themselves.
 """
 
+import sys as _sys
+
 from . import forecast, pipeline, sql_surface
 from .operators import (
     analytics,
-    canonicalize,
     curation as curate,
     dedup,
     mlpipeline,
@@ -38,11 +39,18 @@ from .operators import (
     timeseries,
     udtfs,
 )
+
+# operators/__init__ re-exports a FUNCTION named `canonicalize` that
+# shadows the submodule attribute of the same name — resolve the facade
+# name to the MODULE via sys.modules (it is guaranteed loaded: the
+# operators package imports from it), so `engine.canonicalize` is the
+# documented namespace, not one verb (caught by tests/test_api_facade.py).
+canonicalize = _sys.modules[__name__ + ".operators.canonicalize"]
 from .session import get_spark, pin_session_conf
 from .sources import io
 from .streaming import incremental, stateful, windows as stream_windows
 
-__version__ = "0.6.0"  # bumped per build round
+__version__ = "0.7.0"  # bumped per build round
 
 __all__ = [
     # session
