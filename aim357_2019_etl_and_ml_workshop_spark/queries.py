@@ -81,41 +81,52 @@ def register(name: str, oracle: str | None = None):
 # round; everything else follows in registration order and remains covered
 # by the local gate. (VERDICT r02 "Next round" #2.)
 _DRIVER_PRIORITY = [
-    # --- round-6 rotation (VERDICT r05 #6): cumulative driver coverage is
-    # 165/165 with zero failures, but 114 keys carry exactly ONE verdict.
-    # Order: (a) queries whose implementation changed THIS round (ngram
-    # shingle/ntile partitioning moved to eager localCheckpoint; lsh/ivf
-    # ANN gather broadcasts memoized) so the driver re-verdicts the new
-    # code first; then (b) every remaining key sorted least-recently-
-    # verified first (oracle-backed before rows-only at equal staleness),
-    # computed from CORRECTNESS_r01-r05. The 50-sample thus lands second
-    # verdicts exactly where the record is thinnest. ---
-    "multimodal_curation_pipeline",  # new in r6 — first driver verdict
-    "ngram_jaccard_pairs", "ntile_quartiles", "lsh_ann_topk",
-    "ivf_ann_topk", "lsh_recall_check", "ivf_recall_check",
-    "minhash_recall_check", "minhash_near_duplicates",
-    "rank_distribution_probe",
-    "lang_id_heuristic", "quality_features", "deepar_export",
-    "forecast_quantiles", "customers_without_orders",
-    "customers_with_orders_semi",
-    "intersect_user_sets", "except_user_sets", "median_value_by_type",
-    "moving_avg_7day", "multimodal_decode_meta", "sql_flagship_twin",
-    "simhash_fingerprints", "embedding_neardup_blocked",
-    "asof_join_last_signup",
-    "range_join_campaign_counts", "latest_state_per_user",
-    "chunk_documents",
-    "streaming_hourly_counts", "sliding_window_counts", "neardup_clusters",
-    "grouping_sets_counts", "except_all_user_bags", "range_frame_peak_rate",
-    "forward_fill_last_value", "not_in_null_aware_anti",
-    "recursive_cte_tree_walk",
-    "decontaminate_ngram_overlap", "cumulative_daily_revenue",
-    "lateral_top2_per_segment",
-    "pii_redaction_rollup", "repetition_filter", "neardup_representatives",
-    "sequence_packing", "shard_assignment_counts", "dormant_rich_customers",
-    "sole_return_supplier", "unshipped_priority_revenue",
-    "market_share_by_year",
-    "nation_year_profit", "returned_item_losses", "promo_revenue_pct",
-    "simhash_portable_fingerprints",
+    # --- round-7 rotation (VERDICT r06 #6): cumulative driver coverage is
+    # 166/166, zero failures; 84 keys carry exactly ONE verdict. Order:
+    # (a) queries whose code or ORACLE changed this round (multimodal
+    # decode oracles went byte-exact; the ANN gather memo gained a lock +
+    # graveyard lifecycle used by lsh/ivf/embedding-neardup paths;
+    # revenue_by_region's docstring/plan-closure claims rest on its
+    # unchanged hash) so the driver re-verdicts the new code first; then
+    # (b) every remaining single-verdict key, least-recently-verified
+    # first, computed from CORRECTNESS_r01-r06. A 50-sample covers (a) +
+    # 43 singles, leaving <=39 single-verdict keys. ---
+    "multimodal_decode_meta", "multimodal_curation_pipeline",
+    "lsh_recall_check", "ivf_recall_check", "embedding_neardup_blocked",
+    "embedding_neardup_lsh", "revenue_by_region", "curation_funnel",
+    "deterministic_stratified_docs", "events_key_skew_report",
+    "fuzzy_supplier_matches", "leakage_safe_split", "local_supplier_volume",
+    "native_session_window_counts", "promo_revenue_pct",
+    "q16_supplier_part_counts", "q20_excess_shippers", "q2_min_cost_supplier",
+    "returned_item_losses", "simhash_portable_fingerprints",
+    "simhash_portable_neardups", "small_quantity_revenue",
+    "source_capped_sample", "tfidf_exact_features", "try_arithmetic_probe",
+    "unigram_logprob_scores", "approx_sketches", "argmax_latest_event",
+    "array_functions_probe", "bool_argmax_agg_probe", "bpe_token_count",
+    "conditional_agg_filter", "cube_counts", "date_arithmetic_probe",
+    "date_parts", "disjunctive_brand_revenue", "embedding_clusters_contract",
+    "exists_late_lineitems", "first_last_window_probe",
+    "fuzzy_brand_distance", "having_active_users", "inclusive_range_count",
+    "incremental_exact_screen", "incremental_neardup_ingest",
+    "large_quantity_orders", "map_functions_probe", "math_functions_probe",
+    "mode_event_type_per_user", "nation_pair_revenue",
+    "order_count_distribution", "orders_above_avg_price",
+    "orders_above_customer_avg", "parameterized_sql_probe",
+    "parse_timestamp_format", "part_revenue_concentration", "pivot_multi_agg",
+    "posexplode_tokens", "profile_orders", "regexp_functions_probe",
+    "rolling_hash_fingerprint", "sentiment_scores",
+    "ship_delay_priority_counts", "sorted_sources_by_lang",
+    "stats_moments_by_flag", "stratified_sample_contract",
+    "string_functions_probe", "time_grain_rollup", "top_revenue_orders",
+    "top_supplier_revenue", "top_terms", "unpivot_daily",
+    "upsert_orders_snapshot", "value_bucket_histogram",
+    "variant_extract_stats", "word_runs_udtf", "asof_join_tolerance",
+    "embedding_clusters", "forecast_revenue_delta",
+    "mixture_weights_by_source", "money_scale_contract",
+    "neardup_clusters_banded", "null_safe_join_counts",
+    "quality_expectations_orders", "salted_join_revenue", "scd2_user_state",
+    "simhash_near_duplicates", "snapshot_diff_orders",
+    "stratified_sample_docs", "tfidf_features",
 ]
 
 

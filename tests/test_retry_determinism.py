@@ -33,6 +33,11 @@ def test_retried_tasks_reproduce_results(sf_dir):
     )
     got = json.loads(proc.stdout.strip().splitlines()[-1])
     assert len(got) >= 5
+    # VERDICT r06 #7: at least one probe must inject BELOW an exchange
+    # (post-shuffle recompute on a banded dedup query), not only in scans
+    assert any(name.startswith("shuffle_stage:") for name in got), (
+        "no shuffle-stage retry probe ran"
+    )
     for name, hashes in got.items():
         assert hashes["wrapped"] == hashes["retried"], (
             f"{name}: retry changed the result (order-dependent operator?)"

@@ -107,6 +107,37 @@ def main() -> None:
             res["retried"] = df_value_hash(fn(spark, sf_dir))
             _STATE["fail"] = False
             out[name] = res
+        q._t = real_t
+
+        # SHUFFLE-STAGE probe (VERDICT r06 #7): the scan-stage injection
+        # above re-runs MAP tasks; this one re-runs a task BELOW the
+        # banded dedup's exchanges — minhash_lsh_candidates' returned
+        # frame is post-(band equi-join + distinct), so the fail-once
+        # kernel's stage consumes shuffled map outputs and its retry is a
+        # genuine post-exchange recompute. This is the class where
+        # non-deterministic candidate ORDERING (bucket join emission
+        # order) would actually bite the verify/aggregate downstream.
+        from aim357_2019_etl_and_ml_workshop_spark.operators import (
+            dedup as dd,
+        )
+
+        real_cand = dd.minhash_lsh_candidates
+
+        def patched_cand(*a, **kw):
+            return fail_once_wrap(real_cand(*a, **kw))
+
+        fn = reg["minhash_near_duplicates"]
+        res = {}
+        res["clean"] = df_value_hash(fn(spark, sf_dir))
+        dd.minhash_lsh_candidates = patched_cand
+        try:
+            res["wrapped"] = df_value_hash(fn(spark, sf_dir))
+            _STATE["fail"] = True
+            res["retried"] = df_value_hash(fn(spark, sf_dir))
+            _STATE["fail"] = False
+        finally:
+            dd.minhash_lsh_candidates = real_cand
+        out["shuffle_stage:minhash_near_duplicates"] = res
     finally:
         q._t = real_t
         spark.stop()
