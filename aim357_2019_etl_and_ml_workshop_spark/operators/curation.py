@@ -321,3 +321,46 @@ def temperature_mixture_weights(
         F.round(weight / F.col("_p"), 6).alias("oversample"),
         F.round(weight * F.lit(float(budget_docs)), 4).alias("expected_docs"),
     )
+
+
+def adaptive_quality_gate(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+    pct: float = 0.25,
+) -> DataFrame:
+    """Per-group ADAPTIVE quality threshold: instead of one global cutoff
+    (which silently discriminates against languages/sources whose score
+    distribution sits lower — short-token scripts, diacritics counted as
+    non-alpha), each group keeps documents at or above its OWN ``pct``
+    quantile of the score. Score here is mean token length (chars/token,
+    the cheap fluency proxy); the operator shape — score, per-group exact
+    interpolated percentile, broadcast threshold join, verdict — is the
+    point, and any scalar score column slots in.
+
+    Scale shape: one scan computes the score; the per-group percentile
+    aggregates to |groups| rows (exact `percentile` is a sort-based
+    buffer PER GROUP, bounded because groups are few and the agg is
+    map-side partial); thresholds broadcast back — the corpus is never
+    shuffled, only scanned twice (score recompute beats materializing a
+    corpus-wide score column at 100 TB). round(4) on score/threshold
+    keeps the cross-engine hash stable (DuckDB twin: quantile_cont)."""
+    score = F.round(
+        F.length(text_col).cast("double")
+        / F.size(F.split(F.trim(F.col(text_col)), r"\s+")),
+        4,
+    )
+    scored = docs.select(
+        F.col(id_col), F.col(group_col), score.alias("score")
+    )
+    thresholds = scored.groupBy(group_col).agg(
+        F.round(F.expr(f"percentile(score, {pct})"), 4).alias("thresh")
+    )
+    return scored.join(F.broadcast(thresholds), group_col).select(
+        id_col,
+        group_col,
+        "score",
+        "thresh",
+        (F.col("score") >= F.col("thresh")).alias("kept"),
+    )

@@ -325,6 +325,59 @@ def unigram_logprob_scores(
     )
 
 
+def dsir_importance_weights(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    target: Column,
+) -> DataFrame:
+    """Data Selection with Importance Resampling (DSIR, Xie et al. 2023)
+    weights over unigram features: per document, the summed log-likelihood
+    ratio of its tokens under the TARGET distribution (rows where
+    ``target`` is true — e.g. a trusted high-quality slice) vs the RAW
+    corpus distribution, both estimated from the corpus itself with add-1
+    smoothing over the joint vocabulary. Documents that look like the
+    target score high; sampling proportional to exp(weight) implements
+    the DSIR selection step. Output: (id, n_tok, log_ratio).
+
+    Scale shape: one token explode, ONE shared frequency aggregation
+    (raw count + conditional target count per token — the target slice
+    never needs a second scan), totals via a broadcast crossJoin of one
+    row, then a shuffle equi-join on the token key and a per-doc
+    aggregation — identical posture to unigram_logprob_scores, linear in
+    corpus tokens, never materializing per-pair state. round(6) on the
+    summed ratio keeps cross-engine float fold-order invisible (per-doc
+    term counts are small; the fold error is ~1e-13)."""
+    from .dedup import normalize_text
+
+    toks = df.select(
+        F.col(id_col),
+        target.alias("_is_t"),
+        F.explode(F.split(normalize_text(text_col), " ")).alias("tok"),
+    ).where(F.col("tok") != "")
+    freq = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("r_tf"),
+        F.sum(F.when(F.col("_is_t"), 1).otherwise(0)).alias("t_tf"),
+    )
+    tot = freq.agg(
+        F.sum("r_tf").alias("r_total"),
+        F.sum("t_tf").alias("t_total"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    log_ratio = F.log(
+        (F.col("t_tf") + 1.0) / (F.col("t_total") + F.col("v"))
+    ) - F.log((F.col("r_tf") + 1.0) / (F.col("r_total") + F.col("v")))
+    return (
+        toks.join(freq, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.round(F.sum(log_ratio), 6).alias("log_ratio"),
+        )
+    )
+
+
 def fuzzy_substitution_pairs(
     df: DataFrame,
     text_col: str,

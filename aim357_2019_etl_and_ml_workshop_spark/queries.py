@@ -24,6 +24,7 @@ deterministic scalar expression.
 
 from __future__ import annotations
 
+import threading
 from collections import OrderedDict
 from collections.abc import Callable
 
@@ -93,7 +94,10 @@ _DRIVER_PRIORITY = [
     # 43 singles, leaving <=39 single-verdict keys. ---
     "multimodal_decode_meta", "multimodal_curation_pipeline",
     "lsh_recall_check", "ivf_recall_check", "embedding_neardup_blocked",
-    "embedding_neardup_lsh", "revenue_by_region", "curation_funnel",
+    "embedding_neardup_lsh", "revenue_by_region",
+    # new in r7 — first driver verdicts
+    "dsir_importance_weights", "adaptive_quality_gate",
+    "curation_funnel",
     "deterministic_stratified_docs", "events_key_skew_report",
     "fuzzy_supplier_matches", "leakage_safe_split", "local_supplier_volume",
     "native_session_window_counts", "promo_revenue_pct",
@@ -144,28 +148,41 @@ def oracle_sql() -> dict[str, str]:
 # several concurrent sf_dirs x 10 tables; beyond that, the least recently
 # used plan is dropped so a long-lived service embedding this module cannot
 # accumulate logical plans without bound (VERDICT r04 "What's wrong" #3).
+# Lock-guarded: concurrent driver threads (a service running queries in
+# parallel) would otherwise race the membership check / move_to_end /
+# popitem triple; an evicted-then-returned reader is harmless (plans are
+# immutable), but OrderedDict itself is not safe under concurrent mutation.
 _READER_CACHE: OrderedDict = OrderedDict()
 _READER_CACHE_MAX = 64
+_READER_CACHE_LOCK = threading.Lock()
 
 
 def clear_reader_cache() -> None:
     """Drop all memoized table readers (e.g. between tenants in a service)."""
-    _READER_CACHE.clear()
+    with _READER_CACHE_LOCK:
+        _READER_CACHE.clear()
 
 
 def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Memoized table reader: DataFrames are immutable logical plans, so one
     reader per (session, dir, table) is safe to share across queries and
     skips the repeated file-listing/footer-read at construction time
-    (~0.1-0.4s each — material when the driver loops the whole registry)."""
+    (~0.1-0.4s each — material when the driver loops the whole registry).
+    The build itself runs outside the lock (it does py4j I/O); two racing
+    threads may build the same reader twice, and last-insert wins — both
+    plans are equivalent, nothing leaks."""
     key = (spark, sf_dir, table)
-    if key not in _READER_CACHE:
-        _READER_CACHE[key] = read_testdata(spark, sf_dir, table)
+    with _READER_CACHE_LOCK:
+        df = _READER_CACHE.get(key)
+        if df is not None:
+            _READER_CACHE.move_to_end(key)
+            return df
+    df = read_testdata(spark, sf_dir, table)
+    with _READER_CACHE_LOCK:
+        _READER_CACHE[key] = df
         while len(_READER_CACHE) > _READER_CACHE_MAX:
             _READER_CACHE.popitem(last=False)
-    else:
-        _READER_CACHE.move_to_end(key)
-    return _READER_CACHE[key]
+    return df
 
 
 def _count(df: DataFrame, alias: str = "n") -> Column:
@@ -5618,6 +5635,79 @@ def unigram_logprob_scores_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return unigram_logprob_scores(
         spread_for_cpu(_t(spark, sf_dir, "documents")), "text", "doc_id"
+    )
+
+
+@register(
+    "dsir_importance_weights",
+    """
+    WITH toks AS (
+        SELECT doc_id, (lang = 'en') AS is_t,
+               unnest(string_split(
+                   regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')) AS tok
+        FROM documents
+    ), tk AS (
+        SELECT doc_id, is_t, tok FROM toks WHERE tok <> ''
+    ), freq AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS r_tf,
+               CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS t_tf
+        FROM tk GROUP BY 1
+    ), tot AS (
+        SELECT CAST(sum(r_tf) AS BIGINT) AS r_total,
+               CAST(sum(t_tf) AS BIGINT) AS t_total,
+               CAST(count(*) AS BIGINT) AS v
+        FROM freq
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+           CAST(round(sum(  ln((t_tf + 1.0) / (t_total + v))
+                          - ln((r_tf + 1.0) / (r_total + v))), 6)
+                AS DOUBLE) AS log_ratio
+    FROM tk JOIN freq USING (tok) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def dsir_importance_weights_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection under a full value oracle: DuckDB
+    re-derives both unigram distributions (target = lang='en' docs, raw =
+    whole corpus, add-1 smoothing over the joint vocabulary) and every
+    per-doc summed log-likelihood ratio
+    (operators/textanalysis.dsir_importance_weights)."""
+    from .operators.textanalysis import dsir_importance_weights
+
+    return dsir_importance_weights(
+        spread_for_cpu(_t(spark, sf_dir, "documents")),
+        "text",
+        "doc_id",
+        target=F.col("lang") == "en",
+    )
+
+
+@register(
+    "adaptive_quality_gate",
+    """
+    WITH scored AS (
+        SELECT doc_id, lang,
+               round(CAST(length(text) AS DOUBLE)
+                     / len(regexp_split_to_array(trim(text), '\\s+')),
+                     4) AS score
+        FROM documents
+    ), th AS (
+        SELECT lang, round(quantile_cont(score, 0.25), 4) AS thresh
+        FROM scored GROUP BY lang
+    )
+    SELECT doc_id, lang, score, thresh, score >= thresh AS kept
+    FROM scored JOIN th USING (lang)
+    """,
+)
+def adaptive_quality_gate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language adaptive quality threshold under a full oracle: DuckDB
+    recomputes every score, every per-language exact interpolated p25
+    (quantile_cont == Spark `percentile`), and every keep verdict
+    (operators/curation.adaptive_quality_gate)."""
+    from .operators.curation import adaptive_quality_gate
+
+    return adaptive_quality_gate(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", "lang", pct=0.25
     )
 
 
