@@ -497,3 +497,69 @@ def test_python_datasource_fakecorpus(spark):
     # reproducible outside Spark: recompute row 7 from hashlib directly
     assert rows[7] == _doc_text(7)
     assert hashlib.md5(b"7").digest()  # sanity: same primitive the source uses
+
+
+def test_dsir_weights_rank_target_like_docs_higher(spark):
+    """DSIR contract (r7): documents made of target-exclusive tokens must
+    outscore documents made of raw-only tokens, and the smoothed ratio is
+    finite for tokens unseen in the target slice."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from aim357_2019_etl_and_ml_workshop_spark.operators.textanalysis import (
+        dsir_importance_weights,
+    )
+
+    rows = [
+        Row(doc_id=0, lang="en", text="alpha beta alpha beta alpha"),
+        Row(doc_id=1, lang="en", text="alpha beta gamma alpha beta"),
+        Row(doc_id=2, lang="xx", text="zeta eta zeta eta zeta"),
+        Row(doc_id=3, lang="xx", text="zeta eta theta zeta eta"),
+        Row(doc_id=4, lang="xx", text="alpha beta alpha beta alpha"),
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        r["doc_id"]: r["log_ratio"]
+        for r in dsir_importance_weights(
+            df, "text", "doc_id", target=F.col("lang") == "en"
+        ).collect()
+    }
+    assert len(got) == 5 and all(v is not None for v in got.values())
+    # target-token docs beat raw-only docs; identical text gets an
+    # identical weight regardless of which slice the doc itself sits in
+    assert got[0] > got[2] and got[1] > got[3]
+    assert got[4] == got[0]
+
+
+def test_adaptive_quality_gate_keeps_per_group_quantile(spark):
+    """Each group's keep-rate is governed by its OWN p25 — a group whose
+    scores all sit below another group's threshold still keeps ~75%."""
+    from pyspark.sql import Row
+
+    from aim357_2019_etl_and_ml_workshop_spark.operators.curation import (
+        adaptive_quality_gate,
+    )
+
+    rows = []
+    # lang A: long tokens (score ~8); lang B: short tokens (score ~2)
+    for i in range(8):
+        rows.append(Row(doc_id=i, lang="A", text=" ".join(["longword"] * (i + 2))))
+    for i in range(8):
+        rows.append(Row(doc_id=100 + i, lang="B", text=" ".join(["ab"] * (i + 2))))
+    out = adaptive_quality_gate(
+        spark.createDataFrame(rows), "text", "doc_id", "lang", pct=0.25
+    ).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        kept = sum(1 for r in rs if r["kept"])
+        # p25 threshold with >= keeps at least 75% of each group
+        assert kept >= 6, f"{lang}: kept {kept}/8"
+        ths = {r["thresh"] for r in rs}
+        assert len(ths) == 1  # one threshold per group
+    # the short-token group's threshold is far below the long-token one,
+    # yet it still keeps docs — a global cutoff would have dropped all of B
+    assert min(r["thresh"] for r in by_lang["B"]) < min(
+        r["score"] for r in by_lang["A"]
+    )
