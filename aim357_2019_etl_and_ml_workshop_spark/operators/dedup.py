@@ -1085,6 +1085,58 @@ def connected_components(
     return labels.select("id", "comp")
 
 
+def repeated_ngram_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document repeated-span mining — the detection half of exact
+    substring-level dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better"): every position where an n-token span
+    occurs in at least ``min_docs`` DISTINCT documents, with the span's
+    document frequency. Downstream removal (cutting the span bytes out of
+    each duplicate occurrence) is a per-doc local rewrite once these
+    coordinates exist. Output: (id, pos, ngram_md5, n_docs).
+
+    Scale shape: spans are generated inside the scan (one transform over
+    the token array — no explode-then-window re-shuffle of the corpus),
+    the document-frequency aggregate is hash-partitioned on the span key
+    with map-side combine, and only spans that clear ``min_docs`` flow
+    back through the equi-join, so the join output is bounded by the
+    TRUE duplicate mass, not the corpus. At 100 TB the span STRING is
+    the scan's heaviest column: swap `array_join` for `xxhash64` over
+    the slice (hash-first, as decontaminate does) and verify survivors —
+    the string form here is what the DuckDB oracle can re-derive
+    exactly."""
+    toks = F.split(normalize_text(text_col), " ")
+    spans = (
+        df.select(F.col(id_col), toks.alias("_toks"))
+        .where(F.size("_toks") >= n)
+        .select(
+            id_col,
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_toks") - n),
+                    lambda i: F.array_join(F.slice("_toks", i + 1, n), " "),
+                )
+            ).alias("pos", "ng"),
+        )
+    )
+    freq = (
+        spans.groupBy("ng")
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+    )
+    return spans.join(freq, "ng").select(
+        id_col,
+        F.col("pos").cast("bigint").alias("pos"),
+        F.md5("ng").alias("ngram_md5"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+    )
+
+
 def cluster_representatives(
     components: DataFrame,
     docs: DataFrame,

@@ -96,7 +96,7 @@ _DRIVER_PRIORITY = [
     "lsh_recall_check", "ivf_recall_check", "embedding_neardup_blocked",
     "embedding_neardup_lsh", "revenue_by_region",
     # new in r7 — first driver verdicts
-    "dsir_importance_weights", "adaptive_quality_gate",
+    "dsir_importance_weights", "adaptive_quality_gate", "repeated_ngram_spans",
     "curation_funnel",
     "deterministic_stratified_docs", "events_key_skew_report",
     "fuzzy_supplier_matches", "leakage_safe_split", "local_supplier_volume",
@@ -5635,6 +5635,40 @@ def unigram_logprob_scores_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return unigram_logprob_scores(
         spread_for_cpu(_t(spark, sf_dir, "documents")), "text", "doc_id"
+    )
+
+
+@register(
+    "repeated_ngram_spans",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               regexp_split_to_array(
+                   regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS toks
+        FROM documents
+    ), g AS (
+        SELECT doc_id, i AS pos,
+               array_to_string(toks[i+1:i+5], ' ') AS ng
+        FROM t, UNNEST(range(0, len(toks) - 5 + 1)) AS u(i)
+        WHERE len(toks) >= 5
+    ), f AS (
+        SELECT ng, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM g GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+    )
+    SELECT doc_id, CAST(pos AS BIGINT) AS pos, md5(ng) AS ngram_md5, n_docs
+    FROM g JOIN f USING (ng)
+    """,
+)
+def repeated_ngram_spans_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level dedup detection under a full value oracle:
+    DuckDB re-derives every 5-token span coordinate, the distinct-doc
+    frequency of every span, and the repeated-span join
+    (operators/dedup.repeated_ngram_spans)."""
+    from .operators.dedup import repeated_ngram_spans
+
+    return repeated_ngram_spans(
+        spread_for_cpu(_t(spark, sf_dir, "documents")), "text", "doc_id",
+        n=5, min_docs=2,
     )
 
 
