@@ -1137,6 +1137,71 @@ def repeated_ngram_spans(
     )
 
 
+def remove_repeated_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """The REMOVAL half of exact substring-level dedup (Lee et al. 2022):
+    rewrite every document with its non-canonical repeated spans cut out.
+    For each repeated n-gram the CANONICAL occurrence set is the span's
+    minimum doc id (deterministic, engine-independent); in every other
+    document, all token positions covered by any occurrence of that span
+    are dropped, and the survivors re-join into the cleaned text. Output:
+    (id, n_kept, n_removed, cleaned_md5) — the md5 keeps rows narrow
+    while hash-pinning the exact rewritten string.
+
+    Scale shape: span mining as in repeated_ngram_spans; covered
+    positions explode only from REMOVABLE span occurrences (bounded by
+    duplicate mass, not the corpus); the kill-list anti-joins the token
+    table on (id, pos); per-doc reassembly is one aggregation whose
+    array_sort runs on that doc's own tokens — no global order anywhere."""
+    toks_col = F.split(normalize_text(text_col), " ")
+    spans = repeated_ngram_spans(df, text_col, id_col, n, min_docs)
+    canon = spans.groupBy("ngram_md5").agg(F.min(id_col).alias("_canon"))
+    removable = spans.join(canon, "ngram_md5").where(
+        F.col(id_col) != F.col("_canon")
+    )
+    covered = removable.select(
+        id_col,
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + (n - 1))
+        ).alias("tpos"),
+    ).distinct()
+    toks = df.select(
+        F.col(id_col), F.posexplode(toks_col).alias("tpos", "tok")
+    ).where(F.col("tok") != "")
+    kept = toks.join(covered, [id_col, "tpos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("tpos", "tok"))
+                    ),
+                    lambda x: x["tok"],
+                ),
+                " ",
+            )
+        ).alias("cleaned_md5"),
+    )
+    totals = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n_tok"))
+    return totals.join(rebuilt, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+        (F.col("_n_tok") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_removed"),
+        # a fully-covered doc rebuilds to the empty string
+        F.coalesce(F.col("cleaned_md5"), F.md5(F.lit(""))).alias(
+            "cleaned_md5"
+        ),
+    )
+
+
 def cluster_representatives(
     components: DataFrame,
     docs: DataFrame,

@@ -97,6 +97,7 @@ _DRIVER_PRIORITY = [
     "embedding_neardup_lsh", "revenue_by_region",
     # new in r7 — first driver verdicts
     "dsir_importance_weights", "adaptive_quality_gate", "repeated_ngram_spans",
+    "substring_dedup_rewrite",
     "curation_funnel",
     "deterministic_stratified_docs", "events_key_skew_report",
     "fuzzy_supplier_matches", "leakage_safe_split", "local_supplier_volume",
@@ -5667,6 +5668,63 @@ def repeated_ngram_spans_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import repeated_ngram_spans
 
     return repeated_ngram_spans(
+        spread_for_cpu(_t(spark, sf_dir, "documents")), "text", "doc_id",
+        n=5, min_docs=2,
+    )
+
+
+@register(
+    "substring_dedup_rewrite",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               regexp_split_to_array(
+                   regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS toks
+        FROM documents
+    ), g AS (
+        SELECT doc_id, i AS pos,
+               array_to_string(toks[i+1:i+5], ' ') AS ng
+        FROM t, UNNEST(range(0, len(toks) - 5 + 1)) AS u(i)
+        WHERE len(toks) >= 5
+    ), f AS (
+        SELECT ng FROM g GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+    ), canon AS (
+        SELECT ng, min(doc_id) AS canon FROM g JOIN f USING (ng) GROUP BY ng
+    ), removable AS (
+        SELECT g.doc_id, g.pos
+        FROM g JOIN canon USING (ng) WHERE g.doc_id <> canon.canon
+    ), covered AS (
+        SELECT DISTINCT doc_id, pos + j AS tpos
+        FROM removable, UNNEST(range(0, 5)) AS r(j)
+    ), tk AS (
+        SELECT doc_id, i AS tpos, toks[i+1] AS tok
+        FROM t, UNNEST(range(0, len(toks))) AS u(i)
+        WHERE toks[i+1] <> ''
+    ), kept AS (
+        SELECT tk.doc_id, tk.tpos, tk.tok
+        FROM tk ANTI JOIN covered USING (doc_id, tpos)
+    ), rebuilt AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+               md5(string_agg(tok, ' ' ORDER BY tpos)) AS cleaned_md5
+        FROM kept GROUP BY doc_id
+    ), totals AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok FROM tk GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(n_tok - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
+           coalesce(cleaned_md5, md5('')) AS cleaned_md5
+    FROM totals LEFT JOIN rebuilt USING (doc_id)
+    """,
+)
+def substring_dedup_rewrite_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal half of exact substring dedup under a full value
+    oracle: DuckDB re-derives the repeated spans, the canonical (min doc)
+    occurrence per span, every covered token position, and the md5 of
+    every rewritten document (operators/dedup.remove_repeated_spans)."""
+    from .operators.dedup import remove_repeated_spans
+
+    return remove_repeated_spans(
         spread_for_cpu(_t(spark, sf_dir, "documents")), "text", "doc_id",
         n=5, min_docs=2,
     )

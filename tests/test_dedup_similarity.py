@@ -1009,3 +1009,35 @@ def test_temperature_mixture_weights_semantics(spark):
     for r in nat:
         assert math.isclose(r["weight"], r["p_source"], abs_tol=2e-6)
         assert math.isclose(r["oversample"], 1.0, abs_tol=2e-6)
+
+
+def test_remove_repeated_spans_semantics(spark):
+    """Exact substring dedup removal (r7): the span's minimum doc keeps
+    its text; other docs lose exactly the covered positions; disjoint
+    docs are untouched."""
+    from pyspark.sql import Row
+
+    from aim357_2019_etl_and_ml_workshop_spark.operators.dedup import (
+        remove_repeated_spans,
+    )
+
+    shared = "one two three four five"
+    rows = [
+        Row(doc_id=1, text=f"{shared} tail1 tail2"),
+        Row(doc_id=2, text=f"head1 head2 {shared}"),
+        Row(doc_id=3, text="alpha beta gamma delta epsilon zeta"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in remove_repeated_spans(
+            spark.createDataFrame(rows), "text", "doc_id", n=5, min_docs=2
+        ).collect()
+    }
+    # doc 1 is canonical (min id): nothing removed
+    assert out[1]["n_removed"] == 0 and out[1]["n_kept"] == 7
+    # doc 2 loses the 5 shared tokens, keeps its 2 heads
+    assert out[2]["n_removed"] == 5 and out[2]["n_kept"] == 2
+    import hashlib
+    assert out[2]["cleaned_md5"] == hashlib.md5(b"head1 head2").hexdigest()
+    # doc 3 shares nothing
+    assert out[3]["n_removed"] == 0 and out[3]["n_kept"] == 6
