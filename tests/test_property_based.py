@@ -427,3 +427,126 @@ def test_distributed_rank_stats_matches_window_any_width(spark, rows, width):
         .collect()
     }
     assert got == ref
+
+
+# ---------------------------------------------------------------------------
+# substring dedup rewrite == naive python reference, on random corpora (r7)
+# ---------------------------------------------------------------------------
+
+
+@settings(**SETTINGS)
+@given(data=st.data())
+def test_remove_repeated_spans_matches_python_reference(spark, data):
+    """Property: for random small corpora over a tiny vocabulary (high
+    repeat probability), the distributed rewrite equals a direct python
+    re-derivation of the same contract — repeated n-gram -> canonical
+    min-doc -> covered positions removed elsewhere."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from aim357_2019_etl_and_ml_workshop_spark.operators.dedup import (
+        remove_repeated_spans,
+    )
+
+    n = data.draw(st.integers(min_value=2, max_value=4), label="ngram_n")
+    vocab = ["a", "b", "c"]
+    docs = data.draw(
+        st.lists(
+            st.lists(st.sampled_from(vocab), min_size=0, max_size=12),
+            min_size=1,
+            max_size=8,
+        ),
+        label="docs",
+    )
+    texts = {i: " ".join(toks) for i, toks in enumerate(docs)}
+
+    # python reference
+    spans = {}  # ng -> list[(doc, pos)]
+    for i, toks in enumerate(docs):
+        for p in range(len(toks) - n + 1):
+            spans.setdefault(tuple(toks[p : p + n]), []).append((i, p))
+    covered = {}  # doc -> set[pos]
+    for ng, occ in spans.items():
+        doc_ids = {d for d, _ in occ}
+        if len(doc_ids) < 2:
+            continue
+        canon = min(doc_ids)
+        for d, p in occ:
+            if d != canon:
+                covered.setdefault(d, set()).update(range(p, p + n))
+    expected = {}
+    for i, toks in enumerate(docs):
+        if not toks:
+            continue  # empty docs have no token rows on either side
+        keep = [t for p, t in enumerate(toks) if p not in covered.get(i, set())]
+        expected[i] = (
+            len(keep),
+            len(toks) - len(keep),
+            hashlib.md5(" ".join(keep).encode()).hexdigest(),
+        )
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in texts.items() if docs[i]],
+        "doc_id bigint, text string",
+    )
+    if not expected:
+        return
+    got = {
+        r["doc_id"]: (r["n_kept"], r["n_removed"], r["cleaned_md5"])
+        for r in remove_repeated_spans(df, "text", "doc_id", n=n, min_docs=2).collect()
+    }
+    assert got == expected
+
+
+@settings(**SETTINGS)
+@given(data=st.data())
+def test_dsir_weights_invariant_to_partitioning(spark, data):
+    """Property: DSIR weights are a pure function of the corpus content —
+    repartitioning the input must not change any weight (catches
+    accidental partial-aggregation or fold-order dependence above the
+    round(6) quantum)."""
+    from pyspark.sql import Row
+
+    from aim357_2019_etl_and_ml_workshop_spark.operators.textanalysis import (
+        dsir_importance_weights,
+    )
+
+    vocab = ["x", "y", "z", "w"]
+    docs = data.draw(
+        st.lists(
+            st.tuples(
+                st.booleans(),
+                st.lists(st.sampled_from(vocab), min_size=1, max_size=10),
+            ),
+            min_size=2,
+            max_size=8,
+        ),
+        label="docs",
+    )
+    rows = [
+        Row(doc_id=i, is_t=t, text=" ".join(toks))
+        for i, (t, toks) in enumerate(docs)
+    ]
+    # the target slice must be non-empty for the weights to be meaningful
+    if not any(t for t, _ in docs):
+        rows[0] = Row(doc_id=0, is_t=True, text=rows[0].text)
+    df = spark.createDataFrame(rows, "doc_id bigint, is_t boolean, text string")
+    parts = data.draw(st.integers(min_value=1, max_value=7), label="parts")
+    a = sorted(
+        map(
+            tuple,
+            dsir_importance_weights(
+                df, "text", "doc_id", target=F.col("is_t")
+            ).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            dsir_importance_weights(
+                df.repartition(parts), "text", "doc_id", target=F.col("is_t")
+            ).collect(),
+        )
+    )
+    assert a == b
