@@ -75,8 +75,36 @@ def main() -> None:
     )
     report.append(("quality+lang+repetition gate", keep.count()))
 
+    # 2b (r7). per-language ADAPTIVE quality gate: each language keeps
+    # docs at or above its OWN p25 score instead of one global cutoff
+    # that would discriminate against short-token scripts
+    from aim357_2019_etl_and_ml_workshop_spark.operators.curation import (
+        adaptive_quality_gate,
+    )
+
+    gate = adaptive_quality_gate(keep, "text", "doc_id", "lang", pct=0.25)
+    keep = keep.join(gate.where(F.col("kept")).select("doc_id"), "doc_id")
+    report.append(("adaptive per-lang gate", keep.count()))
+
     # 3. PII scrub before anything persists
     clean = keep.withColumn("text", redact_pii("text"))
+
+    # 3b (r7). exact substring-level dedup: cut cross-document repeated
+    # 5-token spans out of every non-canonical occurrence (Lee et al.
+    # 2022) — removes boilerplate the document-level dedups below can't
+    # see. The rewrite here keeps the doc rows and just reports coverage;
+    # a production pipeline would swap `text` for the rebuilt string.
+    from aim357_2019_etl_and_ml_workshop_spark.operators.dedup import (
+        remove_repeated_spans,
+    )
+
+    rewrite = remove_repeated_spans(clean, "text", "doc_id", n=5, min_docs=2)
+    report.append(
+        (
+            "substring-dedup docs touched",
+            rewrite.where(F.col("n_removed") > 0).count(),
+        )
+    )
 
     # 4. exact dedup: canonical representative per content fingerprint
     canon = canonical_dedup(clean, "text", "doc_id").select("doc_id")
@@ -143,6 +171,20 @@ def main() -> None:
         mix, "source", "n_chars", alpha=0.3, budget_docs=10_000
     )
     report.append(("mixture sources", weights.count()))
+
+    # 8c (r7). DSIR importance weights vs the English slice as the
+    # target distribution — the selection signal for importance
+    # resampling toward a trusted domain
+    from aim357_2019_etl_and_ml_workshop_spark.operators.textanalysis import (
+        dsir_importance_weights,
+    )
+
+    dsir = dsir_importance_weights(
+        mix, "text", "doc_id", target=F.col("lang") == "en"
+    )
+    report.append(
+        ("dsir target-like docs", dsir.where(F.col("log_ratio") > 0).count())
+    )
 
     # 9. pack into token-budget bins and assign deterministic shards
     packed = pack_sequences(mix, "doc_id", "text", "lang", budget_tokens=512)
