@@ -345,22 +345,38 @@ def adaptive_quality_gate(
     map-side partial); thresholds broadcast back — the corpus is never
     shuffled, only scanned twice (score recompute beats materializing a
     corpus-wide score column at 100 TB). round(4) on score/threshold
-    keeps the cross-engine hash stable (DuckDB twin: quantile_cont)."""
+    keeps the cross-engine hash stable (DuckDB twin: quantile_cont).
+
+    Null policy: docs with a NULL group form their OWN bucket (an
+    equi-join on the raw group column would silently drop them — the
+    exact disappear-without-a-verdict failure this operator exists to
+    prevent), and a NULL score (NULL text) yields kept=false, never a
+    NULL verdict a `where(kept)` consumer would silently treat as a
+    drop-without-record."""
+    from .textanalysis import token_count
+
+    # mean token length — same token definition as quality_features /
+    # token_count, so this score and the quality_features mean_tok_len
+    # column cannot drift apart
     score = F.round(
-        F.length(text_col).cast("double")
-        / F.size(F.split(F.trim(F.col(text_col)), r"\s+")),
-        4,
+        F.length(text_col).cast("double") / token_count(text_col), 4
     )
+    gkey = F.coalesce(F.col(group_col).cast("string"), F.lit("<null>"))
     scored = docs.select(
-        F.col(id_col), F.col(group_col), score.alias("score")
+        F.col(id_col),
+        F.col(group_col),
+        gkey.alias("_g"),
+        score.alias("score"),
     )
-    thresholds = scored.groupBy(group_col).agg(
+    thresholds = scored.groupBy("_g").agg(
         F.round(F.expr(f"percentile(score, {pct})"), 4).alias("thresh")
     )
-    return scored.join(F.broadcast(thresholds), group_col).select(
+    return scored.join(F.broadcast(thresholds), "_g").select(
         id_col,
         group_col,
         "score",
         "thresh",
-        (F.col("score") >= F.col("thresh")).alias("kept"),
+        F.coalesce(F.col("score") >= F.col("thresh"), F.lit(False)).alias(
+            "kept"
+        ),
     )

@@ -38,10 +38,13 @@ _GATHER_BC_CACHE_MAX = 16
 # Eviction therefore only unpersist(blocking=False)s (frees executor
 # copies; re-fetchable on next use) and parks the Python object here, so
 # it neither hits cyclic GC (the churn pathology the memo exists to avoid)
-# nor dies while a held plan might need it. destroy() happens only on
-# graveyard overflow — i.e. a gather evicted _GATHER_BC_GRAVE_MAX distinct
-# gathers ago — or via clear_gather_cache().
-_GATHER_BC_GRAVE: list = []
+# nor dies while a held plan might need it. The graveyard is KEYED like
+# the cache, so a re-requested evicted gather RESURRECTS its parked
+# broadcast instead of minting (and re-serializing) a new one — a
+# workload ping-ponging over cache_max+1 gathers pays nothing. destroy()
+# happens only on graveyard overflow — i.e. a gather evicted
+# _GATHER_BC_GRAVE_MAX distinct gathers ago — or via clear_gather_cache().
+_GATHER_BC_GRAVE: dict = {}
 _GATHER_BC_GRAVE_MAX = 16
 
 
@@ -66,10 +69,18 @@ def _gather_broadcast(spark, gather: tuple):
     this path serves). Entries keyed by a stale applicationId (their
     SparkContext was stopped/replaced) are dropped on every call so dead
     apps never occupy LRU slots. LRU eviction defers destroy() through a
-    graveyard (see above): a library consumer can hold up to
-    ``_GATHER_BC_CACHE_MAX + _GATHER_BC_GRAVE_MAX`` distinct unexecuted
-    gather-backed plans (32) before a held plan could observe a destroyed
-    broadcast — raise the caps before doing that (documented in API.md)."""
+    keyed graveyard (see above; evicted gathers resurrect on re-request):
+    a library consumer can hold up to ``_GATHER_BC_CACHE_MAX +
+    _GATHER_BC_GRAVE_MAX`` distinct unexecuted gather-backed plans (32)
+    before a held plan could observe a destroyed broadcast — raise the
+    caps before doing that (documented in API.md).
+
+    The lock covers only dict bookkeeping. The expensive steps — the
+    ~100 MB ``sc.broadcast`` serialization on a miss, and every
+    destroy()/unpersist() py4j round-trip — run OUTSIDE it (same
+    build-outside-the-lock pattern as queries._t): a racing thread may
+    build the same gather twice, in which case the loser's broadcast is
+    destroyed immediately (never exposed, so no plan can hold it)."""
     import hashlib
 
     ids, mat, _norms = gather
@@ -78,32 +89,55 @@ def _gather_broadcast(spark, gather: tuple):
     h.update(np.ascontiguousarray(mat).tobytes())
     app_id = spark.sparkContext.applicationId
     key = (app_id, h.hexdigest(), mat.shape)
+
+    to_destroy: list = []
+    to_unpersist: list = []
     with _GATHER_BC_LOCK:
-        for stale in [k for k in _GATHER_BC_CACHE if k[0] != app_id]:
-            old = _GATHER_BC_CACHE.pop(stale)
-            try:
-                old.destroy()
-            except Exception:
-                pass  # context already stopped — nothing to free
+        for cache in (_GATHER_BC_CACHE, _GATHER_BC_GRAVE):
+            for stale in [k for k in cache if k[0] != app_id]:
+                to_destroy.append(cache.pop(stale))
         bc = _GATHER_BC_CACHE.pop(key, None)
         if bc is None:
-            bc = spark.sparkContext.broadcast(gather)
-        _GATHER_BC_CACHE[key] = bc  # re-insert -> most-recently-used
+            # resurrect an evicted-but-parked broadcast: unpersist only
+            # dropped executor copies, the value re-ships on next use
+            bc = _GATHER_BC_GRAVE.pop(key, None)
+        if bc is not None:
+            _GATHER_BC_CACHE[key] = bc  # re-insert -> most-recently-used
+    if bc is None:
+        built = spark.sparkContext.broadcast(gather)  # outside the lock
+        with _GATHER_BC_LOCK:
+            bc = _GATHER_BC_CACHE.pop(key, None) or _GATHER_BC_GRAVE.pop(
+                key, None
+            )
+            if bc is None:
+                bc = built
+            else:
+                # a racer built and published the same gather first; ours
+                # was never exposed, so destroying it is safe
+                to_destroy.append(built)
+            _GATHER_BC_CACHE[key] = bc
+    with _GATHER_BC_LOCK:
         while len(_GATHER_BC_CACHE) > _GATHER_BC_CACHE_MAX:
             # dicts iterate in insertion order and hits re-insert, so the
             # first key is the least-recently-used entry
-            old = _GATHER_BC_CACHE.pop(next(iter(_GATHER_BC_CACHE)))
-            try:
-                old.unpersist(blocking=False)
-            except Exception:
-                pass
-            _GATHER_BC_GRAVE.append(old)
+            k = next(iter(_GATHER_BC_CACHE))
+            old = _GATHER_BC_CACHE.pop(k)
+            to_unpersist.append(old)
+            _GATHER_BC_GRAVE[k] = old
         while len(_GATHER_BC_GRAVE) > _GATHER_BC_GRAVE_MAX:
-            old = _GATHER_BC_GRAVE.pop(0)
-            try:
-                old.destroy()
-            except Exception:
-                pass
+            to_destroy.append(
+                _GATHER_BC_GRAVE.pop(next(iter(_GATHER_BC_GRAVE)))
+            )
+    for old in to_unpersist:
+        try:
+            old.unpersist(blocking=False)
+        except Exception:
+            pass
+    for old in to_destroy:
+        try:
+            old.destroy()
+        except Exception:
+            pass  # context already stopped — nothing to free
     return bc
 
 
@@ -114,7 +148,9 @@ def clear_gather_cache(destroy: bool = True) -> None:
     execution (engine shutdown, test teardown); ``destroy=False`` just
     forgets the references and lets ContextCleaner reclaim them lazily."""
     with _GATHER_BC_LOCK:
-        stale = list(_GATHER_BC_CACHE.values()) + _GATHER_BC_GRAVE
+        stale = list(_GATHER_BC_CACHE.values()) + list(
+            _GATHER_BC_GRAVE.values()
+        )
         _GATHER_BC_CACHE.clear()
         _GATHER_BC_GRAVE.clear()
     if destroy:

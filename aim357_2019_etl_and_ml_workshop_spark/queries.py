@@ -5779,16 +5779,18 @@ def dsir_importance_weights_query(spark: SparkSession, sf_dir: str) -> DataFrame
     """
     WITH scored AS (
         SELECT doc_id, lang,
+               coalesce(CAST(lang AS VARCHAR), '<null>') AS _g,
                round(CAST(length(text) AS DOUBLE)
                      / len(regexp_split_to_array(trim(text), '\\s+')),
                      4) AS score
         FROM documents
     ), th AS (
-        SELECT lang, round(quantile_cont(score, 0.25), 4) AS thresh
-        FROM scored GROUP BY lang
+        SELECT _g, round(quantile_cont(score, 0.25), 4) AS thresh
+        FROM scored GROUP BY _g
     )
-    SELECT doc_id, lang, score, thresh, score >= thresh AS kept
-    FROM scored JOIN th USING (lang)
+    SELECT doc_id, lang, score, thresh,
+           coalesce(score >= thresh, false) AS kept
+    FROM scored JOIN th USING (_g)
     """,
 )
 def adaptive_quality_gate_query(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -70,8 +70,9 @@ def test_rerun_does_not_mint_new_broadcasts(spark):
 
 def test_memo_identity_and_lru_graveyard(spark):
     """Same content -> same Broadcast object; eviction parks in the
-    graveyard (still usable) instead of destroying; graveyard overflow
-    destroys the oldest."""
+    graveyard (still usable); a re-requested evicted gather RESURRECTS
+    the parked broadcast instead of minting a new one; graveyard
+    overflow destroys the oldest."""
     g = _gather(0)
     bc1 = S._gather_broadcast(spark, g)
     bc2 = S._gather_broadcast(spark, g)
@@ -84,13 +85,19 @@ def test_memo_identity_and_lru_graveyard(spark):
     for i in range(1, S._GATHER_BC_CACHE_MAX + 1):
         S._gather_broadcast(spark, _gather(i))
     assert len(S._GATHER_BC_CACHE) == S._GATHER_BC_CACHE_MAX
-    assert bc1 in S._GATHER_BC_GRAVE
+    assert bc1 in S._GATHER_BC_GRAVE.values()
     assert np.allclose(bc1.value[1], g[1])  # still alive after eviction
 
+    # re-requesting the evicted gather resurrects the SAME broadcast —
+    # no re-serialization, and the graveyard slot frees up
+    bc3 = S._gather_broadcast(spark, g)
+    assert bc3 is bc1
+    assert bc1 not in S._GATHER_BC_GRAVE.values()
+
     # overflow the graveyard -> the oldest evictee is finally destroyed
-    for i in range(100, 100 + S._GATHER_BC_GRAVE_MAX + 1):
+    for i in range(100, 100 + S._GATHER_BC_CACHE_MAX + S._GATHER_BC_GRAVE_MAX + 1):
         S._gather_broadcast(spark, _gather(i))
-    assert bc1 not in S._GATHER_BC_GRAVE
+    assert bc1 not in S._GATHER_BC_GRAVE.values()
     assert len(S._GATHER_BC_GRAVE) <= S._GATHER_BC_GRAVE_MAX
 
 
@@ -117,18 +124,23 @@ def test_dead_app_entries_are_purged(spark):
 
 
 def test_concurrent_access_is_safe(spark):
-    """Racing driver threads (pop/insert/evict) must neither crash nor
-    destroy a broadcast another thread just obtained (ADVICE r06)."""
+    """Racing driver threads must not corrupt the cache bookkeeping
+    (ADVICE r06: pop/insert/evict on a plain dict is not thread-safe).
+    Scope honesty: 12 distinct keys < CACHE_MAX, so no eviction/destroy
+    fires here — this test exercises the LOCKED dict paths plus the
+    race where two threads build the same gather concurrently (the
+    loser's never-exposed broadcast is destroyed); eviction, graveyard
+    resurrection, and overflow-destroy are pinned single-threaded above
+    (a driver-created Broadcast's .value reads its local dump even
+    after destroy, so a reader probe could not detect a destroy race
+    anyway)."""
     errors: list[Exception] = []
 
     def worker(tid: int):
         try:
             for i in range(30):
-                # 24 distinct keys <= cache+graveyard capacity (32), so no
-                # thread can observe a destroy; >32 in flight is the
-                # documented consumer limit, tested single-threaded above.
-                bc = S._gather_broadcast(spark, _gather((tid * 31 + i) % 24))
-                _ = bc.value[0][0]  # would raise if destroyed under us
+                bc = S._gather_broadcast(spark, _gather((tid * 31 + i) % 12))
+                _ = bc.value[0][0]
         except Exception as e:  # pragma: no cover - failure path
             errors.append(e)
 

@@ -563,3 +563,49 @@ def test_adaptive_quality_gate_keeps_per_group_quantile(spark):
     assert min(r["thresh"] for r in by_lang["B"]) < min(
         r["score"] for r in by_lang["A"]
     )
+
+
+def test_adaptive_quality_gate_null_group_and_text(spark, tmp_path):
+    """Code-review r7: NULL-group docs must get a verdict row (their own
+    bucket), and NULL text yields kept=false, not a NULL verdict —
+    checked on BOTH engines via the registry oracle."""
+    import os
+
+    import duckdb
+    from pyspark.sql import Row
+
+    from aim357_2019_etl_and_ml_workshop_spark import queries as Q
+
+    rows = [
+        Row(doc_id=0, text="alpha beta gamma delta", lang="en"),
+        Row(doc_id=1, text="a b", lang="en"),
+        Row(doc_id=2, text="unlabeled doc text here", lang=None),
+        Row(doc_id=3, text="xx yy", lang=None),
+        Row(doc_id=4, text=None, lang="en"),
+    ]
+    sf_dir = str(tmp_path / "sf_nullgate")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(rows, "doc_id bigint, text string, lang string").write.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    )
+    out = {
+        r["doc_id"]: r
+        for r in Q._REGISTRY["adaptive_quality_gate"](spark, sf_dir).collect()
+    }
+    assert set(out) == {0, 1, 2, 3, 4}  # nobody vanishes
+    assert out[2]["lang"] is None and out[2]["kept"] is not None
+    assert out[4]["kept"] is False  # NULL text -> explicit reject
+    # oracle agrees row-for-row
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{os.path.join(sf_dir, 'documents.parquet')}/*.parquet')"
+    )
+    oracle = sorted(
+        map(tuple, con.execute(Q._ORACLE["adaptive_quality_gate"]).fetchall())
+    )
+    got = sorted(
+        (r["doc_id"], r["lang"], r["score"], r["thresh"], r["kept"])
+        for r in out.values()
+    )
+    assert got == oracle

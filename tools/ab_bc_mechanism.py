@@ -43,8 +43,18 @@ spark_suite(spark, registry, sf_dir, ["ivf_ann_topk"], 2)  # seed caches
 base = spark_suite(spark, registry, sf_dir, ["ivf_ann_topk"], 3)
 pre = spark_suite(spark, registry, sf_dir, ["lsh_ann_topk"], 2)
 if mode == "destroy":
+    # the r6-era per-call gathers this mode was built to destroy are now
+    # memoized in similarity._GATHER_BC_CACHE — destroying the tracked
+    # objects directly would leave destroyed broadcasts in the live memo
+    # and crash the ivf timing loop below on a cache hit. Route through
+    # the memo's own lifecycle hook (empties the cache AND destroys),
+    # then destroy any tracked broadcast the memo didn't own.
+    similarity.clear_gather_cache(destroy=True)
     for b in made:
-        b.destroy()
+        try:
+            b.destroy()
+        except Exception:
+            pass  # already destroyed via the cache clear
     made.clear()
 after = []
 for _ in range(4):

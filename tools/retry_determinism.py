@@ -128,7 +128,12 @@ def main() -> None:
 
         fn = reg["minhash_near_duplicates"]
         res = {}
-        res["clean"] = df_value_hash(fn(spark, sf_dir))
+        if "minhash_near_duplicates" in out:
+            # the scan-stage loop above already hashed the stock query —
+            # don't pay the full banded dedup a second time
+            res["clean"] = out["minhash_near_duplicates"]["clean"]
+        else:
+            res["clean"] = df_value_hash(fn(spark, sf_dir))
         dd.minhash_lsh_candidates = patched_cand
         try:
             res["wrapped"] = df_value_hash(fn(spark, sf_dir))
