@@ -1202,6 +1202,77 @@ def remove_repeated_spans(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.7,
+    n_sign_dims: int = 6,
+) -> DataFrame:
+    """SemDeDup-shaped semantic dedup (Abbas et al. 2023): partition the
+    embedding space into cells, compare only WITHIN a cell, and drop any
+    vector that has a same-cell neighbor with cosine >= threshold and a
+    smaller id (keep-min-id — the deterministic, engine-independent
+    stand-in for SemDeDup's keep-one-per-near-duplicate-group). Cells
+    here are the sign pattern of the first ``n_sign_dims`` dimensions
+    (2^n cells) — the deterministic, SQL-re-derivable stand-in for the
+    paper's k-means cells; like the paper's clustering, cross-cell
+    near-duplicates are out of contract by design (the global-recall
+    path is embedding_near_duplicates / embedding_neardup_lsh). Output:
+    one verdict row per vector — (id, cell, kept).
+
+    Scale shape: the only shuffle is the cell equi-join (never the full
+    cross product), and the per-cell comparison count is bounded by the
+    cell population — at corpus scale you size 2^n_sign_dims (or swap in
+    fitted centroids) so cells stay ~1/2^n of the corpus. The within-cell
+    compare is quadratic PER CELL by contract (exactly what the oracle
+    re-derives); past the exact-compare budget the banded/tiled paths in
+    embedding_near_duplicates are the drop-in."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cell = None
+    for i in range(n_sign_dims):
+        bit = F.when(F.element_at(v, i + 1) > 0, 2**i).otherwise(0)
+        cell = bit if cell is None else cell + bit
+    base = df.select(
+        F.col(id_col), v.alias("_v"), cell.cast("bigint").alias("cell")
+    )
+    a = base.select(
+        F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), "cell"
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), "cell"
+    )
+    num = F.aggregate(
+        F.zip_with("_va", "_vb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm_a = F.sqrt(
+        F.aggregate(
+            F.transform("_va", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    norm_b = F.sqrt(
+        F.aggregate(
+            F.transform("_vb", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    dropped = (
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.round(num / (norm_a * norm_b), 6) >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return base.join(
+        dropped.withColumn("_drop", F.lit(True)), id_col, "left"
+    ).select(
+        id_col,
+        "cell",
+        F.coalesce(~F.col("_drop"), F.lit(True)).alias("kept"),
+    )
+
+
 def cluster_representatives(
     components: DataFrame,
     docs: DataFrame,

@@ -97,7 +97,7 @@ _DRIVER_PRIORITY = [
     "embedding_neardup_lsh", "revenue_by_region",
     # new in r7 — first driver verdicts
     "dsir_importance_weights", "adaptive_quality_gate", "repeated_ngram_spans",
-    "substring_dedup_rewrite",
+    "substring_dedup_rewrite", "semantic_dedup_cells",
     "curation_funnel",
     "deterministic_stratified_docs", "events_key_skew_report",
     "fuzzy_supplier_matches", "leakage_safe_split", "local_supplier_volume",
@@ -5728,6 +5728,45 @@ def substring_dedup_rewrite_query(spark: SparkSession, sf_dir: str) -> DataFrame
         spread_for_cpu(_t(spark, sf_dir, "documents")), "text", "doc_id",
         n=5, min_docs=2,
     )
+
+
+@register(
+    "semantic_dedup_cells",
+    """
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), c AS (
+        SELECT vec_id, v,
+               CAST((CASE WHEN v[1] > 0 THEN 1 ELSE 0 END)
+                  + (CASE WHEN v[2] > 0 THEN 2 ELSE 0 END)
+                  + (CASE WHEN v[3] > 0 THEN 4 ELSE 0 END)
+                  + (CASE WHEN v[4] > 0 THEN 8 ELSE 0 END)
+                  + (CASE WHEN v[5] > 0 THEN 16 ELSE 0 END)
+                  + (CASE WHEN v[6] > 0 THEN 32 ELSE 0 END) AS BIGINT)
+                   AS cell
+        FROM e
+    ), dropped AS (
+        SELECT DISTINCT b.vec_id
+        FROM c a JOIN c b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.v, b.v)
+                    / (sqrt(list_dot_product(a.v, a.v))
+                       * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.35
+    )
+    SELECT vec_id, cell,
+           vec_id NOT IN (SELECT vec_id FROM dropped) AS kept
+    FROM c
+    """,
+)
+def semantic_dedup_cells_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic dedup under a full value oracle: DuckDB
+    re-derives every sign-cell assignment, every within-cell cosine, and
+    every keep-min-id verdict (operators/dedup.semantic_dedup). The
+    within-cell compare is quadratic per cell BY CONTRACT (it is what the
+    oracle recomputes); the corpus-scale twin is embedding_neardup_lsh."""
+    from .operators.dedup import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, "vec_id", "embedding", threshold=0.35)
 
 
 @register(

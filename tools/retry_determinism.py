@@ -49,6 +49,9 @@ DEFAULT_QUERIES = [
     "minhash_near_duplicates",
     # window family over recomputed scans
     "top3_per_status",
+    # r7: per-doc reassembly via array_sort(collect_list(struct(pos,tok)))
+    # — collect_list order is retry-dependent; the sort must neutralize it
+    "substring_dedup_rewrite",
 ]
 
 

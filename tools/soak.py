@@ -69,6 +69,15 @@ EXCLUDE = {
         "SFs; the scale twin neardup_clusters_banded (same component "
         "operator over the verified MinHash pair set) runs here"
     ),
+    "semantic_dedup_cells": (
+        "SemDeDup-shaped exact baseline: within-cell all-pairs cosine is "
+        "quadratic per cell BY ORACLE CONTRACT (the DuckDB twin recomputes "
+        "every within-cell pair), and the declarative zip_with/aggregate "
+        "fold is interpreted per pair — 312M pairs at sf10 runs to hours. "
+        "Full-oracle at sf0.01/sf0.1 in the conformance gate, 50 s at sf1 "
+        "measured once (PERF.md r7); the corpus-scale twin "
+        "embedding_neardup_lsh runs here"
+    ),
     "neardup_representatives": (
         "representative election over neardup_clusters' labels — "
         "inherits the exact quadratic pair source above. Full-oracle at "
