@@ -1227,49 +1227,51 @@ def semantic_dedup(
     fitted centroids) so cells stay ~1/2^n of the corpus. The within-cell
     compare is quadratic PER CELL by contract (exactly what the oracle
     re-derives); past the exact-compare budget the banded/tiled paths in
-    embedding_near_duplicates are the drop-in."""
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    cell = None
+    embedding_near_duplicates are the drop-in. Norms are computed ONCE
+    per vector before the self-join (the joined pair evaluates one
+    interpreted fold, not three — same arithmetic, same round(6)
+    quantization). Zero-norm vectors have undefined cosine and are never
+    dropped (guarded on BOTH engines: Spark's 0/0 is NULL while DuckDB's
+    IEEE 0/0 is NaN, which sorts above every threshold — without the
+    guard the engines disagree)."""
+    from .similarity import as_double_vec, dot, norm
+
+    v = as_double_vec(vec_col)
+    cell = F.lit(0)
     for i in range(n_sign_dims):
-        bit = F.when(F.element_at(v, i + 1) > 0, 2**i).otherwise(0)
-        cell = bit if cell is None else cell + bit
+        cell = cell + F.when(F.element_at(v, i + 1) > 0, 2**i).otherwise(0)
     base = df.select(
-        F.col(id_col), v.alias("_v"), cell.cast("bigint").alias("cell")
+        F.col(id_col),
+        v.alias("_v"),
+        norm(v).alias("_n"),
+        cell.cast("bigint").alias("cell"),
     )
     a = base.select(
-        F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), "cell"
+        F.col(id_col).alias("id_a"),
+        F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"),
+        "cell",
     )
     b = base.select(
-        F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), "cell"
+        F.col(id_col).alias("id_b"),
+        F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"),
+        "cell",
     )
-    num = F.aggregate(
-        F.zip_with("_va", "_vb", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm_a = F.sqrt(
-        F.aggregate(
-            F.transform("_va", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
-        )
-    )
-    norm_b = F.sqrt(
-        F.aggregate(
-            F.transform("_vb", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
-        )
+    sim = F.round(
+        dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6
     )
     dropped = (
         a.join(b, "cell")
         .where(F.col("id_a") < F.col("id_b"))
-        .where(F.round(num / (norm_a * norm_b), 6) >= threshold)
+        .where((F.col("_na") > 0) & (F.col("_nb") > 0))
+        .where(sim >= threshold)
         .select(F.col("id_b").alias(id_col))
         .distinct()
     )
-    return base.join(
-        dropped.withColumn("_drop", F.lit(True)), id_col, "left"
-    ).select(
-        id_col,
-        "cell",
-        F.coalesce(~F.col("_drop"), F.lit(True)).alias("kept"),
+    marked = dropped.select(F.col(id_col), F.lit(True).alias("_drop"))
+    return base.join(marked, id_col, "left").select(
+        id_col, "cell", F.col("_drop").isNull().alias("kept")
     )
 
 

@@ -5748,7 +5748,9 @@ def substring_dedup_rewrite_query(spark: SparkSession, sf_dir: str) -> DataFrame
     ), dropped AS (
         SELECT DISTINCT b.vec_id
         FROM c a JOIN c b ON a.cell = b.cell AND a.vec_id < b.vec_id
-        WHERE round(list_dot_product(a.v, b.v)
+        WHERE sqrt(list_dot_product(a.v, a.v)) > 0
+          AND sqrt(list_dot_product(b.v, b.v)) > 0
+          AND round(list_dot_product(a.v, b.v)
                     / (sqrt(list_dot_product(a.v, a.v))
                        * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.35
     )

@@ -1041,3 +1041,43 @@ def test_remove_repeated_spans_semantics(spark):
     assert out[2]["cleaned_md5"] == hashlib.md5(b"head1 head2").hexdigest()
     # doc 3 shares nothing
     assert out[3]["n_removed"] == 0 and out[3]["n_kept"] == 6
+
+
+def test_semantic_dedup_edges(spark):
+    """Code-review r7 pins: zero-norm vectors are never dropped (cosine
+    undefined; Spark NULL vs DuckDB NaN would diverge without the guard),
+    n_sign_dims=0 degrades to one cell instead of crashing, and
+    keep-min-id holds for identical vectors."""
+    from pyspark.sql import Row
+
+    from aim357_2019_etl_and_ml_workshop_spark.operators.dedup import (
+        semantic_dedup,
+    )
+
+    rows = [
+        Row(vec_id=0, embedding=[0.0] * 4),
+        Row(vec_id=1, embedding=[0.0] * 4),
+        Row(vec_id=2, embedding=[1.0, 0.0, 0.0, 0.0]),
+        Row(vec_id=3, embedding=[1.0, 0.0, 0.0, 0.0]),
+        Row(vec_id=4, embedding=[-1.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = {
+        r["vec_id"]: (r["cell"], r["kept"])
+        for r in semantic_dedup(
+            df, "vec_id", "embedding", threshold=0.9, n_sign_dims=0
+        ).collect()
+    }
+    assert all(c == 0 for c, _ in out.values())  # single cell at n=0
+    assert out[0][1] and out[1][1]  # zero-norm: verdict row, never dropped
+    assert out[2][1] and not out[3][1]  # identical vectors: min id kept
+    assert out[4][1]  # anti-parallel: cosine -1 < threshold, kept
+
+    # sign-cells separate by first-dim sign at n=1 — no cross-cell compare
+    out1 = {
+        r["vec_id"]: r["cell"]
+        for r in semantic_dedup(
+            df, "vec_id", "embedding", threshold=0.9, n_sign_dims=1
+        ).collect()
+    }
+    assert out1[2] == 1 and out1[4] == 0
