@@ -28,8 +28,23 @@ def exact_dedup(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
 
 
 def normalize_text(text: Column | str) -> Column:
-    """Whitespace-collapse + lowercase normalization used by every text
-    dedup/fingerprint path (one canonical definition)."""
+    """Whitespace-COLLAPSE + lowercase normalization — the canonical
+    definition for the paths that normalize (canonical/exact-screen md5
+    fingerprints, simhash, unigram/DSIR tokenization, span mining).
+
+    Two scope caveats, both pinned by the DuckDB oracle contracts and
+    therefore deliberate, not oversights (code-review r7):
+    - it does NOT trim: leading/trailing whitespace leaves one edge space
+      (and one empty token after split). Every oracle twin applies the
+      identical regexp_replace(lower(text), '\\s+', ' ') — changing this
+      breaks hash parity for the md5/simhash families.
+    - the MinHash shingle pipeline (word_shingles/exploded_shingles) does
+      NOT route through this function at all: it splits RAW text by
+      oracle contract (ngram_jaccard_pairs and the recall checks re-derive
+      raw-split shingles), so MinHash similarity is case- and whitespace-
+      sensitive while the canonical/simhash stages are not. Pipelines
+      wanting normalized near-dup should normalize the column BEFORE
+      calling the minhash entry points."""
     c = F.col(text) if isinstance(text, str) else text
     return F.lower(F.regexp_replace(c, r"\s+", " "))
 
@@ -215,6 +230,7 @@ def minhash_near_duplicates(
     bands: int = 8,
     shingle_n: int = 3,
     eager_release: bool = False,
+    max_bucket_size: int | None = 100_000,
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates verified with EXACT Jaccard
     over distinct shingles (computed only for candidate pairs via a
@@ -231,11 +247,17 @@ def minhash_near_duplicates(
     ``eager_release=True`` materializes the (tiny) verified pair list and
     unpersists the shingle/candidate caches before returning, so repeated
     calls in a long-lived session don't accumulate corpus-scale cached
-    frames until LRU eviction."""
+    frames until LRU eviction.
+
+    ``max_bucket_size`` forwards to minhash_lsh_candidates' hot-bucket
+    guard (code-review r7: it was previously unreachable from this entry
+    point, so the 100k drop cap was always on with no exact-recall
+    opt-out). Pass None for exact-recall conformance runs."""
     sh = exploded_shingles(df, text_col, id_col, shingle_n).persist()
     sigs = minhash_signatures_from_shingles(sh, id_col, num_hashes)
     cand = minhash_lsh_candidates(
-        sigs, id_col, num_hashes, bands, eager_release=eager_release
+        sigs, id_col, num_hashes, bands,
+        max_bucket_size=max_bucket_size, eager_release=eager_release,
     )
     if not eager_release:
         cand = cand.persist()  # localCheckpoint already materialized it
@@ -848,6 +870,12 @@ def embedding_near_duplicates(
     )
 
     first = df.select(F.size(vec_col).alias("d")).first()
+    if first is None or first["d"] is None:
+        # empty input (or null first vector): no pairs by definition —
+        # first() would otherwise be None and the dim lookup a TypeError
+        return df.sparkSession.createDataFrame(
+            [], "id_a bigint, id_b bigint, sim double"
+        )
     vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     # Strategy switch on the broadcast budget. Banded LSH is subquadratic
     # only when the similarity gap is strong; at a weak gap (the candidate
@@ -869,6 +897,11 @@ def embedding_near_duplicates(
     banded = _multi_table_buckets(vecs, "vec", all_planes).select(
         "id", "table", "bucket"
     ).persist()
+    # `banded` is reassigned below (anti-join, repartition); unpersist
+    # matches plans by sameResult, so releasing a DERIVED frame is a
+    # silent no-op — keep the persisted original (same alias pattern as
+    # minhash_lsh_candidates' _cached_bands / simhash's _cached_chunks)
+    _cached_buckets = banded
     try:
         if max_bucket_size is not None:
             hot = (
@@ -917,7 +950,7 @@ def embedding_near_duplicates(
         )
         out = out.localCheckpoint(eager=True)
     finally:
-        banded.unpersist(blocking=False)
+        _cached_buckets.unpersist(blocking=False)
     return out
 
 
@@ -1111,18 +1144,12 @@ def repeated_ngram_spans(
     the string form here is what the DuckDB oracle can re-derive
     exactly."""
     toks = F.split(normalize_text(text_col), " ")
-    spans = (
-        df.select(F.col(id_col), toks.alias("_toks"))
-        .where(F.size("_toks") >= n)
-        .select(
-            id_col,
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("_toks") - n),
-                    lambda i: F.array_join(F.slice("_toks", i + 1, n), " "),
-                )
-            ).alias("pos", "ng"),
-        )
+    # ngram_array is the module's single n-gram constructor (short texts
+    # -> empty array, so posexplode drops them — same effect as the old
+    # inline size>=n guard); posexplode yields the 0-based span position
+    spans = df.select(F.col(id_col), toks.alias("_toks")).select(
+        id_col,
+        F.posexplode(ngram_array(F.col("_toks"), n)).alias("pos", "ng"),
     )
     freq = (
         spans.groupBy("ng")
@@ -1240,12 +1267,16 @@ def semantic_dedup(
     cell = F.lit(0)
     for i in range(n_sign_dims):
         cell = cell + F.when(F.element_at(v, i + 1) > 0, 2**i).otherwise(0)
+    # base feeds THREE consumers in one action (both self-join sides +
+    # the verdict join); without persist the scan + double-cast + norm
+    # fold subtree executes three times (code-review r7 — same dual-
+    # consumer persist convention as the banded/shingle tables above)
     base = df.select(
         F.col(id_col),
         v.alias("_v"),
         norm(v).alias("_n"),
         cell.cast("bigint").alias("cell"),
-    )
+    ).persist()
     a = base.select(
         F.col(id_col).alias("id_a"),
         F.col("_v").alias("_va"),
@@ -1289,7 +1320,14 @@ def cluster_representatives(
     ``components`` is (id, comp) from connected_components; ``docs``
     supplies the weight. One broadcast-able join (components ~ cluster
     members only, far smaller than the corpus) + one map-side-combinable
-    max_by aggregation — no windows, no per-cluster sorts."""
+    min_by aggregation — no windows, no per-cluster sorts.
+
+    The argmax is spelled min_by over (-weight, id) rather than max_by
+    over (weight, -id): identical result for numeric ids, but -id on a
+    STRING id silently casts to NULL (non-ANSI), which made the tie-break
+    nondeterministic for the string id types connected_components
+    explicitly supports (code-review r7). weight_col stays numeric by
+    contract, so -weight is always well-defined."""
     m = components.join(
         docs.select(F.col(id_col).alias("id"), F.col(weight_col).alias("_w")),
         "id",
@@ -1297,8 +1335,8 @@ def cluster_representatives(
     return (
         m.groupBy(F.col("comp").alias("cluster"))
         .agg(
-            F.max_by(
-                "id", F.struct(F.col("_w"), (-F.col("id")).alias("_negid"))
+            F.min_by(
+                "id", F.struct((-F.col("_w")).alias("_negw"), F.col("id"))
             ).alias("rep_doc_id"),
             F.count(F.lit(1)).alias("n_members"),
         )
