@@ -355,6 +355,16 @@ def adaptive_quality_gate(
     drop-without-record."""
     from .textanalysis import token_count
 
+    # Validate up front (ADVICE r07): an out-of-range or NaN pct used to
+    # flow into the percentile aggregate and surface as a runtime
+    # AnalysisException far from the call site; the typed-literal form
+    # below also closes the f-string interpolation path entirely.
+    pct = float(pct)
+    if not 0.0 <= pct <= 1.0:
+        raise ValueError(
+            f"pct must be within [0, 1], got {pct!r}"
+        )
+
     # mean token length — same token definition as quality_features /
     # token_count, so this score and the quality_features mean_tok_len
     # column cannot drift apart
@@ -369,7 +379,7 @@ def adaptive_quality_gate(
         score.alias("score"),
     )
     thresholds = scored.groupBy("_g").agg(
-        F.round(F.expr(f"percentile(score, {pct})"), 4).alias("thresh")
+        F.round(F.percentile(F.col("score"), F.lit(pct)), 4).alias("thresh")
     )
     return scored.join(F.broadcast(thresholds), "_g").select(
         id_col,

@@ -82,51 +82,42 @@ def register(name: str, oracle: str | None = None):
 # round; everything else follows in registration order and remains covered
 # by the local gate. (VERDICT r02 "Next round" #2.)
 _DRIVER_PRIORITY = [
-    # --- round-7 rotation (VERDICT r06 #6): cumulative driver coverage is
-    # 166/166, zero failures; 84 keys carry exactly ONE verdict. Order:
-    # (a) queries whose code or ORACLE changed this round (multimodal
-    # decode oracles went byte-exact; the ANN gather memo gained a lock +
-    # graveyard lifecycle used by lsh/ivf/embedding-neardup paths;
-    # revenue_by_region's docstring/plan-closure claims rest on its
-    # unchanged hash) so the driver re-verdicts the new code first; then
-    # (b) every remaining single-verdict key, least-recently-verified
-    # first, computed from CORRECTNESS_r01-r06. A 50-sample covers (a) +
-    # 43 singles, leaving <=39 single-verdict keys. ---
-    "multimodal_decode_meta", "multimodal_curation_pipeline",
-    "lsh_recall_check", "ivf_recall_check", "embedding_neardup_blocked",
-    "embedding_neardup_lsh", "revenue_by_region",
-    # new in r7 — first driver verdicts
-    "dsir_importance_weights", "adaptive_quality_gate", "repeated_ngram_spans",
-    "substring_dedup_rewrite", "semantic_dedup_cells",
-    "curation_funnel",
-    "deterministic_stratified_docs", "events_key_skew_report",
-    "fuzzy_supplier_matches", "leakage_safe_split", "local_supplier_volume",
-    "native_session_window_counts", "promo_revenue_pct",
-    "q16_supplier_part_counts", "q20_excess_shippers", "q2_min_cost_supplier",
-    "returned_item_losses", "simhash_portable_fingerprints",
-    "simhash_portable_neardups", "small_quantity_revenue",
-    "source_capped_sample", "tfidf_exact_features", "try_arithmetic_probe",
-    "unigram_logprob_scores", "approx_sketches", "argmax_latest_event",
-    "array_functions_probe", "bool_argmax_agg_probe", "bpe_token_count",
-    "conditional_agg_filter", "cube_counts", "date_arithmetic_probe",
-    "date_parts", "disjunctive_brand_revenue", "embedding_clusters_contract",
-    "exists_late_lineitems", "first_last_window_probe",
-    "fuzzy_brand_distance", "having_active_users", "inclusive_range_count",
-    "incremental_exact_screen", "incremental_neardup_ingest",
-    "large_quantity_orders", "map_functions_probe", "math_functions_probe",
+    # --- round-8 rotation (VERDICT r07 #4): cumulative driver coverage is
+    # 171/171, zero failures; 49 keys carried exactly ONE verdict entering
+    # r8. Order: (a) queries NEW this round (semantic_dedup_tiled /
+    # repeated_ngram_spans_hashed — both contract twins sharing their
+    # sibling's full oracle — and dsir_select_topk); (b) queries whose
+    # code changed this round (semantic_dedup gained strategy= +
+    # eager_release, span mining gained hash_spans= and
+    # substring_dedup_rewrite wires through it, adaptive_quality_gate's
+    # percentile went typed-literal, embedding_near_duplicates' dim probe
+    # and null-vector filter changed — re-verdict all of them first);
+    # (c) every remaining single-verdict key, least-recently-verified
+    # first, computed from CORRECTNESS_r01-r07. A 50-sample covers
+    # (a)+(b)+40 of the 44 old singles, leaving 4 old + 3 new = 7
+    # single-verdict keys (target <=10). ---
+    "semantic_dedup_tiled", "repeated_ngram_spans_hashed",
+    "dsir_select_topk",
+    "semantic_dedup_cells", "repeated_ngram_spans",
+    "substring_dedup_rewrite", "adaptive_quality_gate",
+    "dsir_importance_weights", "embedding_neardup_blocked",
+    "embedding_neardup_lsh",
+    # (c) old single-verdict keys, least-recently-verified (r4) first
+    "map_functions_probe", "math_functions_probe",
     "mode_event_type_per_user", "nation_pair_revenue",
     "order_count_distribution", "orders_above_avg_price",
     "orders_above_customer_avg", "parameterized_sql_probe",
-    "parse_timestamp_format", "part_revenue_concentration", "pivot_multi_agg",
-    "posexplode_tokens", "profile_orders", "regexp_functions_probe",
-    "rolling_hash_fingerprint", "sentiment_scores",
-    "ship_delay_priority_counts", "sorted_sources_by_lang",
-    "stats_moments_by_flag", "stratified_sample_contract",
-    "string_functions_probe", "time_grain_rollup", "top_revenue_orders",
-    "top_supplier_revenue", "top_terms", "unpivot_daily",
-    "upsert_orders_snapshot", "value_bucket_histogram",
-    "variant_extract_stats", "word_runs_udtf", "asof_join_tolerance",
-    "embedding_clusters", "forecast_revenue_delta",
+    "parse_timestamp_format", "part_revenue_concentration",
+    "pivot_multi_agg", "posexplode_tokens", "profile_orders",
+    "regexp_functions_probe", "rolling_hash_fingerprint",
+    "sentiment_scores", "ship_delay_priority_counts",
+    "sorted_sources_by_lang", "stats_moments_by_flag",
+    "stratified_sample_contract", "string_functions_probe",
+    "time_grain_rollup", "top_revenue_orders", "top_supplier_revenue",
+    "top_terms", "unpivot_daily", "upsert_orders_snapshot",
+    "value_bucket_histogram", "variant_extract_stats", "word_runs_udtf",
+    # r5 singles
+    "asof_join_tolerance", "embedding_clusters", "forecast_revenue_delta",
     "mixture_weights_by_source", "money_scale_contract",
     "neardup_clusters_banded", "null_safe_join_counts",
     "quality_expectations_orders", "salted_join_revenue", "scd2_user_state",
@@ -5639,9 +5630,11 @@ def unigram_logprob_scores_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "repeated_ngram_spans",
-    """
+# Shared by repeated_ngram_spans (string mode, the conformance default)
+# and repeated_ngram_spans_hashed (the 100 TB hash-first mode): the two
+# modes are contract twins — identical (doc_id, pos, ngram_md5, n_docs)
+# rows — so they share ONE oracle (plus a hypothesis property test).
+_NGRAM_SPANS_ORACLE = """
     WITH t AS (
         SELECT doc_id,
                regexp_split_to_array(
@@ -5658,8 +5651,10 @@ def unigram_logprob_scores_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, CAST(pos AS BIGINT) AS pos, md5(ng) AS ngram_md5, n_docs
     FROM g JOIN f USING (ng)
-    """,
-)
+    """
+
+
+@register("repeated_ngram_spans", _NGRAM_SPANS_ORACLE)
 def repeated_ngram_spans_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring-level dedup detection under a full value oracle:
     DuckDB re-derives every 5-token span coordinate, the distinct-doc
@@ -5670,6 +5665,23 @@ def repeated_ngram_spans_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repeated_ngram_spans(
         spread_for_cpu(_t(spark, sf_dir, "documents")), "text", "doc_id",
         n=5, min_docs=2,
+    )
+
+
+@register("repeated_ngram_spans_hashed", _NGRAM_SPANS_ORACLE)
+def repeated_ngram_spans_hashed_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The hash-first 100 TB mode of repeated-span mining (VERDICT r07
+    #2): the frequency shuffle carries one xxhash64 per span (8 bytes)
+    instead of the joined n-token string; survivors are string-verified
+    so the output — and therefore this shared oracle — is identical to
+    the string mode's (operators/dedup.repeated_ngram_spans)."""
+    from .operators.dedup import repeated_ngram_spans
+
+    return repeated_ngram_spans(
+        spread_for_cpu(_t(spark, sf_dir, "documents")), "text", "doc_id",
+        n=5, min_docs=2, hash_spans=True,
     )
 
 
@@ -5730,9 +5742,13 @@ def substring_dedup_rewrite_query(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@register(
-    "semantic_dedup_cells",
-    """
+# Shared by semantic_dedup_cells (joined conformance form) and
+# semantic_dedup_tiled (scale form): the two strategies are contract twins
+# — identical (vec_id, cell, kept) verdicts — so they share ONE oracle.
+# The 6 sign dims and the 0.35 threshold are pinned HERE and passed
+# explicitly at both call sites (ADVICE r07: relying on the operator
+# default silently desynchronizes query and oracle if the default moves).
+_SEMANTIC_DEDUP_ORACLE = """
     WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ), c AS (
@@ -5757,18 +5773,40 @@ def substring_dedup_rewrite_query(spark: SparkSession, sf_dir: str) -> DataFrame
     SELECT vec_id, cell,
            vec_id NOT IN (SELECT vec_id FROM dropped) AS kept
     FROM c
-    """,
-)
+    """
+
+
+@register("semantic_dedup_cells", _SEMANTIC_DEDUP_ORACLE)
 def semantic_dedup_cells_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-shaped semantic dedup under a full value oracle: DuckDB
     re-derives every sign-cell assignment, every within-cell cosine, and
-    every keep-min-id verdict (operators/dedup.semantic_dedup). The
-    within-cell compare is quadratic per cell BY CONTRACT (it is what the
-    oracle recomputes); the corpus-scale twin is embedding_neardup_lsh."""
+    every keep-min-id verdict (operators/dedup.semantic_dedup). This is
+    the JOINED conformance form — quadratic per cell BY CONTRACT (it is
+    what the oracle recomputes); semantic_dedup_tiled is the scale form
+    with identical verdicts."""
     from .operators.dedup import semantic_dedup
 
     emb = _t(spark, sf_dir, "embeddings")
-    return semantic_dedup(emb, "vec_id", "embedding", threshold=0.35)
+    return semantic_dedup(
+        emb, "vec_id", "embedding", threshold=0.35, n_sign_dims=6
+    )
+
+
+@register("semantic_dedup_tiled", _SEMANTIC_DEDUP_ORACLE)
+def semantic_dedup_tiled_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE form of SemDeDup semantic dedup (VERDICT r07 #1): same
+    cell-constrained keep-min-id semantics, same full value oracle as
+    semantic_dedup_cells, but resolved per cell by one Arrow-batched
+    cache-blocked BLAS kernel (operators/dedup._semantic_dedup_tiled) —
+    no pair table, no interpreted cosine folds, one shuffle. Passing the
+    SAME oracle makes the two strategies hash-verified contract twins."""
+    from .operators.dedup import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, "vec_id", "embedding", threshold=0.35, n_sign_dims=6,
+        strategy="tiled",
+    )
 
 
 @register(
@@ -5812,6 +5850,63 @@ def dsir_importance_weights_query(spark: SparkSession, sf_dir: str) -> DataFrame
         "text",
         "doc_id",
         target=F.col("lang") == "en",
+    )
+
+
+@register(
+    "dsir_select_topk",
+    """
+    WITH toks AS (
+        SELECT doc_id, (lang = 'en') AS is_t,
+               unnest(string_split(
+                   regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')) AS tok
+        FROM documents
+    ), tk AS (
+        SELECT doc_id, is_t, tok FROM toks WHERE tok <> ''
+    ), freq AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS r_tf,
+               CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS t_tf
+        FROM tk GROUP BY 1
+    ), tot AS (
+        SELECT CAST(sum(r_tf) AS BIGINT) AS r_total,
+               CAST(sum(t_tf) AS BIGINT) AS t_total,
+               CAST(count(*) AS BIGINT) AS v
+        FROM freq
+    ), w AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+               CAST(round(sum(  ln((t_tf + 1.0) / (t_total + v))
+                              - ln((r_tf + 1.0) / (r_total + v))), 6)
+                    AS DOUBLE) AS log_ratio
+        FROM tk JOIN freq USING (tok) CROSS JOIN tot
+        GROUP BY doc_id
+    )
+    SELECT doc_id, n_tok, log_ratio,
+           round(log_ratio - ln(-ln(
+               ((('0x' || substr(md5('dsir-v1' || CAST(doc_id AS VARCHAR)),
+                                 1, 15))::BIGINT + 0.5)
+                / 1152921504606846976.0))), 6) AS priority
+    FROM w
+    ORDER BY priority DESC, doc_id
+    LIMIT (SELECT greatest(50, count(*) // 5) FROM documents)
+    """,
+)
+def dsir_select_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR's SELECTION step (VERDICT r07 #5) under a full value oracle:
+    deterministic Gumbel-top-k sampling proportional to exp(weight) —
+    DuckDB re-derives every importance weight, every seeded-hash Gumbel
+    perturbation, and the exact top-k membership with the same
+    max(50, |documents| // 5) budget
+    (operators/textanalysis.dsir_resample)."""
+    from .operators.textanalysis import dsir_resample
+
+    docs = _t(spark, sf_dir, "documents")
+    # serving-shaped budget: derived from a footer-count on BOTH engines
+    # so the contract is identical at every SF (memory: workloads must
+    # not grow on one side only)
+    k = max(50, docs.count() // 5)
+    return dsir_resample(
+        spread_for_cpu(docs), "text", "doc_id",
+        target=F.col("lang") == "en", k=k,
     )
 
 

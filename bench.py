@@ -311,6 +311,14 @@ def main() -> None:
     rerun_delta_pct = round(
         100.0 * abs(rerun_total - base_total) / base_total, 2
     )
+    # Published per-query time = min across BOTH same-session suites
+    # (VERDICT r07 #7a): r7's four-pass study measured 5.9-15.5% pass-to-
+    # pass box drift on identical code; the two-phase DuckDB denominator
+    # below already bounds that drift by the quieter phase, so the Spark
+    # side gets the symmetric treatment. rerun_delta_pct stays published
+    # as the raw pass-to-pass spread (the reproducibility evidence), but
+    # the headline totals/ratios no longer inherit one pass's noise.
+    timings = {n: min(timings[n], rerun[n]) for n in timings}
 
     # Post-phase denominator re-sample (see the pre-phase comment above).
     oracle_post = duckdb_suite(sf_dir, HEADLINE, runs)
@@ -342,6 +350,12 @@ def main() -> None:
         "agg": "min",
         "rerun_total_sec": rerun_total,
         "rerun_delta_pct": rerun_delta_pct,
+        "rerun_delta_spec": (
+            "raw pass-to-pass spread; measured box range 5.9-15.5% "
+            "(PERF.md r7 four-pass study). Published queries/value are "
+            "per-query min across both passes, so the headline does not "
+            "inherit this spread."
+        ),
         "rerun_queries": rerun,
         "oracle": oracle,
     }
@@ -365,12 +379,32 @@ def main() -> None:
         t_sf10 = spark_suite(
             spark, registry, sf10_dir, SF10_SUBSET, runs, warm_pass=True
         )
+        # sf10 is the round-over-round watch point (VERDICT r07 #7: the
+        # r7 driver reading crossed 1.0 inside the measured 0.92-1.05x
+        # box-noise band) — give BOTH engines the same two-phase
+        # per-query-min treatment the primary SF gets, so the published
+        # sf10 ratio is the quieter-phase steady state on each side.
+        t_sf10_rerun = spark_suite(spark, registry, sf10_dir, SF10_SUBSET, runs)
+        sf10_rerun_delta = round(
+            100.0
+            * abs(sum(t_sf10_rerun.values()) - sum(t_sf10.values()))
+            / sum(t_sf10.values()),
+            2,
+        )
+        t_sf10 = {n: min(t_sf10[n], t_sf10_rerun[n]) for n in t_sf10}
+        oracle_sf10_post = duckdb_suite(sf10_dir, SF10_SUBSET, runs)
+        oracle_sf10["queries"] = {
+            n: min(oracle_sf10["queries"][n], oracle_sf10_post["queries"][n])
+            for n in oracle_sf10["queries"]
+        }
+        oracle_sf10["value"] = round(sum(oracle_sf10["queries"].values()), 4)
         sf10_block = {
             "sf": 10.0,
             "dir": sf10_dir,
             "runs_per_query": runs,
             "value": round(sum(t_sf10.values()), 4),
             "queries": t_sf10,
+            "rerun_delta_pct": sf10_rerun_delta,
             "oracle": oracle_sf10,
         }
         sf10_block.update(ratio_block(t_sf10, oracle_sf10))

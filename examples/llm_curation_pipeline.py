@@ -186,6 +186,21 @@ def main() -> None:
         ("dsir target-like docs", dsir.where(F.col("log_ratio") > 0).count())
     )
 
+    # 8d (r8). DSIR SELECTION: deterministic Gumbel-top-k resampling
+    # proportional to exp(weight) — the corpus actually shrinks toward
+    # the target distribution here; everything downstream (packing,
+    # sharding, export) runs on the selected subset
+    from aim357_2019_etl_and_ml_workshop_spark.operators.textanalysis import (
+        dsir_resample,
+    )
+
+    k = max(50, mix.count() // 2)
+    selected_ids = dsir_resample(
+        mix, "text", "doc_id", target=F.col("lang") == "en", k=k
+    ).select("doc_id")
+    mix = mix.join(selected_ids, "doc_id", "left_semi")
+    report.append(("dsir selected docs", mix.count()))
+
     # 9. pack into token-budget bins and assign deterministic shards
     packed = pack_sequences(mix, "doc_id", "text", "lang", budget_tokens=512)
     sharded = shard_assign(

@@ -609,3 +609,121 @@ def test_adaptive_quality_gate_null_group_and_text(spark, tmp_path):
         for r in out.values()
     )
     assert got == oracle
+
+
+def test_adaptive_quality_gate_validates_pct(spark):
+    """ADVICE r07: an out-of-range / NaN pct must fail at the call site
+    (ValueError), not as a runtime AnalysisException inside the percentile
+    aggregate; in-range boundary values still work."""
+    import pytest
+    from pyspark.sql import Row
+
+    from aim357_2019_etl_and_ml_workshop_spark.operators.curation import (
+        adaptive_quality_gate,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="alpha beta gamma", lang="en")]
+    )
+    for bad in (-0.1, 1.5, float("nan")):
+        with pytest.raises(ValueError, match="pct"):
+            adaptive_quality_gate(docs, pct=bad)
+    # boundaries are legal: p0 = min, p1 = max — one doc keeps itself
+    for ok in (0.0, 1.0):
+        got = adaptive_quality_gate(docs, pct=ok).collect()
+        assert len(got) == 1 and got[0]["kept"]
+
+
+def test_embedding_neardup_empty_vs_null_first_vector(spark):
+    """ADVICE r07: a corpus whose FIRST scanned row holds a NULL vector
+    must not short-circuit to zero pairs — the dim probe skips nulls —
+    and the empty-input frame must carry the caller's id type so empty
+    and non-empty results are schema-identical (string ids included)."""
+    from pyspark.sql import Row
+
+    from aim357_2019_etl_and_ml_workshop_spark.operators.dedup import (
+        embedding_near_duplicates,
+    )
+
+    rows = [
+        Row(vec_id=1, v=None),
+        Row(vec_id=2, v=[1.0, 0.0]),
+        Row(vec_id=3, v=[1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, v array<double>")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_duplicates(df, threshold=0.9).collect()
+    }
+    assert got == {(2, 3)}
+
+    empty = spark.createDataFrame([], "vec_id string, v array<double>")
+    out = embedding_near_duplicates(empty, threshold=0.9)
+    assert out.collect() == []
+    assert out.schema["id_a"].dataType.simpleString() == "string"
+    # all-null vectors == genuinely empty: no pairs, same schema rule
+    nulls = spark.createDataFrame(
+        [Row(vec_id="a", v=None)], "vec_id string, v array<double>"
+    )
+    assert embedding_near_duplicates(nulls, threshold=0.9).collect() == []
+
+
+def test_dsir_resample_gumbel_topk_matches_python_reference(spark):
+    """DSIR selection (VERDICT r07 #5): the selected set is exactly the
+    python re-derivation of Gumbel-top-k over the operator's own weights
+    — seeded md5 hash -> u -> -ln(-ln(u)) -> top-k by rounded priority
+    with id tie-break — deterministic across calls, and k<1 fails fast."""
+    import hashlib
+    import math
+
+    import pytest
+    from pyspark.sql import Row
+
+    from aim357_2019_etl_and_ml_workshop_spark.operators.textanalysis import (
+        dsir_importance_weights,
+        dsir_resample,
+    )
+
+    rows = [
+        Row(doc_id=i, text=t, lang=("en" if i % 2 == 0 else "de"))
+        for i, t in enumerate(
+            [
+                "the quick brown fox jumps over the lazy dog",
+                "der schnelle braune fuchs springt",
+                "the cat sat on the mat with the dog",
+                "ein hund und eine katze",
+                "dogs and cats are the best friends",
+                "das ist ein ganz anderer text",
+                "the dog the cat the fox the mat",
+                "noch mehr deutsche worte hier",
+            ]
+        )
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    target = F.col("lang") == "en"
+
+    def priority(doc_id: int, log_ratio: float) -> float:
+        h = int(hashlib.md5(f"dsir-v1{doc_id}".encode()).hexdigest()[:15], 16)
+        u = (h + 0.5) / float(1 << 60)
+        return round(log_ratio + (-math.log(-math.log(u))), 6)
+
+    weights = {
+        r["doc_id"]: r["log_ratio"]
+        for r in dsir_importance_weights(df, "text", "doc_id", target).collect()
+    }
+    k = 3
+    expected = sorted(
+        weights, key=lambda d: (-priority(d, weights[d]), d)
+    )[:k]
+    got = dsir_resample(df, "text", "doc_id", target, k=k)
+    sel = {r["doc_id"]: r["priority"] for r in got.collect()}
+    assert sorted(sel) == sorted(expected)
+    for d in sel:
+        assert abs(sel[d] - priority(d, weights[d])) < 1e-9
+    # deterministic: second run selects the identical set
+    again = {r["doc_id"] for r in dsir_resample(
+        df, "text", "doc_id", target, k=k).collect()}
+    assert again == set(sel)
+
+    with pytest.raises(ValueError, match="k must be"):
+        dsir_resample(df, "text", "doc_id", target, k=0)

@@ -32,6 +32,7 @@ WHITELIST = {
     "tfidf_exact_features": "broadcast scalar n_docs count gather",
     "unigram_logprob_scores": "broadcast scalar corpus-total gather",
     "dsir_importance_weights": "broadcast scalar totals gather (one row: r_total/t_total/vocab) — same shape as unigram_logprob_scores",
+    "dsir_select_topk": "same broadcast scalar totals gather as dsir_importance_weights (selection is TakeOrderedAndProject, no global sort exchange)",
     "small_quantity_revenue": "scalar agg final gather",
     "money_scale_contract": "scalar agg final gather (5 counters)",
     "events_key_skew_report": "scalar agg over per-key counts gather",

@@ -75,8 +75,9 @@ EXCLUDE = {
         "every within-cell pair), and the declarative zip_with/aggregate "
         "fold is interpreted per pair — 312M pairs at sf10 runs to hours. "
         "Full-oracle at sf0.01/sf0.1 in the conformance gate, 50 s at sf1 "
-        "measured once (PERF.md r7); the corpus-scale twin "
-        "embedding_neardup_lsh runs here"
+        "measured once (PERF.md r7); the scale twin with IDENTICAL "
+        "cell-constrained semantics AND the identical oracle — "
+        "semantic_dedup_tiled (r8, VERDICT r07 #1) — runs here"
     ),
     "neardup_representatives": (
         "representative election over neardup_clusters' labels — "
