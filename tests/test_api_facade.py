@@ -39,6 +39,9 @@ def test_namespace_functions_are_importable_without_spark():
         ("dedup", "canonical_dedup"),
         ("dedup", "minhash_near_duplicates"),
         ("dedup", "simhash_banding_state"),
+        ("dedup", "semantic_dedup"),
+        ("dedup", "repeated_ngram_spans"),
+        ("text", "dsir_resample"),
         ("ann", "lsh_topk"),
         ("ann", "ivf_centroids"),
         ("ann", "clear_gather_cache"),

@@ -1175,3 +1175,46 @@ def test_semantic_dedup_eager_release_frees_corpus_cache(spark):
     # exactly the verdict checkpoint — the corpus vector cache is gone
     assert len(new) == 1, new
     assert cached_bytes(new) < 1 << 20, "corpus-scale frame still cached"
+
+
+def test_semantic_dedup_tiled_crosses_subblock_boundaries(spark):
+    """The tiled kernel's cache-blocked loops (SB=1024) only exercise
+    their diagonal/off-diagonal masking when a CELL exceeds the sub-block
+    edge — pin a 2500-row single-cell corpus (three p-blocks, ragged
+    tail) against a direct numpy re-derivation of the contract:
+    dropped[j] = any i<j with round(cos, 6) >= threshold."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from aim357_2019_etl_and_ml_workshop_spark.operators.dedup import (
+        semantic_dedup,
+    )
+
+    rng = np.random.default_rng(42)
+    n, dim, th = 2500, 8, 0.9
+    # low-dim vectors with repeats: plenty of >=0.9 cosines, plus a few
+    # zero vectors to pin the NaN guard across block boundaries
+    mat = rng.integers(-2, 3, size=(n, dim)).astype(np.float64)
+    mat[::997] = 0.0
+    norms = np.linalg.norm(mat, axis=1)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        sims = np.round((mat @ mat.T) / np.outer(norms, norms), 6)
+    hit = sims >= th  # NaN rows/cols are False — zero-norm never drops
+    expected = {
+        i: not hit[:i, i].any() for i in range(n)
+    }
+
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in mat[i]]) for i in range(n)],
+        "vec_id bigint, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: r["kept"]
+        for r in semantic_dedup(
+            df, "vec_id", "embedding", threshold=th, n_sign_dims=0,
+            strategy="tiled",
+        ).collect()
+    }
+    n_dropped = sum(1 for k in expected.values() if not k)
+    assert 0 < n_dropped < n  # the corpus actually exercises both verdicts
+    assert got == expected
