@@ -1316,6 +1316,7 @@ def semantic_dedup(
     n_sign_dims: int = 6,
     strategy: str = "joined",
     eager_release: bool = False,
+    cell_col: str | None = None,
 ) -> DataFrame:
     """SemDeDup-shaped semantic dedup (Abbas et al. 2023): partition the
     embedding space into cells, compare only WITHIN a cell, and drop any
@@ -1328,6 +1329,13 @@ def semantic_dedup(
     near-duplicates are out of contract by design (the global-recall
     path is embedding_near_duplicates / embedding_neardup_lsh). Output:
     one verdict row per vector — (id, cell, kept).
+
+    ``cell_col`` swaps the sign cells for a PRECOMPUTED integer cell
+    column — the paper's actual fitted cells: join
+    ``mlpipeline.cluster_embeddings(df, k=...)`` assignments on and pass
+    ``cell_col="cluster"`` (n_sign_dims is then ignored). At corpus
+    scale this is the sizing lever: pick k so |corpus|/k vectors fit one
+    task's memory budget in the tiled kernel.
 
     Two strategies, IDENTICAL verdicts (contract-twinned by pytest and
     by the shared semantic_dedup_* oracle SQL):
@@ -1372,9 +1380,12 @@ def semantic_dedup(
             f"strategy must be 'joined' or 'tiled', got {strategy!r}"
         )
     v = as_double_vec(vec_col)
-    cell = F.lit(0)
-    for i in range(n_sign_dims):
-        cell = cell + F.when(F.element_at(v, i + 1) > 0, 2**i).otherwise(0)
+    if cell_col is not None:
+        cell = F.col(cell_col)
+    else:
+        cell = F.lit(0)
+        for i in range(n_sign_dims):
+            cell = cell + F.when(F.element_at(v, i + 1) > 0, 2**i).otherwise(0)
 
     if strategy == "tiled":
         return _semantic_dedup_tiled(df, id_col, v, cell, threshold)
@@ -1445,6 +1456,14 @@ def _semantic_dedup_tiled(
     SB = 1024  # sub-block edge — 8 MB float64 scratch, cache-resident
 
     def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        # A NULL cell (possible only via a null cell_col value) never
+        # equi-joins in the joined form — its rows compare with nothing
+        # and keep themselves. groupBy would bucket them TOGETHER here,
+        # so short-circuit the group to kept=true for exact parity.
+        if len(pdf) and pd.isna(pdf["cell"].iloc[0]):
+            return pd.DataFrame(
+                {id_col: pdf[id_col], "cell": pdf["cell"], "kept": True}
+            )
         # NULL vectors mirror the joined form exactly: their norm is NULL
         # there, so they never drop and are never dropped (kept=true) —
         # peel them off before the dense stack (np can't stack None).

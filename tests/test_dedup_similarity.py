@@ -1218,3 +1218,69 @@ def test_semantic_dedup_tiled_crosses_subblock_boundaries(spark):
     n_dropped = sum(1 for k in expected.values() if not k)
     assert 0 < n_dropped < n  # the corpus actually exercises both verdicts
     assert got == expected
+
+
+def test_semantic_dedup_fitted_cells_via_cell_col(spark, sf_dir):
+    """cell_col= swaps sign cells for PRECOMPUTED cells (the SemDeDup
+    paper's fitted k-means cells via mlpipeline.cluster_embeddings):
+    joined and tiled strategies must agree verdict-for-verdict on the
+    real embeddings, the emitted cell must be the provided assignment,
+    and a NULL cell must keep its rows on both paths (it never
+    equi-joins in the joined form)."""
+    from pyspark.sql import Row
+
+    from aim357_2019_etl_and_ml_workshop_spark.operators.dedup import (
+        semantic_dedup,
+    )
+    from aim357_2019_etl_and_ml_workshop_spark.operators.mlpipeline import (
+        cluster_embeddings,
+    )
+    from aim357_2019_etl_and_ml_workshop_spark.sources.io import read_testdata
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    cells = cluster_embeddings(emb, "embedding", "vec_id", k=4)
+    with_cells = emb.join(cells, "vec_id")
+    kw = dict(threshold=0.35, cell_col="cluster")
+    joined = sorted(
+        tuple(r)
+        for r in semantic_dedup(
+            with_cells, "vec_id", "embedding", **kw
+        ).collect()
+    )
+    tiled = sorted(
+        tuple(r)
+        for r in semantic_dedup(
+            with_cells, "vec_id", "embedding", strategy="tiled", **kw
+        ).collect()
+    )
+    assert tiled == joined
+    assert {c for _, c, _ in tiled} <= set(range(4))  # emitted = provided
+    # same corpus under sign cells differs from fitted cells somewhere
+    # (sanity that cell_col actually changed the contract's geometry)
+    sign = sorted(
+        tuple(r)
+        for r in semantic_dedup(
+            emb, "vec_id", "embedding", threshold=0.35, n_sign_dims=6
+        ).collect()
+    )
+    assert sign != tiled
+
+    rows = [
+        Row(vec_id=1, embedding=[1.0, 0.0], grp=None),
+        Row(vec_id=2, embedding=[1.0, 0.0], grp=None),
+        Row(vec_id=3, embedding=[1.0, 0.0], grp=7),
+        Row(vec_id=4, embedding=[1.0, 0.0], grp=7),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, grp bigint"
+    )
+    for strategy in ("joined", "tiled"):
+        got = {
+            r["vec_id"]: r["kept"]
+            for r in semantic_dedup(
+                df, "vec_id", "embedding", threshold=0.9,
+                cell_col="grp", strategy=strategy,
+            ).collect()
+        }
+        # NULL-cell rows never compare (kept); the real cell keeps min id
+        assert got == {1: True, 2: True, 3: True, 4: False}, strategy
