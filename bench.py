@@ -182,27 +182,32 @@ def duckdb_suite(sf_dir: str, names: list[str], runs: int = 3) -> dict:
 
 def spark_suite(
     spark, registry, sf_dir: str, names: list[str], runs: int,
-    warm_pass: bool = False,
+    warm_pass: bool | int = False,
 ) -> dict[str, float]:
     """Best-of-`runs` noop-sink wall time per query, cache cleared between
     runs (see main's rationale).
 
-    ``warm_pass=True`` prepends one UNTIMED execution of each query before
-    its timed runs. Back-to-back full-bench A/B (r6): without it, a fresh
-    JVM's first suite ran uniformly ~15-20% slower than an immediate rerun
-    even at min-of-3 — C2/janino compilation amortizes across more
-    executions than one query's own runs provide. The warm pass makes the
-    published number the steady-state plan cost, reproducible across
-    process launches (VERDICT r05 #3's ±10% criterion)."""
+    ``warm_pass`` prepends that many UNTIMED executions of each query
+    before its timed runs (True == 1). Back-to-back full-bench A/B (r6):
+    without it, a fresh JVM's first suite ran uniformly ~15-20% slower
+    than an immediate rerun even at min-of-3 — C2/janino compilation
+    amortizes across more executions than one query's own runs provide.
+    r8 found ONE warm execution still leaves ~20% of residual JIT in the
+    first timed pass (the published number was protected by the
+    across-pass min, but rerun_delta_pct read warm-up, not
+    reproducibility), so the primary suite now warms twice. The warm
+    passes make the published number the steady-state plan cost,
+    reproducible across process launches (VERDICT r05 #3's criterion)."""
+    n_warm = int(warm_pass)
     timings: dict[str, float] = {}
     for name in names:
         fn = registry[name]
         best = None
-        for i in range(runs + (1 if warm_pass else 0)):
+        for i in range(runs + n_warm):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
-            if not (warm_pass and i == 0):
+            if i >= n_warm:
                 best = dt if best is None else min(best, dt)
             spark.catalog.clearCache()
         timings[name] = round(best, 4)
@@ -298,7 +303,7 @@ def main() -> None:
     # materializations (queries that persist shared subtrees neither leak
     # across runs nor coast on a previous run's cache).
     timings = spark_suite(
-        spark, registry, sf_dir, HEADLINE, runs, warm_pass=True
+        spark, registry, sf_dir, HEADLINE, runs, warm_pass=2
     )
 
     # Reproducibility evidence (VERDICT r06 #8): a same-session second
@@ -351,8 +356,9 @@ def main() -> None:
         "rerun_total_sec": rerun_total,
         "rerun_delta_pct": rerun_delta_pct,
         "rerun_delta_spec": (
-            "raw pass-to-pass spread; measured box range 5.9-15.5% "
-            "(PERF.md r7 four-pass study). Published queries/value are "
+            "raw pass1->pass2 spread. r8 measurement: even after warm "
+            "passes, pass 1 carries residual JIT (~20% at warm=1, ~11% "
+            "at warm=2 — PERF.md r8); the published queries/value are "
             "per-query min across both passes, so the headline does not "
             "inherit this spread."
         ),
