@@ -1157,20 +1157,25 @@ def repeated_ngram_spans(
     back through the equi-join, so the join output is bounded by the
     TRUE duplicate mass, not the corpus.
 
-    ``hash_spans=True`` is the 100 TB mode (VERDICT r07 #2): the span
-    STRING is the scan's heaviest column — n tokens re-materialized at
-    EVERY position — so the frequency pass instead hashes each token
-    slice in place (one xxhash64 over ``slice(toks, pos+1, n)``, 8
-    bytes/span through the shuffle instead of the joined string).
-    Because a 64-bit collision can only MERGE two distinct n-grams
-    (inflating a count, never deflating one), hash survivors are a
-    strict superset of true survivors; the verify pass rebuilds the
-    actual string and recounts ONLY for survivor occurrences (bounded
-    by duplicate mass, with the corpus token table pre-filtered by a
-    broadcast semi-join on survivor doc ids — the minhash verify
-    pattern), so the output is exactly the string mode's. The string
-    form stays the default because it is what the DuckDB oracle
-    re-derives in one pass; both modes share that oracle."""
+    ``hash_spans=True`` is the network-bound-cluster mode (VERDICT r07
+    #2): the frequency pass hashes each token slice in place (one
+    xxhash64 over ``slice(toks, pos+1, n)``, 8 bytes/span through the
+    shuffle instead of the joined n-token string). Because a 64-bit
+    collision can only MERGE two distinct n-grams (inflating a count,
+    never deflating one), hash survivors are a strict superset of true
+    survivors; the verify pass rebuilds the actual string and recounts
+    ONLY for survivor occurrences (bounded by duplicate mass, with the
+    corpus token table pre-filtered by a broadcast semi-join on
+    survivor doc ids — the minhash verify pattern), so the output is
+    exactly the string mode's. MEASURED (PERF.md r8): 4.8× fewer
+    shuffle bytes on a 99%-unique corpus — the post-exact-dedup regime
+    this mode is for — but MORE bytes and time on duplicate-heavy
+    corpora, where map-side combine already collapses the string
+    frequency agg and the verify machinery dominates; the discriminator
+    is the corpus's duplicate fraction, which is why the mode is
+    opt-in. The string form stays the default because it is what the
+    DuckDB oracle re-derives in one pass; both modes share that
+    oracle."""
     toks = F.split(normalize_text(text_col), " ")
     if not hash_spans:
         # ngram_array is the module's single n-gram constructor (short
