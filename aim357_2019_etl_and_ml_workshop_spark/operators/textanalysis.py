@@ -434,6 +434,63 @@ def dsir_resample(
     )
 
 
+def dsir_resample_fraction(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    target: Column,
+    fraction: float,
+    seed: str = "dsir-v1",
+    approx: bool = False,
+) -> DataFrame:
+    """Fraction-shaped DSIR selection — the corpus-scale companion to
+    dsir_resample: keep every document whose Gumbel priority is at or
+    above the corpus's (1 - fraction) priority percentile. Same sampling
+    law (∝ exp(weight), seeded-hash Gumbel noise, see dsir_resample) but
+    the selection is a THRESHOLD FILTER, not a top-k: dsir_resample's
+    TakeOrderedAndProject merges k rows on the driver, which is right
+    for bounded k and wrong when k is a fraction of a 100 TB corpus —
+    here the threshold is one row broadcast back and the corpus is only
+    scanned, never gathered. Boundary ties at the threshold are all kept
+    (>=), so the realized fraction can slightly exceed ``fraction`` —
+    deterministically, on both engines. Output: the selected docs as
+    (id, n_tok, log_ratio, priority, thresh).
+
+    ``approx=False`` (default) computes the exact interpolated
+    percentile — the conformance form, re-derivable as DuckDB
+    quantile_cont (same contract adaptive_quality_gate pins); its
+    aggregation buffer holds the priority column, so at true corpus
+    scale pass ``approx=True`` to swap in approx_percentile (t-digest
+    style, mergeable, bounded memory) — same plan shape, tolerance
+    rather than hash conformance."""
+    from .dedup import portable_hash60
+
+    fraction = float(fraction)
+    if not 0.0 < fraction <= 1.0:
+        raise ValueError(f"fraction must be in (0, 1], got {fraction!r}")
+    w = dsir_importance_weights(df, text_col, id_col, target)
+    u = (
+        portable_hash60(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+        + 0.5
+    ) / float(1 << 60)
+    pri = w.select(
+        F.col(id_col),
+        "n_tok",
+        "log_ratio",
+        F.round(F.col("log_ratio") + (-F.log(-F.log(u))), 6).alias("priority"),
+    )
+    pct = F.lit(1.0 - fraction)
+    agg = (
+        F.percentile_approx(F.col("priority"), pct, 10_000)
+        if approx
+        else F.percentile(F.col("priority"), pct)
+    )
+    thresh = pri.agg(F.round(agg, 6).alias("thresh"))
+    return pri.crossJoin(F.broadcast(thresh)).where(
+        F.col("priority") >= F.col("thresh")
+    )
+
+
 def fuzzy_substitution_pairs(
     df: DataFrame,
     text_col: str,

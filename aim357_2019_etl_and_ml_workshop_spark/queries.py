@@ -97,7 +97,7 @@ _DRIVER_PRIORITY = [
     # (a)+(b)+40 of the 44 old singles, leaving 4 old + 3 new = 7
     # single-verdict keys (target <=10). ---
     "semantic_dedup_tiled", "repeated_ngram_spans_hashed",
-    "dsir_select_topk",
+    "dsir_select_topk", "dsir_select_fraction",
     "semantic_dedup_cells", "repeated_ngram_spans",
     "substring_dedup_rewrite", "adaptive_quality_gate",
     "dsir_importance_weights", "embedding_neardup_blocked",
@@ -5850,6 +5850,61 @@ def dsir_importance_weights_query(spark: SparkSession, sf_dir: str) -> DataFrame
         "text",
         "doc_id",
         target=F.col("lang") == "en",
+    )
+
+
+@register(
+    "dsir_select_fraction",
+    """
+    WITH toks AS (
+        SELECT doc_id, (lang = 'en') AS is_t,
+               unnest(string_split(
+                   regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')) AS tok
+        FROM documents
+    ), tk AS (
+        SELECT doc_id, is_t, tok FROM toks WHERE tok <> ''
+    ), freq AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS r_tf,
+               CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS t_tf
+        FROM tk GROUP BY 1
+    ), tot AS (
+        SELECT CAST(sum(r_tf) AS BIGINT) AS r_total,
+               CAST(sum(t_tf) AS BIGINT) AS t_total,
+               CAST(count(*) AS BIGINT) AS v
+        FROM freq
+    ), w AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+               CAST(round(sum(  ln((t_tf + 1.0) / (t_total + v))
+                              - ln((r_tf + 1.0) / (r_total + v))), 6)
+                    AS DOUBLE) AS log_ratio
+        FROM tk JOIN freq USING (tok) CROSS JOIN tot
+        GROUP BY doc_id
+    ), pri AS (
+        SELECT doc_id, n_tok, log_ratio,
+               round(log_ratio - ln(-ln(
+                   ((('0x' || substr(md5('dsir-v1' || CAST(doc_id AS VARCHAR)),
+                                     1, 15))::BIGINT + 0.5)
+                    / 1152921504606846976.0))), 6) AS priority
+        FROM w
+    ), th AS (
+        SELECT round(quantile_cont(priority, 0.8), 6) AS thresh FROM pri
+    )
+    SELECT doc_id, n_tok, log_ratio, priority, thresh
+    FROM pri CROSS JOIN th
+    WHERE priority >= thresh
+    """,
+)
+def dsir_select_fraction_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-scale DSIR selection shape (threshold filter, no top-k
+    driver merge) under a full value oracle: DuckDB re-derives every
+    weight, every Gumbel priority, the exact interpolated 0.8 percentile
+    threshold, and the selected membership
+    (operators/textanalysis.dsir_resample_fraction)."""
+    from .operators.textanalysis import dsir_resample_fraction
+
+    return dsir_resample_fraction(
+        spread_for_cpu(_t(spark, sf_dir, "documents")), "text", "doc_id",
+        target=F.col("lang") == "en", fraction=0.2,
     )
 
 

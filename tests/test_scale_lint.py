@@ -33,6 +33,7 @@ WHITELIST = {
     "unigram_logprob_scores": "broadcast scalar corpus-total gather",
     "dsir_importance_weights": "broadcast scalar totals gather (one row: r_total/t_total/vocab) — same shape as unigram_logprob_scores",
     "dsir_select_topk": "same broadcast scalar totals gather as dsir_importance_weights (selection is TakeOrderedAndProject, no global sort exchange)",
+    "dsir_select_fraction": "totals gather (as dsir_importance_weights) + one-row percentile-threshold gather broadcast back; the EXACT percentile buffer is the conformance form — approx=True (percentile_approx, mergeable t-digest buffers) is the corpus-scale swap",
     "small_quantity_revenue": "scalar agg final gather",
     "money_scale_contract": "scalar agg final gather (5 counters)",
     "events_key_skew_report": "scalar agg over per-key counts gather",
