@@ -1322,6 +1322,7 @@ def semantic_dedup(
     strategy: str = "joined",
     eager_release: bool = False,
     cell_col: str | None = None,
+    block_rows: int = 2048,
 ) -> DataFrame:
     """SemDeDup-shaped semantic dedup (Abbas et al. 2023): partition the
     embedding space into cells, compare only WITHIN a cell, and drop any
@@ -1342,7 +1343,7 @@ def semantic_dedup(
     scale this is the sizing lever: pick k so |corpus|/k vectors fit one
     task's memory budget in the tiled kernel.
 
-    Two strategies, IDENTICAL verdicts (contract-twinned by pytest and
+    Three strategies, IDENTICAL verdicts (contract-twinned by pytest and
     by the shared semantic_dedup_* oracle SQL):
 
     - ``strategy="joined"``: the declarative conformance form — cell
@@ -1371,6 +1372,13 @@ def semantic_dedup(
       discipline of similarity._tiled_matmul_pairs (same SB=1024, same
       round-then-compare float sequence, so verdicts are bit-identical
       across strategies on the same cell).
+    - ``strategy="blocked"``: the SKEW-proof scale path — cells
+      hash-split into ``ceil(|cell|/block_rows)`` blocks, one Arrow
+      task per block PAIR, per-task memory bounded regardless of the
+      largest cell; costs n·B replication through the pair shuffle.
+      Use when one cell can dominate (boilerplate-heavy fitted cells);
+      tiled is faster when cells are balanced. See
+      _semantic_dedup_blocked.
 
     ``eager_release=True`` (joined form only — tiled persists nothing):
     materialize the verdict frame via localCheckpoint and unpersist the
@@ -1380,9 +1388,10 @@ def semantic_dedup(
     (VERDICT r07 wrong #2 / ADVICE r07)."""
     from .similarity import as_double_vec, dot, norm
 
-    if strategy not in ("joined", "tiled"):
+    if strategy not in ("joined", "tiled", "blocked"):
         raise ValueError(
-            f"strategy must be 'joined' or 'tiled', got {strategy!r}"
+            "strategy must be 'joined', 'tiled' or 'blocked', "
+            f"got {strategy!r}"
         )
     v = as_double_vec(vec_col)
     if cell_col is not None:
@@ -1394,6 +1403,10 @@ def semantic_dedup(
 
     if strategy == "tiled":
         return _semantic_dedup_tiled(df, id_col, v, cell, threshold)
+    if strategy == "blocked":
+        return _semantic_dedup_blocked(
+            df, id_col, v, cell, threshold, block_rows
+        )
 
     # base feeds THREE consumers in one action (both self-join sides +
     # the verdict join); without persist the scan + double-cast + norm
@@ -1542,6 +1555,113 @@ def _semantic_dedup_tiled(
         F.col(id_col), v.alias("_v"), cell.cast("bigint").alias("cell")
     )
     return base.groupBy("cell").applyInPandas(kern, schema)
+
+
+def _semantic_dedup_blocked(
+    df: DataFrame,
+    id_col: str,
+    v: Column,
+    cell: Column,
+    threshold: float,
+    block_rows: int = 2048,
+) -> DataFrame:
+    """Skew-proof semantic_dedup(strategy='blocked'): identical verdicts
+    to joined/tiled, but a CELL is no longer a unit of work — each cell
+    hash-splits into ceil(|cell|/block_rows) blocks, every block PAIR
+    (i <= j) is one Arrow task, and per-task memory is bounded by
+    ~2·block_rows vectors + one block_rows² similarity matrix no matter
+    how large the largest cell grows (the tiled kernel's one-task-per-
+    cell shape is faster when cells are balanced — measured 1.5×
+    max/avg sign-cell skew on testdata — but a boilerplate-dominated
+    fitted cell at corpus scale would serialize it). Cost: each vector
+    is replicated to its block's ceil(|cell|/block_rows) block pairs,
+    so bytes shuffled are n·B — choose block_rows so B stays small
+    (the replication is the standard distributed all-pairs trade).
+    Blocks are hash-assigned (xxhash64(id) mod B), so each kernel
+    compares ids directly: a row is dropped iff ANY same-cell row with
+    a smaller id clears the threshold, exactly the joined form's
+    predicate; only dropped ids leave the kernel (the reduce is a
+    distinct + anti-join — no verdict-row traffic from pair tasks).
+    Zero-norm rows divide to NaN (never drop, never dropped); NULL
+    vectors/cells never enter the pair pipeline and fall out kept via
+    the final left join."""
+    import numpy as np
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    th = float(threshold)
+
+    base = df.select(
+        F.col(id_col), v.alias("_v"), cell.cast("bigint").alias("cell")
+    )
+    vec = base.where(F.col("_v").isNotNull() & F.col("cell").isNotNull())
+    counts = vec.groupBy("cell").agg(F.count(F.lit(1)).alias("_n"))
+    nb = F.greatest(
+        F.lit(1), F.ceil(F.col("_n") / F.lit(block_rows))
+    ).cast("int")
+    sized = vec.join(
+        F.broadcast(counts.select("cell", nb.alias("_nb"))), "cell"
+    )
+    blk = F.pmod(F.xxhash64(F.col(id_col)), F.col("_nb")).cast("int")
+    # replicate each row to every block pair involving its block: a row
+    # in block b reaches pair (min(b,t), max(b,t)) once per t
+    pairs = sized.select(
+        F.col(id_col),
+        "_v",
+        "cell",
+        blk.alias("_b"),
+        F.explode(F.sequence(F.lit(0), F.col("_nb") - 1)).alias("_t"),
+    ).select(
+        id_col,
+        "_v",
+        "cell",
+        F.least("_b", "_t").alias("_i"),
+        F.greatest("_b", "_t").alias("_j"),
+        F.col("_b").alias("_blk"),
+    )
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        mat = np.stack(
+            [np.asarray(r, dtype=np.float64) for r in pdf["_v"].to_numpy()]
+        )
+        norms = np.linalg.norm(mat, axis=1)
+        gi, gj = pdf["_i"].iloc[0], pdf["_j"].iloc[0]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            if gi == gj:
+                s = np.round(
+                    (mat @ mat.T) / np.outer(norms, norms), 6
+                )
+                hit = s >= th
+                dropped = (hit & (ids[:, None] < ids[None, :])).any(axis=0)
+                out = ids[dropped]
+            else:
+                a = pdf["_blk"].to_numpy() == gi
+                ida, idb = ids[a], ids[~a]
+                s = np.round(
+                    (mat[a] @ mat[~a].T)
+                    / np.outer(norms[a], norms[~a]),
+                    6,
+                )
+                hit = s >= th
+                lt = ida[:, None] < idb[None, :]
+                out = np.concatenate(
+                    [
+                        ida[(hit & ~lt).any(axis=1)],  # some b-id < a-id
+                        idb[(hit & lt).any(axis=0)],  # some a-id < b-id
+                    ]
+                )
+        return pd.DataFrame({id_col: out})
+
+    dropped = (
+        pairs.groupBy("cell", "_i", "_j")
+        .applyInPandas(kern, f"{id_col} {id_type}")
+        .distinct()
+    )
+    marked = dropped.select(F.col(id_col), F.lit(True).alias("_drop"))
+    return base.join(marked, id_col, "left").select(
+        id_col, "cell", F.col("_drop").isNull().alias("kept")
+    )
 
 
 def cluster_representatives(

@@ -96,7 +96,8 @@ _DRIVER_PRIORITY = [
     # first, computed from CORRECTNESS_r01-r07. A 50-sample covers
     # (a)+(b)+40 of the 44 old singles, leaving 4 old + 3 new = 7
     # single-verdict keys (target <=10). ---
-    "semantic_dedup_tiled", "repeated_ngram_spans_hashed",
+    "semantic_dedup_tiled", "semantic_dedup_blocked",
+    "repeated_ngram_spans_hashed",
     "dsir_select_topk", "dsir_select_fraction",
     "semantic_dedup_cells", "repeated_ngram_spans",
     "substring_dedup_rewrite", "adaptive_quality_gate",
@@ -5850,6 +5851,31 @@ def dsir_importance_weights_query(spark: SparkSession, sf_dir: str) -> DataFrame
         "text",
         "doc_id",
         target=F.col("lang") == "en",
+    )
+
+
+@register("semantic_dedup_blocked", _SEMANTIC_DEDUP_ORACLE)
+def semantic_dedup_blocked_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SKEW-proof scale form of SemDeDup semantic dedup: same
+    cell-constrained keep-min-id semantics and the SAME full oracle as
+    semantic_dedup_cells / semantic_dedup_tiled, but a cell hash-splits
+    into bounded blocks and every block pair is its own Arrow task —
+    per-task memory is independent of the largest cell
+    (operators/dedup._semantic_dedup_blocked). block_rows derives from
+    a footer count so cells split into ~4 blocks at EVERY SF: the
+    conformance run exercises multi-block cells and both kernel
+    branches, while the soak SFs keep the replication factor constant
+    instead of inheriting a fixed tiny block size (block_rows=4 at sf10
+    means ~780 copies of every vector — measured stuck; block size must
+    scale with the corpus, exactly as the operator docstring says).
+    block_rows does not affect the result, only the plan."""
+    from .operators.dedup import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    block_rows = max(4, emb.count() // 256)
+    return semantic_dedup(
+        emb, "vec_id", "embedding", threshold=0.35, n_sign_dims=6,
+        strategy="blocked", block_rows=block_rows,
     )
 
 

@@ -642,3 +642,12 @@ def test_semantic_dedup_tiled_equals_joined(spark, data):
         ).collect()
     )
     assert tiled == joined
+    # blocked with tiny blocks forces multi-block cells and both kernel
+    # branches (diagonal + cross-block) on every generated corpus
+    blocked = sorted(
+        tuple(r)
+        for r in semantic_dedup(
+            df, "vec_id", "embedding", strategy="blocked", block_rows=3, **kw
+        ).collect()
+    )
+    assert blocked == joined
