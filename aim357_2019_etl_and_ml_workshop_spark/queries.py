@@ -93,16 +93,19 @@ _DRIVER_PRIORITY = [
     # percentile went typed-literal, embedding_near_duplicates' dim probe
     # and null-vector filter changed — re-verdict all of them first);
     # (c) every remaining single-verdict key, least-recently-verified
-    # first, computed from CORRECTNESS_r01-r07. A 50-sample covers
-    # (a)+(b)+40 of the 44 old singles, leaving 4 old + 3 new = 7
-    # single-verdict keys (target <=10). ---
+    # first, computed from CORRECTNESS_r01-r07. The prefix holds 5 new +
+    # 6 changed + 44 old singles = 55 keys; a 50-sample covers the 11
+    # new/changed plus 39 old singles, leaving 5 old + 5 new = 10
+    # single-verdict keys (target <=10). embedding_neardup_lsh also
+    # changed but is deliberately NOT re-prioritized: its driver verdict
+    # is rows-only (no_oracle) — the hash evidence for that code path is
+    # embedding_neardup_blocked + the recall contracts, which are. ---
     "semantic_dedup_tiled", "semantic_dedup_blocked",
     "repeated_ngram_spans_hashed",
     "dsir_select_topk", "dsir_select_fraction",
     "semantic_dedup_cells", "repeated_ngram_spans",
     "substring_dedup_rewrite", "adaptive_quality_gate",
     "dsir_importance_weights", "embedding_neardup_blocked",
-    "embedding_neardup_lsh",
     # (c) old single-verdict keys, least-recently-verified (r4) first
     "map_functions_probe", "math_functions_probe",
     "mode_event_type_per_user", "nation_pair_revenue",
