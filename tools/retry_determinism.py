@@ -60,6 +60,9 @@ DEFAULT_QUERIES = [
     "repeated_ngram_spans_hashed",
     # r8: seeded Gumbel-top-k — tie/boundary membership under recompute
     "dsir_select_topk",
+    # r8: block-pair kernels emit only dropped ids off retried scans —
+    # the distinct+anti-join reduce must see the same id set per attempt
+    "semantic_dedup_blocked",
 ]
 
 
