@@ -371,11 +371,31 @@ def main() -> None:
         t_sf1 = spark_suite(
             spark, registry, sf1_dir, SF1_SUBSET, runs, warm_pass=True
         )
+        # sf1 is the noise-sensitive SF (PERF.md r7 four-pass study: the
+        # ratio swung 1.79-3.44 with DENOMINATOR drift on identical SQL)
+        # — both engines get the same two-phase per-query-min treatment
+        # as sf0.1/sf10, so all three published ratios read the quieter
+        # phase on each side.
+        t_sf1_rerun = spark_suite(spark, registry, sf1_dir, SF1_SUBSET, runs)
+        sf1_rerun_delta = round(
+            100.0
+            * abs(sum(t_sf1_rerun.values()) - sum(t_sf1.values()))
+            / sum(t_sf1.values()),
+            2,
+        )
+        t_sf1 = {n: min(t_sf1[n], t_sf1_rerun[n]) for n in t_sf1}
+        oracle_sf1_post = duckdb_suite(sf1_dir, SF1_SUBSET, runs)
+        oracle_sf1["queries"] = {
+            n: min(oracle_sf1["queries"][n], oracle_sf1_post["queries"][n])
+            for n in oracle_sf1["queries"]
+        }
+        oracle_sf1["value"] = round(sum(oracle_sf1["queries"].values()), 4)
         sf1_block = {
             "sf": 1.0,
             "dir": sf1_dir,
             "value": round(sum(t_sf1.values()), 4),
             "queries": t_sf1,
+            "rerun_delta_pct": sf1_rerun_delta,
             "oracle": oracle_sf1,
         }
         sf1_block.update(ratio_block(t_sf1, oracle_sf1))
