@@ -634,8 +634,18 @@ def lsh_topk(
     multiprobe: int = 0,
     broadcast_max_rows: int = 2_000_000,
     broadcast_max_bytes: int = 512 << 20,
+    bucket_state: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: classic multi-table hyperplane LSH.
+
+    ``bucket_state`` = a persisted (c_id, table, bucket) index built by
+    :func:`lsh_bucket_state` with the SAME (n_tables, n_bits, seed, dim):
+    the candidate side skips hashing entirely — the probe reads the
+    stored index, so a nightly query batch costs only the query-side
+    bucket build + the bucket equi-join + exact re-rank (the persisted
+    ANN-state shape of VERDICT r08 next #3; ``candidates`` is still
+    required for the re-rank vector gather, which the exact verify needs
+    regardless).
 
     ``multiprobe=1`` additionally probes, per table, every bucket at
     Hamming distance 1 from the query's bucket (the classic multiprobe
@@ -663,11 +673,16 @@ def lsh_topk(
     all_planes = [
         hyperplanes(dim, n_bits, seed + 1000 * t) for t in range(n_tables)
     ]
-    c = _multi_table_buckets(
-        candidates.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("cv")),
-        "cv",
-        all_planes,
-    )
+    if bucket_state is not None:
+        c = bucket_state
+    else:
+        c = _multi_table_buckets(
+            candidates.select(
+                F.col(id_col).alias("c_id"), F.col(vec_col).alias("cv")
+            ),
+            "cv",
+            all_planes,
+        )
     # The bucket join + pair emission + partial pair-dedup all run INSIDE
     # the stage that scans the candidate side (q is broadcast), so their
     # parallelism is whatever the parquet split count happens to be — and
@@ -867,3 +882,149 @@ def ivf_topk(
     # rank via local top-k per Arrow batch + tiny merge window instead of
     # a sort shuffle over every probed pair
     return _local_topk_merge(pairs, qmap, k)
+
+
+# ---------------------------------------------------------------------------
+# Persisted ANN index state (VERDICT r08 next #3): fit once, probe nightly
+# ---------------------------------------------------------------------------
+
+
+def ivf_centroid_state(
+    vectors: DataFrame,
+    vec_col: str = "v",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    n_iters: int = 2,
+    sample_rows: int | None = None,
+) -> DataFrame:
+    """The MODEL-STATE half of a persisted IVF index: (cell, centroid),
+    one row per centroid — write it to a parquet keyed store once per
+    fitted corpus generation and pass it back to probe-time calls
+    (:func:`ivf_assign_batch`, :func:`ivf_topk_from_state`) so nightly
+    query batches never re-fit (the ANN mirror of
+    dedup.simhash_banding_state; reference lifecycle: the 2am scheduled
+    re-run, etl-cfn-2am-trigger.json:259-290, applied to similarity
+    search). The fit itself is :func:`ivf_centroids` — deterministic
+    given the corpus and parameters, which is what makes the
+    provided-state == derived-state contract testable. n_centroids /
+    n_iters / sample_rows must match between fit and any re-fit
+    comparison; the state carries no metadata, so version the store
+    path on them (same caveat as simhash_banding_state)."""
+    cents = ivf_centroids(
+        vectors, vec_col, n_centroids, n_iters, id_col,
+        sample_rows=sample_rows,
+    )
+    return vectors.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cell int, centroid array<double>",
+    )
+
+
+def _centroids_from_state(centroid_state: DataFrame) -> list[list[float]]:
+    """Collect a (cell, centroid) state table back into the dense list the
+    assign/probe kernels take. Cells must be exactly 0..k-1 (the builder's
+    invariant) — validated here because a gap would silently shift every
+    assignment."""
+    rows = centroid_state.select("cell", "centroid").orderBy("cell").collect()
+    cells = [int(r["cell"]) for r in rows]
+    if cells != list(range(len(cells))):
+        raise ValueError(
+            f"centroid state cells must be contiguous 0..k-1, got {cells}"
+        )
+    return [list(r["centroid"]) for r in rows]
+
+
+def ivf_assign_batch(
+    batch: DataFrame,
+    centroid_state: DataFrame,
+    vec_col: str = "v",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Inverted-file rows for ONE ingested batch against persisted
+    centroid state: (c_id, cell, cv). Append the result to the stored
+    assignment table per accepted batch — the corpus is never re-assigned
+    (one Arrow argmin pass over the NEW rows only). The assignment kernel
+    is byte-identical to the in-line path (:func:`_assign_cells`), so a
+    state built incrementally equals one built in a single shot —
+    property-tested, and the registered ivf_state_recall_check query
+    hash-checks the equality at conformance SFs."""
+    cents = _centroids_from_state(centroid_state)
+    return _assign_cells(
+        batch.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("cv")),
+        "cv",
+        cents,
+    ).select("c_id", "cell", "cv")
+
+
+def ivf_topk_from_state(
+    assignments: DataFrame,
+    centroid_state: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Probe-only IVF top-k over PERSISTED index state: identical search
+    semantics (and, given state built from the same fit, identical
+    results) to :func:`ivf_topk`, but the per-call work is only the
+    query-side probe-table build (driver-side over k centroids), the
+    cell equi-join against the stored inverted file, and the exact
+    re-rank — no fit, no corpus assign pass. ``assignments`` is the
+    (c_id, cell, cv) table maintained by :func:`ivf_assign_batch`;
+    carrying cv in the posting rows is the standard IVF layout
+    (cluster-local vector storage) and what lets the re-rank run without
+    a corpus join at probe time."""
+    cents = _centroids_from_state(centroid_state)
+    qmap = {
+        int(r[0]): np.asarray(r[1], dtype=np.float64)
+        for r in queries.select(id_col, vec_col).collect()
+    }
+    C = np.array(cents, dtype=np.float64)
+    probe_rows = []
+    for qid in sorted(qmap):
+        d = ((qmap[qid][None, :] - C) ** 2).sum(axis=1)
+        for cell in np.argsort(d, kind="stable")[:n_probe]:
+            probe_rows.append((qid, int(cell)))
+    q = assignments.sparkSession.createDataFrame(
+        probe_rows, "q_id bigint, cell int"
+    )
+    pairs = assignments.join(F.broadcast(q), "cell").where(
+        F.col("c_id") != F.col("q_id")
+    )
+    return _local_topk_merge(pairs, qmap, k)
+
+
+def lsh_bucket_state(
+    candidates: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    n_tables: int = 16,
+    n_bits: int = 4,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """The persisted bucket index of multi-table hyperplane LSH:
+    (c_id, table, bucket), n_tables rows per vector. Hyperplanes are
+    derived deterministically from (seed, dim, n_bits, n_tables), so the
+    state needs no plane table — but those parameters must match at probe
+    time (version the store path on them; the state carries no metadata).
+    Unlike the IVF posting rows, bucket rows deliberately do NOT carry the
+    vector (n_tables copies each would multiply vector storage); probe
+    calls re-rank from the corpus table's gather path, which they need
+    for the exact verify anyway. Append per accepted batch; pass to
+    ``lsh_topk(bucket_state=)`` so nightly probes never re-hash the
+    corpus."""
+    if dim is None:
+        first = candidates.select(F.size(vec_col).alias("d")).first()
+        dim = int(first["d"])
+    all_planes = [
+        hyperplanes(dim, n_bits, seed + 1000 * t) for t in range(n_tables)
+    ]
+    return _multi_table_buckets(
+        candidates.select(
+            F.col(id_col).alias("c_id"), F.col(vec_col).alias("cv")
+        ),
+        "cv",
+        all_planes,
+    ).select("c_id", "table", "bucket")

@@ -1000,9 +1000,10 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard similarity join — the exact-oracle twin of
     MinHash near-dedup (the MinHash path is the 100TB strategy; this exact
-    version is quadratic in shared shingles and serves as its ground truth).
-    Shingle explode -> self-equi-join on shingle -> per-pair intersection
-    counts -> Jaccard."""
+    version is quadratic in shared shingles and serves as its ground truth;
+    soak-excluded with the banded scale twins minhash_near_duplicates /
+    simhash_near_duplicates). Shingle explode -> self-equi-join on shingle
+    -> per-pair intersection counts -> Jaccard."""
     from .operators.dedup import exploded_shingles
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1684,8 +1685,9 @@ _IVF_CENTROID_CACHE: dict = {}
 @register("ivf_ann_topk")
 def ivf_ann_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) ANN: deterministic mini-KMeans cells + n_probe
-    nearest-cell search + exact re-rank (rows-only: recall vs brute force
-    asserted in tests). Rows-only WAIVER: cell assignment depends on fitted
+    nearest-cell search + exact re-rank (rows-only: recall vs the
+    brute-force exact twin embedding_cosine_topk asserted in tests and in
+    ivf_recall_check). Rows-only WAIVER: cell assignment depends on fitted
     centroids, so the pair set is not SQL-predictable; the accuracy contract
     is driver-checked via the oracle-backed ivf_recall_check twin. Centroids
     are model state: fitted once per sf_dir on a seeded sample and memoized,
@@ -4029,7 +4031,9 @@ def neardup_representatives_query(spark: SparkSession, sf_dir: str) -> DataFrame
     clustering into a dedup'd corpus): max_by on (n_chars, -id) per
     component — map-side-combinable aggregation, no windows
     (operators.dedup.cluster_representatives). Oracle re-derives the
-    clusters with the recursive CTE and ranks members in SQL."""
+    clusters with the recursive CTE and ranks members in SQL. Inherits
+    neardup_clusters' exact quadratic pair source, so it is soak-excluded
+    with the banded scale twin neardup_clusters_banded."""
     from .operators.dedup import cluster_representatives
 
     comps = neardup_clusters(spark, sf_dir)
@@ -6640,4 +6644,151 @@ def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(qualifying),
               F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
         .select("s_suppkey", "s_name")
+    )
+
+
+@register(
+    "semantic_dedup_fitted",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_points,
+           CAST(count(*) AS BIGINT) AS n_verdicts,
+           TRUE AS cells_le_k,
+           CAST(0 AS BIGINT) AS n_mismatched,
+           TRUE AS tiled_eq_joined
+    FROM embeddings
+    """,
+)
+def semantic_dedup_fitted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FITTED-CELL SemDeDup composition under the driver's oracle gate
+    (VERDICT r08 next #2): seeded k-means assignments
+    (operators/mlpipeline.cluster_embeddings, k=8, seed=42 — the paper's
+    actual cells and the documented 100 TB sizing lever, SURVEY.md §8)
+    piped into semantic_dedup(cell_col='cluster'), exercising the
+    cell_col= path end-to-end instead of the sign-cell stand-in.
+
+    Derived-contract form (the embedding_clusters_contract pattern):
+    k-means centroids aren't SQL-expressible, so the oracle re-derives
+    the SQL-checkable invariants — every vector gets exactly one verdict
+    (n_points == n_verdicts == count(*), hash-checked hard) — while the
+    fitted-cell verdicts themselves are cross-proven INSIDE the query:
+    the tiled BLAS kernel and the declarative joined form consume the
+    SAME assignment frame and must agree row-for-row (n_mismatched,
+    hash-checked at 0; a kernel/fold divergence on fitted cells flips
+    tiled_eq_joined and fails the hash). cells_le_k pins the assignment
+    range. Quadratic by contract on the joined side — soak-excluded with
+    the kernel twins (semantic_dedup_tiled / semantic_dedup_blocked) like
+    semantic_dedup_cells."""
+    from .operators.dedup import semantic_dedup
+    from .operators.mlpipeline import cluster_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cells = cluster_embeddings(emb, vec_col="embedding", id_col="vec_id",
+                               k=8, seed=42)
+    # one assignment frame feeds BOTH strategies (persist: the k-means
+    # transform + join otherwise re-executes per consuming action)
+    with_cells = emb.join(cells, "vec_id").persist()
+    tiled = semantic_dedup(
+        with_cells, "vec_id", "embedding", threshold=0.35,
+        cell_col="cluster", strategy="tiled",
+    ).persist()
+    joined = semantic_dedup(
+        with_cells, "vec_id", "embedding", threshold=0.35,
+        cell_col="cluster",
+    )
+    try:
+        t = tiled.select(
+            "vec_id", F.col("cell").alias("c_t"), F.col("kept").alias("k_t")
+        )
+        j = joined.select(
+            "vec_id", F.col("cell").alias("c_j"), F.col("kept").alias("k_j")
+        )
+        mism = (
+            t.join(j, "vec_id", "full")
+            .where(
+                ~(
+                    F.col("c_t").eqNullSafe(F.col("c_j"))
+                    & F.col("k_t").eqNullSafe(F.col("k_j"))
+                )
+            )
+            .count()
+        )
+        n_points = emb.count()
+        n_verdicts = tiled.count()
+        n_cells = tiled.select("cell").distinct().count()
+    finally:
+        tiled.unpersist(blocking=False)
+        with_cells.unpersist(blocking=False)
+    return spark.createDataFrame(
+        [(n_points, n_verdicts, n_cells <= 8, mism, mism == 0)],
+        "n_points bigint, n_verdicts bigint, cells_le_k boolean, "
+        "n_mismatched bigint, tiled_eq_joined boolean",
+    )
+
+
+@register(
+    "ivf_state_recall_check",
+    f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_queries, 5 AS k,
+           CAST(0 AS BIGINT) AS n_mismatched,
+           TRUE AS state_eq_derived, TRUE AS recall_ge_07
+    FROM embeddings WHERE vec_id % {_ANN_STEP_SQL} = 0
+    """,
+)
+def ivf_state_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-ANN-index contract (VERDICT r08 next #3): the IVF probe
+    path over MATERIALIZED state (ivf_centroid_state round-tripped
+    through a DataFrame + ivf_assign_batch inverted file +
+    ivf_topk_from_state) must return exactly what the in-line
+    fit-and-search path (ivf_ann_topk) returns for the same query batch
+    — n_mismatched hash-checked at 0 — and the state path's recall vs
+    the brute-force exact top-k clears the same >= 0.7 bar as
+    ivf_recall_check. n_queries re-derives from the oracle's query-set
+    predicate. The nightly-ingest framing: centroids + assignments are
+    the parquet store, this query is one night's probe batch."""
+    from .operators.similarity import (
+        as_double_vec,
+        ivf_assign_batch,
+        ivf_topk_from_state,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_vec("embedding").alias("v")
+    )
+    q = _ann_queries(emb)
+    # same memoized fit as ivf_ann_topk — the state under test IS that
+    # model state, materialized to a (cell, centroid) table
+    derived = ivf_ann_topk_query(spark, sf_dir).persist()
+    cents = _IVF_CENTROID_CACHE[(sf_dir, 16)]
+    centroid_state = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cell int, centroid array<double>",
+    )
+    assignments = ivf_assign_batch(emb, centroid_state)
+    via_state = ivf_topk_from_state(
+        assignments, centroid_state, q, k=5, n_probe=8
+    ).persist()
+    exact = embedding_cosine_topk(spark, sf_dir).select("q_id", "c_id").persist()
+    try:
+        mism = (
+            via_state.join(
+                derived, ["q_id", "c_id"], "full"
+            )
+            .where(
+                ~via_state["sim"].eqNullSafe(derived["sim"])
+            )
+            .count()
+        )
+        total = exact.count()
+        hits = exact.join(
+            via_state.select("q_id", "c_id"), ["q_id", "c_id"]
+        ).count()
+        n_queries = exact.select("q_id").distinct().count()
+    finally:
+        exact.unpersist(blocking=False)
+        via_state.unpersist(blocking=False)
+        derived.unpersist(blocking=False)
+    return spark.createDataFrame(
+        [(n_queries, 5, mism, mism == 0, hits / total >= 0.7)],
+        "n_queries bigint, k int, n_mismatched bigint, "
+        "state_eq_derived boolean, recall_ge_07 boolean",
     )

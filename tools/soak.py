@@ -33,58 +33,95 @@ from aim357_2019_etl_and_ml_workshop_spark import queries as q
 from aim357_2019_etl_and_ml_workshop_spark.session import get_spark
 
 # Documented exclusions: quadratic-BY-DESIGN baselines whose cost is the
-# spec, not a plan defect. Each names its scale-path twin that DOES run.
+# spec, not a plan defect. Each entry names the registered scale-path twins
+# that DO run ("twins" — machine-checked by tests/test_soak_exclusions.py:
+# every twin must stay registered and docstring-cross-referenced) plus the
+# measured reason.
 EXCLUDE = {
-    "embedding_cosine_topk": (
-        "exact brute-force ANN baseline: one full (N x Q) matmul pass; "
-        "~3 min at sf10 and Spark WINS it 3-4x vs DuckDB (PERF.md) — "
-        "measured once in BENCH/PERF, not re-paid per soak; scale twins "
-        "lsh_ann_topk / ivf_ann_topk run here"
-    ),
-    "embedding_neardup_blocked": (
-        "exact BLOCKED all-pairs baseline (quadratic per label block by "
-        "contract; ~4G pairs at sf10). Runs full-oracle at sf0.3 in "
-        "SOAK_r03; the corpus-scale twin embedding_neardup_lsh runs here"
-    ),
-    "ngram_jaccard_pairs": (
-        "exact shingle-join all-pairs baseline: its Spark side IS the "
-        "quadratic ground truth (pair explosion OOMed an 8g heap at sf10 "
-        "in the first r04 soak attempt). Full-oracle at sf0.3 in "
-        "SOAK_r03; banded scale twins minhash_near_duplicates / "
-        "simhash_near_duplicates run here"
-    ),
-    "minhash_recall_check": (
-        "recall contract whose denominator IS the excluded "
-        "ngram_jaccard_pairs exact join (inlined on the Spark side by "
-        "definition of recall) — same quadratic-by-design cost, same "
-        "OOM at sf10. Verified full-oracle at sf0.3 in SOAK_r03 and at "
-        "every conformance SF; minhash_near_duplicates itself runs here"
-    ),
-    "neardup_clusters": (
-        "component labels over the exact ngram_jaccard_pairs pair set BY "
-        "ORACLE CONTRACT (the recursive-CTE oracle recomputes the exact "
-        "pairs, so a banded source cannot be substituted) — the shingle "
-        "self-join filled ~90 GB of shuffle spill at sf10 in the second "
-        "r04 attempt. Full-oracle at sf0.3 in SOAK_r03 and at conformance "
-        "SFs; the scale twin neardup_clusters_banded (same component "
-        "operator over the verified MinHash pair set) runs here"
-    ),
-    "semantic_dedup_cells": (
-        "SemDeDup-shaped exact baseline: within-cell all-pairs cosine is "
-        "quadratic per cell BY ORACLE CONTRACT (the DuckDB twin recomputes "
-        "every within-cell pair), and the declarative zip_with/aggregate "
-        "fold is interpreted per pair — 312M pairs at sf10 runs to hours. "
-        "Full-oracle at sf0.01/sf0.1 in the conformance gate, 50 s at sf1 "
-        "measured once (PERF.md r7); the scale twin with IDENTICAL "
-        "cell-constrained semantics AND the identical oracle — "
-        "semantic_dedup_tiled (r8, VERDICT r07 #1) — runs here"
-    ),
-    "neardup_representatives": (
-        "representative election over neardup_clusters' labels — "
-        "inherits the exact quadratic pair source above. Full-oracle at "
-        "sf0.3 in SOAK_r03 (5.3 s Spark vs 414 s DuckDB) and at "
-        "conformance SFs; neardup_clusters_banded covers the scale path"
-    ),
+    "embedding_cosine_topk": {
+        "twins": ["lsh_ann_topk", "ivf_ann_topk"],
+        "reason": (
+            "exact brute-force ANN baseline: one full (N x Q) matmul pass; "
+            "~3 min at sf10 and Spark WINS it 3-4x vs DuckDB (PERF.md) — "
+            "measured once in BENCH/PERF, not re-paid per soak; scale twins "
+            "lsh_ann_topk / ivf_ann_topk run here"
+        ),
+    },
+    "embedding_neardup_blocked": {
+        "twins": ["embedding_neardup_lsh"],
+        "reason": (
+            "exact BLOCKED all-pairs baseline (quadratic per label block by "
+            "contract; ~4G pairs at sf10). Runs full-oracle at sf0.3 in "
+            "SOAK_r03; the corpus-scale twin embedding_neardup_lsh runs here"
+        ),
+    },
+    "ngram_jaccard_pairs": {
+        "twins": ["minhash_near_duplicates", "simhash_near_duplicates"],
+        "reason": (
+            "exact shingle-join all-pairs baseline: its Spark side IS the "
+            "quadratic ground truth (pair explosion OOMed an 8g heap at sf10 "
+            "in the first r04 soak attempt). Full-oracle at sf0.3 in "
+            "SOAK_r03; banded scale twins minhash_near_duplicates / "
+            "simhash_near_duplicates run here"
+        ),
+    },
+    "minhash_recall_check": {
+        "twins": ["minhash_near_duplicates"],
+        "reason": (
+            "recall contract whose denominator IS the excluded "
+            "ngram_jaccard_pairs exact join (inlined on the Spark side by "
+            "definition of recall) — same quadratic-by-design cost, same "
+            "OOM at sf10. Verified full-oracle at sf0.3 in SOAK_r03 and at "
+            "every conformance SF; minhash_near_duplicates itself runs here"
+        ),
+    },
+    "neardup_clusters": {
+        "twins": ["neardup_clusters_banded"],
+        "reason": (
+            "component labels over the exact ngram_jaccard_pairs pair set BY "
+            "ORACLE CONTRACT (the recursive-CTE oracle recomputes the exact "
+            "pairs, so a banded source cannot be substituted) — the shingle "
+            "self-join filled ~90 GB of shuffle spill at sf10 in the second "
+            "r04 attempt. Full-oracle at sf0.3 in SOAK_r03 and at conformance "
+            "SFs; the scale twin neardup_clusters_banded (same component "
+            "operator over the verified MinHash pair set) runs here"
+        ),
+    },
+    "semantic_dedup_cells": {
+        "twins": ["semantic_dedup_tiled", "semantic_dedup_blocked"],
+        "reason": (
+            "SemDeDup-shaped exact baseline: within-cell all-pairs cosine is "
+            "quadratic per cell BY ORACLE CONTRACT (the DuckDB twin recomputes "
+            "every within-cell pair), and the declarative zip_with/aggregate "
+            "fold is interpreted per pair — 312M pairs at sf10 runs to hours. "
+            "Full-oracle at sf0.01/sf0.1 in the conformance gate, 50 s at sf1 "
+            "measured once (PERF.md r7); the scale twin with IDENTICAL "
+            "cell-constrained semantics AND the identical oracle — "
+            "semantic_dedup_tiled (r8, VERDICT r07 #1) — runs here"
+        ),
+    },
+    "neardup_representatives": {
+        "twins": ["neardup_clusters_banded"],
+        "reason": (
+            "representative election over neardup_clusters' labels — "
+            "inherits the exact quadratic pair source above. Full-oracle at "
+            "sf0.3 in SOAK_r03 (5.3 s Spark vs 414 s DuckDB) and at "
+            "conformance SFs; neardup_clusters_banded covers the scale path"
+        ),
+    },
+    "semantic_dedup_fitted": {
+        "twins": ["semantic_dedup_tiled", "semantic_dedup_blocked"],
+        "reason": (
+            "fitted-cell composition contract (r9): re-derives the JOINED "
+            "quadratic-by-contract form as in-query ground truth for the "
+            "tiled kernel on k-means cells, so it inherits "
+            "semantic_dedup_cells' per-cell all-pairs cost at soak SFs. "
+            "Full-oracle at sf0.01 in the conformance gate; the fitted-cell "
+            "plumbing is scale-invariant (cells enter as a column) and the "
+            "kernels it exercises soak via semantic_dedup_tiled / "
+            "semantic_dedup_blocked"
+        ),
+    },
 }
 
 
