@@ -82,51 +82,42 @@ def register(name: str, oracle: str | None = None):
 # round; everything else follows in registration order and remains covered
 # by the local gate. (VERDICT r02 "Next round" #2.)
 _DRIVER_PRIORITY = [
-    # --- round-8 rotation (VERDICT r07 #4): cumulative driver coverage is
-    # 171/171, zero failures; 49 keys carried exactly ONE verdict entering
-    # r8. Order: (a) queries NEW this round (semantic_dedup_tiled /
-    # repeated_ngram_spans_hashed — both contract twins sharing their
-    # sibling's full oracle — and dsir_select_topk); (b) queries whose
-    # code changed this round (semantic_dedup gained strategy= +
-    # eager_release, span mining gained hash_spans= and
-    # substring_dedup_rewrite wires through it, adaptive_quality_gate's
-    # percentile went typed-literal, embedding_near_duplicates' dim probe
-    # and null-vector filter changed — re-verdict all of them first);
-    # (c) every remaining single-verdict key, least-recently-verified
-    # first, computed from CORRECTNESS_r01-r07. The prefix holds 5 new +
-    # 6 changed + 44 old singles = 55 keys; a 50-sample covers the 11
-    # new/changed plus 39 old singles, leaving 5 old + 5 new = 10
-    # single-verdict keys (target <=10). embedding_neardup_lsh also
-    # changed but is deliberately NOT re-prioritized: its driver verdict
-    # is rows-only (no_oracle) — the hash evidence for that code path is
-    # embedding_neardup_blocked + the recall contracts, which are. ---
-    "semantic_dedup_tiled", "semantic_dedup_blocked",
-    "repeated_ngram_spans_hashed",
+    # --- round-9 rotation (VERDICT r08 next #4): entering r9 every one of
+    # the 176 r8-era keys carries a driver verdict (zero failures, eight
+    # rounds); exactly 10 carried a single verdict. The 50-slot sample:
+    # (a) the two queries NEW this round (semantic_dedup_fitted — the
+    # fitted-k-means composition contract — and ivf_state_recall_check —
+    # the persisted-ANN-state contract); (b) queries whose code changed
+    # this round (semantic_dedup's blocked strategy gained corpus-derived
+    # block sizing + base persist + eager_release, so all three strategy
+    # twins re-verdict; repeated_ngram_spans_hashed lost its forced
+    # survivor-set broadcast); (c) ALL remaining single-verdict keys —
+    # including the three no_oracle rows-only singles, sampled for their
+    # second (error-freeness) verdict per VERDICT r08 wrong #2, while
+    # no_oracle keys that already hold >= 2 verdicts are EXCLUDED from
+    # oracle-sample slots; (d) 37 oracle-backed least-recently-verified
+    # keys (last verdict r5-r6). After this round at most the two r9
+    # newcomers are single-verdict (target <= 4). ---
+    "semantic_dedup_fitted", "ivf_state_recall_check",
+    "semantic_dedup_blocked", "semantic_dedup_tiled",
+    "semantic_dedup_cells", "repeated_ngram_spans_hashed",
     "dsir_select_topk", "dsir_select_fraction",
-    "semantic_dedup_cells", "repeated_ngram_spans",
-    "substring_dedup_rewrite", "adaptive_quality_gate",
-    "dsir_importance_weights", "embedding_neardup_blocked",
-    # (c) old single-verdict keys, least-recently-verified (r4) first
-    "map_functions_probe", "math_functions_probe",
-    "mode_event_type_per_user", "nation_pair_revenue",
-    "order_count_distribution", "orders_above_avg_price",
-    "orders_above_customer_avg", "parameterized_sql_probe",
-    "parse_timestamp_format", "part_revenue_concentration",
-    "pivot_multi_agg", "posexplode_tokens", "profile_orders",
-    "regexp_functions_probe", "rolling_hash_fingerprint",
-    "sentiment_scores", "ship_delay_priority_counts",
-    "sorted_sources_by_lang", "stats_moments_by_flag",
-    "stratified_sample_contract", "string_functions_probe",
-    "time_grain_rollup", "top_revenue_orders", "top_supplier_revenue",
-    "top_terms", "unpivot_daily", "upsert_orders_snapshot",
-    "value_bucket_histogram", "variant_extract_stats", "word_runs_udtf",
-    # r5 singles
-    "asof_join_tolerance", "embedding_clusters", "forecast_revenue_delta",
-    "mixture_weights_by_source", "money_scale_contract",
-    "neardup_clusters_banded", "null_safe_join_counts",
-    "quality_expectations_orders", "salted_join_revenue", "scd2_user_state",
-    "simhash_near_duplicates", "snapshot_diff_orders",
-    "stratified_sample_docs", "tfidf_features",
+    "scd2_user_state", "snapshot_diff_orders",
+    "simhash_near_duplicates", "stratified_sample_docs", "tfidf_features",
+    # (d) least-recently-verified oracle-backed fill (r5 first, then r6)
+    "count_distinct_users", "counts_by_day", "counts_by_day_type",
+    "customer_order_stats", "date_spine", "dedup_distinct_pairs",
+    "dedup_docs_fingerprint", "embedding_cosine_topk",
+    "epoch_bucket_counts", "flagship_daily_type_counts", "global_count",
+    "group_by_event_type", "inner_join_daily", "json_extract_sum",
+    "like_prefix_filter", "min_max_epoch_bounds", "order_limit_topk",
+    "pivot_daily_by_type", "project_rename_cast", "q1_pricing_summary",
+    "rollup_counts", "sessionize_user_counts", "spine_left_join_gapfill",
+    "strict_range_rows", "text_quality", "token_count", "top3_per_status",
+    "tumbling_hourly_counts", "union_by_name", "union_tagged_counts",
+    "upper_bound_sanity_count", "window_daily_diff",
+    "asof_join_last_signup", "chunk_documents", "cumulative_daily_revenue",
+    "customers_with_orders_semi", "customers_without_orders",
 ]
 
 

@@ -1,0 +1,292 @@
+"""Manifest-committed parquet table — the ACID wrapper that turns the
+incremental-ingest pieces (IncrementalIngest bookmarks, upsert_snapshot,
+snapshot_diff) into a production ingest story (VERDICT r08 next #7).
+
+Design is the published transaction-log pattern (Delta Lake paper, VLDB
+2020; Iceberg spec) reduced to its load-bearing core, implemented on
+plain files so it works on any filesystem Spark can reach:
+
+- data files are immutable parquet written under ``<root>/data/`` with
+  UUID names; a file is INVISIBLE until a manifest version references it,
+  so a writer that dies mid-write leaves only unreferenced orphans
+  (cleaned by :meth:`ManifestTable.vacuum`), never a torn table.
+- a manifest version ``<root>/_manifest/vNNNNNNNNNN.json`` is the FULL
+  snapshot: the ordered list of data files plus the application
+  transaction watermarks. Readers list the directory, take the highest
+  version, and read exactly those files — a reader never observes a
+  half-committed version because the version file appears atomically.
+- commits are optimistic: the version file is claimed with
+  O_CREAT|O_EXCL (atomic on POSIX and on object stores with
+  put-if-absent). A concurrent writer that loses the race re-reads the
+  new base and retries; blind APPENDs always merge (file lists union),
+  so retry is safe; overwrite/upsert retries re-derive from the new base
+  snapshot only if the caller's input was version-independent, so those
+  surface the conflict instead.
+- exactly-once sink semantics use the txn-watermark trick (the Delta
+  ``txn`` action): every commit may carry ``(app_id, batch_id)``; a
+  commit whose batch_id is <= the table's recorded watermark for that
+  app_id is a NO-OP. Spark's foreachBatch is at-least-once — replayed
+  batches re-offer the same batch_id, the watermark rejects them, and
+  the sink becomes exactly-once across restarts without coordination.
+
+100 TB posture: the manifest is O(files), not O(rows) — with compaction
+(sources.io.compact_small_files) keeping files at hundreds of MB, a
+100 TB table is ~1e5-1e6 entries, a few MB of JSON read once per query
+plan. Every heavy operation (read, upsert's anti-join) is DataFrame
+work; the driver touches only the file listing, exactly like the
+reference catalog's partition listings. Snapshot isolation is
+per-version; there is no row-level conflict detection (copy-on-write
+MERGE, the upsert_snapshot plan) — the same trade the real log formats
+make for their simplest writers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed the version this transaction targeted."""
+
+
+class ManifestTable:
+    """A versioned, manifest-committed parquet table rooted at ``root``."""
+
+    _V_WIDTH = 10
+
+    def __init__(self, spark: SparkSession, root: str) -> None:
+        self.spark = spark
+        self.root = root
+        self.data_dir = os.path.join(root, "data")
+        self.manifest_dir = os.path.join(root, "_manifest")
+
+    # -- bootstrap ---------------------------------------------------------
+
+    @classmethod
+    def create(cls, spark: SparkSession, root: str) -> "ManifestTable":
+        t = cls(spark, root)
+        os.makedirs(t.data_dir, exist_ok=True)
+        os.makedirs(t.manifest_dir, exist_ok=True)
+        if t.latest_version() is None:
+            t._try_commit(0, files=[], txns={})
+        return t
+
+    # -- manifest plumbing -------------------------------------------------
+
+    def _version_path(self, v: int) -> str:
+        return os.path.join(self.manifest_dir, f"v{v:0{self._V_WIDTH}d}.json")
+
+    def latest_version(self) -> int | None:
+        try:
+            names = os.listdir(self.manifest_dir)
+        except FileNotFoundError:
+            return None
+        vs = [
+            int(n[1 : 1 + self._V_WIDTH])
+            for n in names
+            if n.startswith("v") and n.endswith(".json")
+        ]
+        return max(vs) if vs else None
+
+    def _load(self, v: int) -> dict:
+        with open(self._version_path(v)) as fh:
+            return json.load(fh)
+
+    def _try_commit(self, v: int, files: list[str], txns: dict) -> None:
+        """Atomically claim version ``v``. O_CREAT|O_EXCL loses cleanly to
+        a concurrent committer; the payload is written through a temp file
+        + os.replace so a crash mid-write can never leave a torn (and
+        therefore reader-visible) version file behind the claimed name."""
+        payload = {
+            "version": v,
+            "files": files,
+            "txns": txns,
+            "committed_at": time.strftime(
+                "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+            ),
+        }
+        path = self._version_path(v)
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError as exc:
+            raise CommitConflict(f"version {v} already committed") from exc
+        tmp = path + f".tmp-{uuid.uuid4().hex}"
+        try:
+            with open(tmp, "w") as fh:
+                json.dump(payload, fh)
+                fh.flush()
+                os.fsync(fh.fileno())
+            os.replace(tmp, path)
+        finally:
+            os.close(fd)
+            if os.path.exists(tmp):
+                os.remove(tmp)
+
+    # -- write path --------------------------------------------------------
+
+    def _stage_data_files(self, df: DataFrame) -> list[str]:
+        """Write ``df`` as new immutable parquet under data/ and return the
+        staged file names (relative to root). The files are UNREFERENCED
+        until a commit lists them — this is the crash-safety boundary: die
+        here and the table is untouched."""
+        staged_dir = os.path.join(self.data_dir, uuid.uuid4().hex)
+        df.write.mode("error").parquet(staged_dir)
+        out = []
+        for name in sorted(os.listdir(staged_dir)):
+            if name.endswith(".parquet"):
+                out.append(
+                    os.path.relpath(
+                        os.path.join(staged_dir, name), self.root
+                    )
+                )
+        return out
+
+    def append(
+        self,
+        df: DataFrame,
+        app_id: str | None = None,
+        batch_id: int | None = None,
+        _staged: list[str] | None = None,
+        max_retries: int = 10,
+    ) -> bool:
+        """Append ``df`` as a new version. With ``(app_id, batch_id)`` the
+        append is IDEMPOTENT: if the table's committed watermark for
+        app_id is already >= batch_id the call is a no-op returning False
+        (the replayed-micro-batch case). Returns True when a new version
+        was committed. Appends merge trivially, so commit conflicts are
+        retried against the fresh base up to ``max_retries`` times."""
+        staged = _staged
+        for _ in range(max_retries):
+            base_v = self.latest_version()
+            base = self._load(base_v)
+            txns = dict(base.get("txns", {}))
+            if app_id is not None:
+                done = txns.get(app_id)
+                if done is not None and int(done) >= int(batch_id):
+                    return False  # replay of an already-committed batch
+                txns[app_id] = int(batch_id)
+            if staged is None:
+                staged = self._stage_data_files(df)
+            try:
+                self._try_commit(
+                    base_v + 1, files=base["files"] + staged, txns=txns
+                )
+                return True
+            except CommitConflict:
+                continue  # re-read the new base; staged files stay valid
+        raise CommitConflict(
+            f"append lost {max_retries} commit races at {self.root}"
+        )
+
+    def overwrite(
+        self,
+        df: DataFrame,
+        app_id: str | None = None,
+        batch_id: int | None = None,
+    ) -> bool:
+        """Replace the snapshot with ``df`` (copy-on-write). Same
+        idempotence contract as append; NOT conflict-retried — an
+        overwrite derived from a stale base must surface the race, not
+        silently clobber the interleaved commit."""
+        base_v = self.latest_version()
+        base = self._load(base_v)
+        txns = dict(base.get("txns", {}))
+        if app_id is not None:
+            done = txns.get(app_id)
+            if done is not None and int(done) >= int(batch_id):
+                return False
+            txns[app_id] = int(batch_id)
+        staged = self._stage_data_files(df)
+        self._try_commit(base_v + 1, files=staged, txns=txns)
+        return True
+
+    def upsert(
+        self,
+        updates: DataFrame,
+        key_cols: list[str],
+        app_id: str | None = None,
+        batch_id: int | None = None,
+    ) -> bool:
+        """Keyed latest-wins MERGE: current snapshot anti-joined against
+        the update keys, unioned with the updates, committed as a new
+        snapshot (operators.canonicalize.upsert_snapshot — the plan a log
+        format's copy-on-write MERGE lowers to). Idempotent under
+        ``(app_id, batch_id)`` like append."""
+        from ..operators.canonicalize import upsert_snapshot
+
+        base_v = self.latest_version()
+        if app_id is not None:
+            done = self._load(base_v).get("txns", {}).get(app_id)
+            if done is not None and int(done) >= int(batch_id):
+                return False
+        merged = upsert_snapshot(self.read(version=base_v), updates, key_cols)
+        return self.overwrite(merged, app_id=app_id, batch_id=batch_id)
+
+    # -- read path ----------------------------------------------------------
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """The snapshot DataFrame at ``version`` (default: latest). Reads
+        exactly the committed file list — orphans from crashed writers are
+        invisible by construction. Empty tables need a schema source, so
+        they return an empty frame only once a first append defined one."""
+        v = self.latest_version() if version is None else version
+        m = self._load(v)
+        if not m["files"]:
+            raise ValueError(
+                f"version {v} of {self.root} is empty — append first"
+            )
+        paths = [os.path.join(self.root, f) for f in m["files"]]
+        return self.spark.read.parquet(*paths)
+
+    def txn_watermark(self, app_id: str) -> int | None:
+        v = self.latest_version()
+        done = self._load(v).get("txns", {}).get(app_id)
+        return None if done is None else int(done)
+
+    # -- maintenance ---------------------------------------------------------
+
+    def vacuum(self, retain_versions: int = 1) -> list[str]:
+        """Delete data files referenced by NO retained version (the last
+        ``retain_versions`` manifests stay readable for time travel).
+        Orphans from crashed writers are the main customers. Returns the
+        deleted paths (relative)."""
+        latest = self.latest_version()
+        keep_versions = range(
+            max(0, latest - retain_versions + 1), latest + 1
+        )
+        referenced: set[str] = set()
+        for v in keep_versions:
+            referenced.update(self._load(v)["files"])
+        deleted = []
+        for dirpath, _dirnames, filenames in os.walk(self.data_dir):
+            for name in filenames:
+                rel = os.path.relpath(
+                    os.path.join(dirpath, name), self.root
+                )
+                if name.endswith(".parquet") and rel not in referenced:
+                    os.remove(os.path.join(self.root, rel))
+                    deleted.append(rel)
+        return sorted(deleted)
+
+
+def exactly_once_writer(table: ManifestTable, app_id: str):
+    """foreachBatch sink closure with exactly-once semantics: Structured
+    Streaming replays micro-batches at-least-once after a crash, but the
+    replay carries the SAME batch_id — the table's txn watermark turns
+    the duplicate into a no-op. Usage:
+
+        q = (df.writeStream.foreachBatch(
+                 exactly_once_writer(table, app_id="nightly-ingest"))
+             .option("checkpointLocation", ckpt).trigger(availableNow=True)
+             .start())
+    """
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        table.append(batch_df, app_id=app_id, batch_id=int(batch_id))
+
+    return write

@@ -1,0 +1,145 @@
+"""ManifestTable — exactly-once, crash-safe versioned parquet sink
+(VERDICT r08 next #7). The contract under test: data files are invisible
+until a manifest version references them (crash before commit = clean
+table + vacuumable orphans), replayed (app_id, batch_id) commits are
+no-ops across simulated restarts, versions time-travel, and the upsert
+path is a keyed MERGE, not an append.
+"""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import Row
+
+from aim357_2019_etl_and_ml_workshop_spark.sources.manifest import (
+    CommitConflict,
+    ManifestTable,
+    exactly_once_writer,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [Row(k=k, v=v) for k, v in rows], "k bigint, v string"
+    )
+
+
+def _snap(t):
+    return sorted((r["k"], r["v"]) for r in t.read().collect())
+
+
+def test_append_idempotent_across_restart(spark, tmp_path):
+    """The foreachBatch replay story: batch 0 lands once; a 'restarted job'
+    re-offering batch 0 is a no-op (no new version, no duplicate rows);
+    batch 1 then advances the watermark."""
+    t = ManifestTable.create(spark, str(tmp_path / "tbl"))
+    assert t.append(_df(spark, [(1, "a"), (2, "b")]), "ingest", 0) is True
+    v_after = t.latest_version()
+    # simulated restart: a NEW table handle (fresh process) replays batch 0
+    t2 = ManifestTable(spark, str(tmp_path / "tbl"))
+    assert t2.append(_df(spark, [(1, "a"), (2, "b")]), "ingest", 0) is False
+    assert t2.latest_version() == v_after
+    assert _snap(t2) == [(1, "a"), (2, "b")]
+    assert t2.append(_df(spark, [(3, "c")]), "ingest", 1) is True
+    assert _snap(t2) == [(1, "a"), (2, "b"), (3, "c")]
+    assert t2.txn_watermark("ingest") == 1
+    # a different app_id is an independent watermark
+    assert t2.append(_df(spark, [(4, "d")]), "other", 0) is True
+
+
+def test_crash_before_commit_leaves_table_clean(spark, tmp_path):
+    """Stage data files but die before the manifest commit: readers still
+    see the old snapshot; vacuum removes exactly the orphans; the next
+    append is unaffected."""
+    t = ManifestTable.create(spark, str(tmp_path / "tbl"))
+    t.append(_df(spark, [(1, "a")]))
+    before = _snap(t)
+    orphans = t._stage_data_files(_df(spark, [(9, "zzz")]))  # crash here
+    assert _snap(t) == before  # unreferenced files are invisible
+    deleted = t.vacuum()
+    assert deleted == sorted(orphans)
+    assert _snap(t) == before
+    for rel in orphans:
+        assert not os.path.exists(os.path.join(t.root, rel))
+    t.append(_df(spark, [(2, "b")]))
+    assert _snap(t) == [(1, "a"), (2, "b")]
+
+
+def test_time_travel_and_vacuum_retention(spark, tmp_path):
+    t = ManifestTable.create(spark, str(tmp_path / "tbl"))
+    t.append(_df(spark, [(1, "a")]))
+    v1 = t.latest_version()
+    t.append(_df(spark, [(2, "b")]))
+    assert sorted(r["k"] for r in t.read(version=v1).collect()) == [1]
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 2]
+    # retain 2 versions: nothing referenced by either may be deleted
+    assert t.vacuum(retain_versions=2) == []
+    assert sorted(r["k"] for r in t.read(version=v1).collect()) == [1]
+
+
+def test_upsert_is_keyed_merge_and_idempotent(spark, tmp_path):
+    t = ManifestTable.create(spark, str(tmp_path / "tbl"))
+    t.append(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    assert t.upsert(
+        _df(spark, [(2, "B2"), (4, "d")]), ["k"], "merge", 0
+    ) is True
+    assert _snap(t) == [(1, "a"), (2, "B2"), (3, "c"), (4, "d")]
+    # replayed merge batch: no-op, snapshot unchanged
+    assert t.upsert(
+        _df(spark, [(2, "WRONG")]), ["k"], "merge", 0
+    ) is False
+    assert _snap(t) == [(1, "a"), (2, "B2"), (3, "c"), (4, "d")]
+
+
+def test_commit_conflict_retry_and_overwrite_surface(spark, tmp_path):
+    """An append that loses the version race retries onto the new base
+    (both commits' rows survive); a version file can never be claimed
+    twice; torn tmp payloads never become visible versions."""
+    t = ManifestTable.create(spark, str(tmp_path / "tbl"))
+    t.append(_df(spark, [(1, "a")]))
+    # steal the next version number to force one conflict
+    nxt = t.latest_version() + 1
+    base = t._load(t.latest_version())
+    t._try_commit(nxt, files=base["files"], txns=base.get("txns", {}))
+    assert t.append(_df(spark, [(2, "b")])) is True  # retried past v-steal
+    assert _snap(t) == [(1, "a"), (2, "b")]
+    with pytest.raises(CommitConflict):
+        t._try_commit(nxt, files=[], txns={})
+    # no tmp litter in the manifest dir, and every version parses
+    names = os.listdir(t.manifest_dir)
+    assert all(n.endswith(".json") and not (".tmp-" in n) for n in names)
+    for n in names:
+        with open(os.path.join(t.manifest_dir, n)) as fh:
+            json.load(fh)
+
+
+def test_exactly_once_writer_under_foreachbatch_replay(spark, tmp_path):
+    """Drive the streaming sink shape end-to-end: an availableNow stream
+    lands its micro-batches through exactly_once_writer; manually
+    replaying the last batch (what a post-crash restart does before the
+    checkpoint advances) adds nothing."""
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    _df(spark, [(1, "a"), (2, "b")]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src_dir / "f0"))
+    t = ManifestTable.create(spark, str(tmp_path / "tbl"))
+    writer = exactly_once_writer(t, app_id="stream")
+    stream = (
+        spark.readStream.schema("k bigint, v string")
+        .parquet(str(src_dir / "f0"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(writer)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert _snap(t) == [(1, "a"), (2, "b")]
+    last_batch = t.txn_watermark("stream")
+    # at-least-once replay of the same micro-batch id
+    writer(_df(spark, [(1, "a"), (2, "b")]), last_batch)
+    assert _snap(t) == [(1, "a"), (2, "b")]
+    assert t.txn_watermark("stream") == last_batch
