@@ -47,10 +47,10 @@ from .operators import (
 # documented namespace, not one verb (caught by tests/test_api_facade.py).
 canonicalize = _sys.modules[__name__ + ".operators.canonicalize"]
 from .session import get_spark, pin_session_conf
-from .sources import io
+from .sources import io, manifest
 from .streaming import incremental, stateful, windows as stream_windows
 
-__version__ = "0.7.0"  # bumped per build round
+__version__ = "0.8.0"  # bumped per build round
 
 __all__ = [
     # session
@@ -75,6 +75,7 @@ __all__ = [
     "temporal_joins",
     "udtfs",
     # streaming namespaces
+    "manifest",
     "incremental",
     "stateful",
     "stream_windows",

@@ -44,8 +44,15 @@ from aim357_2019_etl_and_ml_workshop_spark.operators.dedup import (
     simhash_banding_state,
     simhash_near_duplicates,
 )
+from aim357_2019_etl_and_ml_workshop_spark.operators.similarity import (
+    as_double_vec,
+    ivf_assign_batch,
+    ivf_centroid_state,
+    ivf_topk_from_state,
+)
 from aim357_2019_etl_and_ml_workshop_spark.session import get_spark
 from aim357_2019_etl_and_ml_workshop_spark.sources.io import read_testdata
+from aim357_2019_etl_and_ml_workshop_spark.sources.manifest import ManifestTable
 
 
 def main() -> None:
@@ -70,6 +77,30 @@ def main() -> None:
     simhash_banding_state(corpus, "text", "doc_id").write.mode(
         "overwrite"
     ).parquet(band_state)
+
+    # ACID landing table (r9, sources.manifest): accepted docs commit
+    # through manifest versions with (app_id, batch_id) watermarks, so a
+    # replayed nightly batch is a no-op instead of a duplicate append —
+    # and the ANN side gets the same persisted-state treatment as the
+    # simhash banding: centroids fit ONCE on the corpus, the inverted
+    # file appends per accepted batch, probes never re-fit.
+    table = ManifestTable.create(spark, os.path.join(state_dir, "accepted"))
+    table.append(corpus, app_id="bootstrap", batch_id=0)
+    emb_all = read_testdata(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_vec("embedding").alias("v")
+    )
+    corpus_emb = emb_all.join(
+        corpus.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+    )
+    ann_centroids = os.path.join(state_dir, "ivf_centroids")
+    ann_postings = os.path.join(state_dir, "ivf_postings")
+    ivf_centroid_state(
+        corpus_emb, "v", "vec_id", n_centroids=8, n_iters=1
+    ).write.mode("overwrite").parquet(ann_centroids)
+    cent_state = spark.read.parquet(ann_centroids)
+    ivf_assign_batch(corpus_emb, cent_state).write.mode(
+        "overwrite"
+    ).parquet(ann_postings)
 
     try:
         for i, batch in enumerate(batches, 1):
@@ -161,6 +192,36 @@ def main() -> None:
             simhash_banding_state(accepted, "text", "doc_id").write.mode(
                 "append"
             ).parquet(band_state)
+
+            # exactly-once landing: the manifest watermark makes a
+            # replayed batch a no-op (crash-after-commit + restart)
+            committed = table.append(accepted, app_id="nightly", batch_id=i)
+            replay = table.append(accepted, app_id="nightly", batch_id=i)
+            print(
+                f"batch {i}: manifest commit={committed}, replay no-op="
+                f"{not replay}, table rows={table.read().count()}"
+            )
+
+            # ANN state append: assign ONLY the accepted batch's vectors
+            # against the frozen centroids (probe-time work is one argmin
+            # pass over the batch + the cell equi-join)
+            acc_emb = emb_all.join(
+                accepted.select(F.col("doc_id").alias("vec_id")),
+                "vec_id",
+                "left_semi",
+            )
+            ivf_assign_batch(acc_emb, cent_state).write.mode(
+                "append"
+            ).parquet(ann_postings)
+            probe = ivf_topk_from_state(
+                spark.read.parquet(ann_postings),
+                cent_state,
+                acc_emb.limit(3),
+                k=3,
+                n_probe=4,
+            )
+            print(f"batch {i}: ANN probe over stored index -> "
+                  f"{probe.count()} neighbor rows")
         print("state stores:", state_dir)
     finally:
         shutil.rmtree(state_dir, ignore_errors=True)
