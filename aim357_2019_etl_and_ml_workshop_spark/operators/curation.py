@@ -390,3 +390,252 @@ def adaptive_quality_gate(
             "kept"
         ),
     )
+
+
+def _bloom_grams(
+    frame: DataFrame, text_col: str, id_col: str, n: int, prefix: int
+) -> DataFrame:
+    """(id, _toks, _p, h): one row per capped gram position, hash-only —
+    the gram STRING is never materialized here (hash-first trick from
+    queries.decontaminate_ngram_overlap); callers build it for survivors
+    via ``_bloom_gram_str``."""
+    d = frame.select(
+        F.col(id_col), F.split(F.lower(text_col), " ").alias("_toks")
+    )
+    n_grams = F.least(F.size("_toks") - (n - 1), F.lit(prefix))
+    gram_hash = F.when(
+        F.size("_toks") >= n,
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.xxhash64(
+                *[F.element_at(F.col("_toks"), i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return d.select(id_col, "_toks", F.posexplode(gram_hash).alias("_p", "h"))
+
+
+def _bloom_gram_str(pos, n: int):
+    return F.concat_ws(" ", F.slice(F.col("_toks"), pos, n))
+
+
+def bloom_decontaminate_state(
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    prefix: int = 200,
+    m_bits: int = 1 << 20,
+    k: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """Materializable decontamination state for a reference corpus — the
+    Bloom mirror of ``dedup.simhash_banding_state`` / the persisted ANN
+    index: build once (or append per reference batch), write both frames
+    to parquet, and let every nightly corpus batch probe the STORED state
+    with zero reference re-scan.
+
+    Returns ``(words, pairs)``:
+    - ``words``: (m_bits, k, bucket, word) — the Bloom bitmap as its
+      non-zero 64-bit words. m_bits/k ride every row (RLE-compressed to
+      nothing at rest) so the state is SELF-DESCRIBING: the probe path
+      validates them against its own arguments and fails fast on a
+      mismatch, because probing a bitmap built with different geometry
+      would produce Bloom false NEGATIVES — a correctness error, not a
+      performance one.
+    - ``pairs``: distinct (h, sh) gram hash/string pairs — the verify
+      side. Incremental reference batches append here and re-derive
+      ``words`` with one bit_or re-aggregation over (this batch's probes
+      UNION the stored words), never re-reading old reference text.
+    """
+    if m_bits % 64 != 0 or m_bits <= 0:
+        raise ValueError(
+            f"m_bits must be a positive multiple of 64, got {m_bits}"
+        )
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    ref = _bloom_grams(reference, text_col, id_col, n, prefix)
+    pairs = ref.select(
+        "h", _bloom_gram_str(F.col("_p") + 1, n).alias("sh")
+    ).distinct()
+    probes = ref.select("h").distinct().select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64("h", F.lit(i)), F.lit(m_bits))
+                    for i in range(k)
+                ]
+            )
+        ).alias("_pos")
+    )
+    words = (
+        probes.selectExpr(
+            "cast(_pos div 64 as int) AS bucket",
+            "shiftleft(1L, cast(_pos % 64 as int)) AS mask",
+        )
+        .groupBy("bucket")
+        .agg(F.bit_or("mask").alias("word"))
+        .select(
+            F.lit(m_bits).cast("long").alias("m_bits"),
+            F.lit(k).cast("int").alias("k"),
+            "bucket",
+            "word",
+        )
+    )
+    return words, pairs
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    reference: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    prefix: int = 200,
+    m_bits: int = 1 << 20,
+    k: int = 2,
+    state: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """Corpus-vs-corpus decontamination with a Bloom prefilter — the scale
+    shape for when the REFERENCE side is itself corpus-sized (dedup
+    against prior training data, another crawl snapshot) and its exact
+    (hash, shingle) pairs can no longer broadcast the way a fixed-size
+    held-out benchmark can (queries.decontaminate_ngram_overlap's
+    contract). Output: (id, n_overlap) = distinct word-``n``-grams each
+    corpus doc shares with the reference — byte-identical to the exact
+    overlap join, because the Bloom filter only ever ADDS candidates and
+    every candidate is string-verified.
+
+    Scale posture, stage by stage:
+    - Reference pass 1 builds the Bloom bitmap IN the engine: per gram,
+      ``k`` probe positions (Kirsch-Mitzenmacher double hashing off one
+      xxhash64 — salted rehashes of the 64-bit gram hash, never of the
+      string), then bucket -> partial bit_or map-side, so the aggregation
+      shuffles at most ``m_bits/64`` (bucket, word) rows no matter the
+      reference size. The driver gather is bounded by the PARAMETER
+      ``m_bits`` (default 2 KiB words = 128 KiB), not by the data.
+    - Corpus probe is pure codegen in the scan stage: the gram hash comes
+      from a ``n``-argument xxhash64 over the token slice (no gram string
+      is ever materialized for non-candidates, the hash-first trick from
+      decontaminate_ngram_overlap), tested against the broadcast bitmap
+      with element_at + shiftleft. At the design false-positive rate only
+      ~fpp of corpus grams survive to the verify join.
+    - Verify is an equi-join on the 64-bit gram hash against the
+      reference's distinct (hash, shingle) pairs — the ONLY shuffle that
+      scales with the reference — followed by string equality, so a
+      64-bit collision (like a Bloom false positive) can only add a
+      FILTERED row, never a counted one. The corpus side of that shuffle
+      is the candidate sliver, not the corpus.
+
+    Sizing: m_bits ~ 14.4 * expected_reference_grams gives ~0.1% fpp at
+    the optimal k≈10; with the default k=2 use m_bits ≥ ~10x the gram
+    count for fpp ≤ ~1%. Oversizing only costs broadcast bytes
+    (m_bits/8); undersizing only costs verify-join traffic — correctness
+    is unaffected either way, which is what lets the exact SQL overlap
+    serve as this operator's full value oracle.
+
+    Tokenization contract matches decontaminate_ngram_overlap (raw
+    lower() split on single spaces, gram positions 1..min(len-n+1,
+    ``prefix``)) so the two operators' oracles are the same family.
+    """
+    if (reference is None) == (state is None):
+        raise ValueError("pass exactly one of reference= or state=")
+
+    if state is not None:
+        words, ref_pairs = state
+        rows = words.collect()  # parameter-bounded: <= m_bits/64 rows
+        if rows:
+            got_m, got_k = int(rows[0]["m_bits"]), int(rows[0]["k"])
+            if got_m != m_bits or got_k != k:
+                raise ValueError(
+                    f"bloom state geometry (m_bits={got_m}, k={got_k}) does "
+                    f"not match probe arguments (m_bits={m_bits}, k={k}) — "
+                    "a mismatched bitmap produces Bloom false negatives"
+                )
+    else:
+        words, ref_pairs = bloom_decontaminate_state(
+            reference, text_col, id_col, n=n, prefix=prefix,
+            m_bits=m_bits, k=k,
+        )
+        # Partial aggregation caps the words shuffle at m_bits/64 rows;
+        # this collect is bounded by the PARAMETER, not the data.
+        rows = words.collect()
+
+    dense = [0] * (m_bits // 64)
+    for row in rows:
+        dense[row["bucket"]] = row["word"]
+    spark: SparkSession = corpus.sparkSession
+    bits_df = spark.createDataFrame([(dense,)], "_bits array<bigint>")
+
+    # --- corpus probe (codegen, no strings) ------------------------------
+    cand = _bloom_grams(corpus, text_col, id_col, n, prefix).crossJoin(
+        F.broadcast(bits_df)
+    )
+    for i in range(k):
+        cand = cand.withColumn(
+            f"_bp{i}", F.pmod(F.xxhash64("h", F.lit(i)), F.lit(m_bits))
+        )
+    bit_test = " AND ".join(
+        f"(element_at(_bits, cast(_bp{i} div 64 as int) + 1)"
+        f" & shiftleft(1L, cast(_bp{i} % 64 as int))) != 0"
+        for i in range(k)
+    )
+    survivors = cand.where(F.expr(bit_test))
+
+    # --- exact verify: hash equi-join + string equality -------------------
+    return (
+        survivors.join(ref_pairs, "h")
+        .where(_bloom_gram_str(F.col("_p") + 1, n) == F.col("sh"))
+        .select(id_col, "sh")
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+
+
+def bloom_state_append(
+    state: tuple[DataFrame, DataFrame],
+    new_reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    prefix: int = 200,
+) -> tuple[DataFrame, DataFrame]:
+    """Fold a NEW reference batch into stored decontamination state — the
+    nightly maintenance half of ``bloom_decontaminate_state``: old
+    reference text is never re-read. Geometry (m_bits, k) comes from the
+    stored words rows (the state is self-describing), so an append can
+    never silently change the bitmap a probe depends on.
+
+    Cost: one gram pass over the BATCH, a bit_or re-aggregation over
+    (stored words UNION batch words) — at most 2·m_bits/64 input rows
+    plus the batch's buckets — and a distinct over the pairs union (the
+    one reference-sized shuffle; it keeps state minimal, though duplicate
+    pairs would be harmless to probe correctness since the verify path
+    distincts (id, sh) after the join). Invariant, pinned by pytest:
+    append(state(A), B) == state(A ∪ B)."""
+    words, pairs = state
+    head = words.limit(1).collect()
+    if not head:
+        raise ValueError(
+            "cannot append to empty bloom state — build it with "
+            "bloom_decontaminate_state first"
+        )
+    m_bits, k = int(head[0]["m_bits"]), int(head[0]["k"])
+    new_words, new_pairs = bloom_decontaminate_state(
+        new_reference, text_col, id_col, n=n, prefix=prefix,
+        m_bits=m_bits, k=k,
+    )
+    merged_words = (
+        words.select("bucket", "word")
+        .unionByName(new_words.select("bucket", "word"))
+        .groupBy("bucket")
+        .agg(F.bit_or("word").alias("word"))
+        .select(
+            F.lit(m_bits).cast("long").alias("m_bits"),
+            F.lit(k).cast("int").alias("k"),
+            "bucket",
+            "word",
+        )
+    )
+    merged_pairs = pairs.unionByName(new_pairs).distinct()
+    return merged_words, merged_pairs

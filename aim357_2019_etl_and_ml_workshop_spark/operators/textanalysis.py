@@ -325,6 +325,71 @@ def unigram_logprob_scores(
     )
 
 
+def bigram_logprob_scores(
+    df: DataFrame, text_col: str, id_col: str, alpha: float = 0.5
+) -> DataFrame:
+    """Bigram conditional language-model quality score — the next rung up
+    from unigram_logprob_scores on the CCNet-style perplexity-filter
+    ladder: per document, the mean log P(token | previous token) under
+    the corpus's own add-``alpha``-smoothed bigram model. Fluent text
+    reuses the corpus's common transitions and scores high; shuffled or
+    boilerplate text has the right unigrams but the wrong transitions,
+    which is exactly the failure mode the unigram score cannot see.
+
+    Model: P(c | p) = (count(p,c) + alpha) / (count(p as context) +
+    alpha * V), with V the corpus unigram vocabulary size. Context counts
+    are derived FROM the bigram counts (one groupBy over the |bigram
+    vocab| table, not a second corpus pass).
+
+    Scale shape, same posture as unigram_logprob_scores: bigrams come
+    from one zip_with over two array slices (no self-join, no window
+    shuffle over corpus tokens), then ONE corpus-token aggregation for
+    the bigram counts, vocabulary-sized aggregations after that, a
+    shuffle equi-join on the (prev, cur) key, and the per-doc mean.
+    Vocab total rides a broadcast crossJoin of one row. round(6) on the
+    mean keeps cross-engine float fold-order invisible. Documents with
+    fewer than two tokens have no bigrams and are absent from the
+    output — on both engines.
+    """
+    from .dedup import normalize_text
+
+    toks = F.filter(
+        F.split(normalize_text(text_col), " "), lambda t: t != ""
+    )
+    pairs = F.when(
+        F.size("_toks") >= 2,
+        F.zip_with(
+            F.slice("_toks", 1, F.size("_toks") - 1),
+            F.slice("_toks", 2, F.size("_toks") - 1),
+            lambda p, c: F.struct(p.alias("prev"), c.alias("cur")),
+        ),
+    ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+    base = df.select(F.col(id_col), toks.alias("_toks"))
+    big = base.select(
+        id_col, F.explode(pairs).alias("_pr")
+    ).select(id_col, F.col("_pr.prev").alias("prev"), F.col("_pr.cur").alias("cur"))
+    cbg = big.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("n_pc"))
+    ctx = cbg.groupBy("prev").agg(F.sum("n_pc").alias("n_ctx"))
+    vocab = (
+        base.select(F.explode("_toks").alias("tok"))
+        .agg(F.count_distinct("tok").alias("v"))
+    )
+    logp = F.log(
+        (F.col("n_pc") + F.lit(alpha))
+        / (F.col("n_ctx") + F.lit(alpha) * F.col("v"))
+    )
+    return (
+        big.join(cbg, ["prev", "cur"])
+        .join(ctx, "prev")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigram"),
+            F.round(F.avg(logp), 6).alias("avg_logprob"),
+        )
+    )
+
+
 def dsir_importance_weights(
     df: DataFrame,
     text_col: str,

@@ -96,8 +96,9 @@ _DRIVER_PRIORITY = [
     # second (error-freeness) verdict per VERDICT r08 wrong #2, while
     # no_oracle keys that already hold >= 2 verdicts are EXCLUDED from
     # oracle-sample slots; (d) 37 oracle-backed least-recently-verified
-    # keys (last verdict r5-r6). After this round at most the two r9
+    # keys (last verdict r5-r6). After this round at most the four r9
     # newcomers are single-verdict (target <= 4). ---
+    "bloom_decontaminate_overlap", "bigram_logprob_scores",
     "semantic_dedup_fitted", "ivf_state_recall_check",
     "semantic_dedup_blocked", "semantic_dedup_tiled",
     "semantic_dedup_cells", "repeated_ngram_spans_hashed",
@@ -117,7 +118,6 @@ _DRIVER_PRIORITY = [
     "tumbling_hourly_counts", "union_by_name", "union_tagged_counts",
     "upper_bound_sanity_count", "window_daily_diff",
     "asof_join_last_signup", "chunk_documents", "cumulative_daily_revenue",
-    "customers_with_orders_semi", "customers_without_orders",
 ]
 
 
@@ -6782,4 +6782,96 @@ def ivf_state_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_queries, 5, mism, mism == 0, hits / total >= 0.7)],
         "n_queries bigint, k int, n_mismatched bigint, "
         "state_eq_derived boolean, recall_ge_07 boolean",
+    )
+
+
+@register(
+    "bloom_decontaminate_overlap",
+    """
+    WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+    g AS (
+        SELECT doc_id,
+               toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+               toks[i+3] || ' ' || toks[i+4] AS sh
+        FROM t, generate_series(1, 200) s(i)
+        WHERE i + 4 <= len(toks)
+    ),
+    gd AS (SELECT DISTINCT doc_id, sh FROM g),
+    ref_sh AS (SELECT DISTINCT sh FROM gd WHERE doc_id % 7 = 0)
+    SELECT gd.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+    FROM gd JOIN ref_sh USING (sh)
+    WHERE gd.doc_id % 7 <> 0
+    GROUP BY gd.doc_id
+    """,
+)
+def bloom_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-vs-corpus decontamination through the Bloom-prefilter path
+    (operators/curation.bloom_decontaminate): the doc_id%7 slice plays a
+    reference corpus too large to broadcast as exact (hash, shingle)
+    pairs, so its 5-grams are folded into an in-engine Bloom bitmap
+    (k salted rehashes -> bucket -> map-side bit_or; the shuffle is capped
+    at m_bits/64 rows and the driver gather is parameter-bounded at
+    m_bits/8 bytes regardless of reference size). Corpus grams probe the
+    broadcast bitmap hash-first inside the scan stage — no gram string is
+    built for non-candidates — and only Bloom survivors reach the verify
+    equi-join, where string equality kills false positives and 64-bit
+    collisions alike. The output is therefore EXACTLY the n-gram overlap
+    join, which is what this full value oracle re-derives; the Bloom
+    layer is pure traffic shaping. decontaminate_ngram_overlap is the
+    fixed-benchmark twin (broadcast exact pairs, no bloom needed)."""
+    from .operators.curation import bloom_decontaminate
+
+    docs = spread_for_cpu(_t(spark, sf_dir, "documents"))
+    return bloom_decontaminate(
+        docs.where(F.col("doc_id") % 7 != 0),
+        docs.where(F.col("doc_id") % 7 == 0),
+        "text",
+        "doc_id",
+        n=5,
+        prefix=200,
+        m_bits=1 << 20,
+        k=2,
+    )
+
+
+@register(
+    "bigram_logprob_scores",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(
+                   regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '),
+                   x -> x <> '') AS toks
+        FROM documents
+    ), b AS (
+        SELECT doc_id, toks[i] AS prev, toks[i+1] AS cur
+        FROM t, UNNEST(range(1, len(toks))) u(i)
+    ), cbg AS (
+        SELECT prev, cur, CAST(count(*) AS BIGINT) AS n_pc
+        FROM b GROUP BY 1, 2
+    ), ctx AS (
+        SELECT prev, CAST(sum(n_pc) AS BIGINT) AS n_ctx FROM cbg GROUP BY 1
+    ), voc AS (
+        SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+        FROM (SELECT unnest(toks) AS tok FROM t)
+    )
+    SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigram,
+           CAST(round(avg(ln((n_pc + 0.5) / (n_ctx + 0.5 * v))), 6)
+                AS DOUBLE) AS avg_logprob
+    FROM b JOIN cbg USING (prev, cur) JOIN ctx USING (prev) CROSS JOIN voc
+    GROUP BY b.doc_id
+    """,
+)
+def bigram_logprob_scores_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram conditional-LM quality scoring under a full value oracle —
+    DuckDB re-derives the corpus bigram counts, the context totals, the
+    vocabulary size, and every per-doc mean log P(cur|prev) with add-0.5
+    smoothing (operators/textanalysis.bigram_logprob_scores). The
+    transition-aware upgrade of unigram_logprob_scores: same linear
+    one-pass shape (zip_with bigrams, no self-join), one more
+    vocabulary-sized aggregation."""
+    from .operators.textanalysis import bigram_logprob_scores
+
+    return bigram_logprob_scores(
+        spread_for_cpu(_t(spark, sf_dir, "documents")), "text", "doc_id"
     )

@@ -250,6 +250,70 @@ class ManifestTable:
 
     # -- maintenance ---------------------------------------------------------
 
+    def compact(
+        self,
+        target_file_bytes: int = 128 << 20,
+        max_retries: int = 5,
+    ) -> bool:
+        """Rewrite the current snapshot's small files into
+        ``ceil(total_bytes / target_file_bytes)`` balanced files and commit
+        the swap as a new version — the maintenance half of the streaming
+        ingest story (per-micro-batch appends make files, compaction keeps
+        the manifest O(total/target) instead of O(batches); the published
+        log formats call this OPTIMIZE / rewrite_data_files).
+
+        Concurrency contract: compaction races are resolved like append
+        races, because compaction only REPLACES the base version's file
+        set. If a concurrent APPEND lands first, the retry re-lays the
+        appended delta (new files minus the compacted base set) on top of
+        the staged rewrite — contents identical, no re-stage. If a
+        concurrent OVERWRITE/UPSERT removed any base file, the staged
+        rewrite describes a snapshot that no longer exists; that surfaces
+        as :class:`CommitConflict` (the same stale-base rule overwrite
+        itself follows). Readers are never disturbed: old versions stay
+        readable for time travel until :meth:`vacuum` reclaims them.
+
+        Returns False (no commit) when the table is empty or already at or
+        below the target file count."""
+        import math
+
+        base_v = self.latest_version()
+        base = self._load(base_v)
+        if not base["files"]:
+            return False
+        total = sum(
+            os.path.getsize(os.path.join(self.root, f))
+            for f in base["files"]
+        )
+        n_out = max(1, math.ceil(total / target_file_bytes))
+        if n_out >= len(base["files"]):
+            return False
+        # repartition (not coalesce): balanced outputs regardless of the
+        # append history's file-size skew; one shuffle of data being
+        # rewritten anyway
+        staged = self._stage_data_files(
+            self.read(version=base_v).repartition(n_out)
+        )
+        old = set(base["files"])
+        for _ in range(max_retries):
+            cur_v = self.latest_version()
+            cur = self._load(cur_v)
+            if not old.issubset(cur["files"]):
+                raise CommitConflict(
+                    f"snapshot rewritten during compaction of {self.root}"
+                )
+            files = staged + [f for f in cur["files"] if f not in old]
+            try:
+                self._try_commit(
+                    cur_v + 1, files=files, txns=dict(cur.get("txns", {}))
+                )
+                return True
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"compaction lost {max_retries} commit races at {self.root}"
+        )
+
     def vacuum(self, retain_versions: int = 1) -> list[str]:
         """Delete data files referenced by NO retained version (the last
         ``retain_versions`` manifests stay readable for time travel).

@@ -143,3 +143,55 @@ def test_exactly_once_writer_under_foreachbatch_replay(spark, tmp_path):
     writer(_df(spark, [(1, "a"), (2, "b")]), last_batch)
     assert _snap(t) == [(1, "a"), (2, "b")]
     assert t.txn_watermark("stream") == last_batch
+
+
+def test_compact_rewrites_small_files(spark, tmp_path):
+    """Three micro-batch appends -> compact folds them into one balanced
+    file set as a NEW version: same rows, fewer files, txn watermarks
+    preserved, prior versions still time-travelable, orphaned originals
+    reclaimed only by vacuum."""
+    t = ManifestTable.create(spark, str(tmp_path / "tbl"))
+    for b in range(3):
+        t.append(_df(spark, [(b * 10 + i, f"v{b}") for i in range(4)]),
+                 "ingest", b)
+    v_before = t.latest_version()
+    files_before = len(t._load(v_before)["files"])
+    rows_before = _snap(t)
+    assert t.compact(target_file_bytes=1 << 30) is True
+    v_after = t.latest_version()
+    assert v_after == v_before + 1
+    assert len(t._load(v_after)["files"]) < files_before
+    assert _snap(t) == rows_before
+    assert t.txn_watermark("ingest") == 2  # watermarks survive compaction
+    # time travel to the pre-compaction version still works
+    pre = sorted((r["k"], r["v"]) for r in t.read(version=v_before).collect())
+    assert pre == rows_before
+    # already compact -> no-op, no version churn
+    assert t.compact(target_file_bytes=1 << 30) is False
+    assert t.latest_version() == v_after
+    # replayed batch is STILL a no-op after compaction
+    assert t.append(_df(spark, [(0, "dup")]), "ingest", 2) is False
+    # vacuum now reclaims the pre-compaction files
+    deleted = t.vacuum(retain_versions=1)
+    assert deleted, "compaction's superseded inputs should be reclaimable"
+    assert _snap(t) == rows_before
+
+
+def test_compact_merges_interleaved_append(spark, tmp_path, monkeypatch):
+    """An append that lands between compaction's stage and commit is NOT
+    lost: the retry lays the appended delta on top of the staged rewrite."""
+    t = ManifestTable.create(spark, str(tmp_path / "tbl"))
+    for b in range(3):
+        t.append(_df(spark, [(b, f"v{b}")]), "ingest", b)
+    racer = ManifestTable(spark, str(tmp_path / "tbl"))
+    real_stage = t._stage_data_files
+
+    def stage_then_race(df):
+        staged = real_stage(df)
+        racer.append(_df(spark, [(99, "raced")]), "ingest", 3)
+        return staged
+
+    monkeypatch.setattr(t, "_stage_data_files", stage_then_race)
+    assert t.compact(target_file_bytes=1 << 30) is True
+    assert _snap(t) == [(0, "v0"), (1, "v1"), (2, "v2"), (99, "raced")]
+    assert t.txn_watermark("ingest") == 3
