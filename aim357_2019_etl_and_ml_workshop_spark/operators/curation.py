@@ -419,13 +419,36 @@ def _bloom_gram_str(pos, n: int):
     return F.concat_ws(" ", F.slice(F.col("_toks"), pos, n))
 
 
+def derive_bloom_m_bits(
+    n_reference_docs: int,
+    prefix: int = 200,
+    bits_per_gram: int = 10,
+    cap_bits: int = 1 << 28,
+) -> int:
+    """Corpus-aware Bloom sizing (the r9-measured footgun: a FIXED m_bits
+    saturates silently once the reference outgrows it — at sf10 the 2^20
+    default let ~100% of corpus grams through, paying the bitmap build
+    for zero verify-shuffle savings; same failure class as the blocked
+    semantic-dedup block_rows fix). Gram count is upper-bounded by
+    n_docs * prefix (exact when docs exceed the prefix cap, conservative
+    otherwise — oversizing only costs bitmap bytes); ~10 bits/gram at
+    k=2 gives fpp ~3%%. The cap (default 2^28 bits = 32 MiB bitmap, the
+    broadcast budget) degrades fpp gracefully instead of failing: past
+    ~27M reference grams the filter thins, never lies — and at that
+    point the honest scale move is sharding the reference (several
+    bitmaps probed in sequence), not a bigger broadcast."""
+    est_grams = max(1, int(n_reference_docs) * int(prefix))
+    m = min(max(est_grams * bits_per_gram, 1 << 16), cap_bits)
+    return (m + 63) // 64 * 64
+
+
 def bloom_decontaminate_state(
     reference: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 5,
     prefix: int = 200,
-    m_bits: int = 1 << 20,
+    m_bits: int | None = None,
     k: int = 2,
 ) -> tuple[DataFrame, DataFrame]:
     """Materializable decontamination state for a reference corpus — the
@@ -447,6 +470,10 @@ def bloom_decontaminate_state(
       ``words`` with one bit_or re-aggregation over (this batch's probes
       UNION the stored words), never re-reading old reference text.
     """
+    if m_bits is None:
+        # one cheap count action; correctness is insensitive to the
+        # estimate (see derive_bloom_m_bits), so the upper bound is fine
+        m_bits = derive_bloom_m_bits(reference.count(), prefix)
     if m_bits % 64 != 0 or m_bits <= 0:
         raise ValueError(
             f"m_bits must be a positive multiple of 64, got {m_bits}"
@@ -491,8 +518,8 @@ def bloom_decontaminate(
     id_col: str = "doc_id",
     n: int = 5,
     prefix: int = 200,
-    m_bits: int = 1 << 20,
-    k: int = 2,
+    m_bits: int | None = None,
+    k: int | None = None,
     state: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Corpus-vs-corpus decontamination with a Bloom prefilter — the scale
@@ -511,8 +538,12 @@ def bloom_decontaminate(
       xxhash64 — salted rehashes of the 64-bit gram hash, never of the
       string), then bucket -> partial bit_or map-side, so the aggregation
       shuffles at most ``m_bits/64`` (bucket, word) rows no matter the
-      reference size. The driver gather is bounded by the PARAMETER
-      ``m_bits`` (default 2 KiB words = 128 KiB), not by the data.
+      reference size. Densification to the broadcastable array happens
+      entirely JVM-side (one ordered collect_list row); the Python
+      driver never touches the bits, and ``m_bits`` defaults to
+      corpus-aware sizing (``derive_bloom_m_bits`` from a reference
+      count — the sf10 measurement showed a fixed default saturating
+      silently once the reference outgrew it).
     - Corpus probe is pure codegen in the scan stage: the gram hash comes
       from a ``n``-argument xxhash64 over the token slice (no gram string
       is ever materialized for non-candidates, the hash-first trick from
@@ -542,29 +573,51 @@ def bloom_decontaminate(
 
     if state is not None:
         words, ref_pairs = state
-        rows = words.collect()  # parameter-bounded: <= m_bits/64 rows
-        if rows:
-            got_m, got_k = int(rows[0]["m_bits"]), int(rows[0]["k"])
-            if got_m != m_bits or got_k != k:
-                raise ValueError(
-                    f"bloom state geometry (m_bits={got_m}, k={got_k}) does "
-                    f"not match probe arguments (m_bits={m_bits}, k={k}) — "
-                    "a mismatched bitmap produces Bloom false negatives"
-                )
+        head = words.limit(1).collect()  # geometry only — one row
+        if not head:
+            raise ValueError(
+                "empty bloom state — build it with bloom_decontaminate_state"
+            )
+        got_m, got_k = int(head[0]["m_bits"]), int(head[0]["k"])
+        if (m_bits is not None and got_m != m_bits) or (
+            k is not None and got_k != k
+        ):
+            raise ValueError(
+                f"bloom state geometry (m_bits={got_m}, k={got_k}) does "
+                f"not match probe arguments (m_bits={m_bits}, k={k}) — "
+                "a mismatched bitmap produces Bloom false negatives"
+            )
+        m_bits, k = got_m, got_k  # geometry IS the state's
     else:
+        k = 2 if k is None else k
+        if m_bits is None:
+            m_bits = derive_bloom_m_bits(reference.count(), prefix)
         words, ref_pairs = bloom_decontaminate_state(
             reference, text_col, id_col, n=n, prefix=prefix,
             m_bits=m_bits, k=k,
         )
-        # Partial aggregation caps the words shuffle at m_bits/64 rows;
-        # this collect is bounded by the PARAMETER, not the data.
-        rows = words.collect()
 
-    dense = [0] * (m_bits // 64)
-    for row in rows:
-        dense[row["bucket"]] = row["word"]
+    # Densify the bitmap ENTIRELY JVM-side: range(n_words) left-joined
+    # with the sparse words, folded into one ordered array row. The bits
+    # never round-trip through the Python driver (a 2^28-bit bitmap is
+    # ~4M words — measured at sf10, the py4j collect+re-upload cost more
+    # than the shuffle it saved); the one-row result is what broadcasts.
     spark: SparkSession = corpus.sparkSession
-    bits_df = spark.createDataFrame([(dense,)], "_bits array<bigint>")
+    n_words = m_bits // 64
+    bits_df = (
+        spark.range(n_words)
+        .select(F.col("id").cast("int").alias("bucket"))
+        .join(words.select("bucket", "word"), "bucket", "left")
+        .select(
+            "bucket", F.coalesce("word", F.lit(0).cast("long")).alias("w")
+        )
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("bucket", "w"))),
+                lambda s: s["w"],
+            ).alias("_bits")
+        )
+    )
 
     # --- corpus probe (codegen, no strings) ------------------------------
     cand = _bloom_grams(corpus, text_col, id_col, n, prefix).crossJoin(
@@ -582,9 +635,14 @@ def bloom_decontaminate(
     survivors = cand.where(F.expr(bit_test))
 
     # --- exact verify: hash equi-join + string equality -------------------
+    # build the gram string BEFORE the shuffle so each candidate ships
+    # (id, h, ~n-token string), not the document's whole token array
+    cand = survivors.select(
+        F.col(id_col), "h", _bloom_gram_str(F.col("_p") + 1, n).alias("_shc")
+    )
     return (
-        survivors.join(ref_pairs, "h")
-        .where(_bloom_gram_str(F.col("_p") + 1, n) == F.col("sh"))
+        cand.join(ref_pairs, "h")
+        .where(F.col("_shc") == F.col("sh"))
         .select(id_col, "sh")
         .distinct()
         .groupBy(id_col)
@@ -612,7 +670,15 @@ def bloom_state_append(
     one reference-sized shuffle; it keeps state minimal, though duplicate
     pairs would be harmless to probe correctness since the verify path
     distincts (id, sh) after the join). Invariant, pinned by pytest:
-    append(state(A), B) == state(A ∪ B)."""
+    append(state(A), B) == state(A ∪ B) at the same geometry.
+
+    Sizing note: because appends keep the bootstrap bitmap's geometry,
+    a state auto-derived from a small first batch will be undersized for
+    the reference it grows into — fpp degrades (more verify traffic),
+    correctness never changes. Bootstrap with an explicit
+    ``m_bits=derive_bloom_m_bits(expected_final_docs)`` when the growth
+    is known; rebuild (one pass over the accumulated pairs' ``sh``) when
+    it was not."""
     words, pairs = state
     head = words.limit(1).collect()
     if not head:

@@ -6810,8 +6810,10 @@ def bloom_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference corpus too large to broadcast as exact (hash, shingle)
     pairs, so its 5-grams are folded into an in-engine Bloom bitmap
     (k salted rehashes -> bucket -> map-side bit_or; the shuffle is capped
-    at m_bits/64 rows and the driver gather is parameter-bounded at
-    m_bits/8 bytes regardless of reference size). Corpus grams probe the
+    at m_bits/64 rows, and the dense bitmap is assembled JVM-side in one
+    ordered-array row — the Python driver never touches the bits; in
+    production m_bits is corpus-aware, tools/measure_bloom.py has the
+    sf1/sf10 A/B). Corpus grams probe the
     broadcast bitmap hash-first inside the scan stage — no gram string is
     built for non-candidates — and only Bloom survivors reach the verify
     equi-join, where string equality kills false positives and 64-bit

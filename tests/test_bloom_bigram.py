@@ -177,10 +177,14 @@ def test_bloom_state_append_equals_one_shot(docs):
     ref_b = docs.where(F.col("doc_id") % 14 == 7)
     ref_all = docs.where(F.col("doc_id") % 7 == 0)
     corpus = docs.where(F.col("doc_id") % 7 != 0)
+    # geometry must be pinned across increments (appends keep the
+    # bootstrap bitmap's m_bits/k; auto-derive would size A and A∪B
+    # differently) — real appenders bootstrap at the EXPECTED final size
     inc = bloom_state_append(
-        bloom_decontaminate_state(ref_a, "text", "doc_id"), ref_b
+        bloom_decontaminate_state(ref_a, "text", "doc_id", m_bits=1 << 20),
+        ref_b,
     )
-    one = bloom_decontaminate_state(ref_all, "text", "doc_id")
+    one = bloom_decontaminate_state(ref_all, "text", "doc_id", m_bits=1 << 20)
     assert sorted(map(tuple, inc[0].collect())) == sorted(
         map(tuple, one[0].collect())
     )
@@ -203,3 +207,18 @@ def test_bloom_state_append_requires_nonempty(spark, docs):
     empty_pairs = spark.createDataFrame([], "h long, sh string")
     with pytest.raises(ValueError, match="empty bloom state"):
         bloom_state_append((empty_words, empty_pairs), docs)
+
+
+def test_derive_bloom_m_bits_policy():
+    """Sizing policy (the sf10-measured footgun): linear in the reference
+    upper bound, floored, capped at the broadcast budget, 64-aligned."""
+    from aim357_2019_etl_and_ml_workshop_spark.operators.curation import (
+        derive_bloom_m_bits,
+    )
+
+    assert derive_bloom_m_bits(0) == 1 << 16  # floor
+    assert derive_bloom_m_bits(1000) == 1000 * 200 * 10  # 2M bits, aligned
+    assert derive_bloom_m_bits(10**9) == 1 << 28  # cap: degrade, not fail
+    for n in (0, 3, 7, 1000, 12345):
+        assert derive_bloom_m_bits(n) % 64 == 0
+        assert derive_bloom_m_bits(n) >= 1 << 16
