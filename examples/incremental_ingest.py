@@ -37,6 +37,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
+from aim357_2019_etl_and_ml_workshop_spark.operators.curation import (
+    bloom_decontaminate,
+    bloom_decontaminate_state,
+)
 from aim357_2019_etl_and_ml_workshop_spark.operators.dedup import (
     incremental_near_duplicates,
     normalize_text,
@@ -102,6 +106,17 @@ def main() -> None:
         "overwrite"
     ).parquet(ann_postings)
 
+    # decontamination state (r9, curation.bloom_decontaminate_state): the
+    # held-out benchmark slice's 5-grams as a persisted Bloom bitmap +
+    # verify pairs — nightly batches probe the STORED state; the
+    # benchmark text is never re-read
+    holdout = docs.where(F.col("doc_id") % 97 == 0)
+    bloom_words = os.path.join(state_dir, "bloom_words")
+    bloom_pairs = os.path.join(state_dir, "bloom_pairs")
+    w, p = bloom_decontaminate_state(holdout, "text", "doc_id")
+    w.write.mode("overwrite").parquet(bloom_words)
+    p.write.mode("overwrite").parquet(bloom_pairs)
+
     try:
         for i, batch in enumerate(batches, 1):
             # ---- intra-batch dedup (ADVICE r04): two identical/near-dup
@@ -161,6 +176,19 @@ def main() -> None:
                 "left_semi",
             )
 
+            # decontamination probe against the stored Bloom state: docs
+            # sharing any 5-gram with the holdout are rejected before
+            # acceptance (geometry rides the state; no m_bits/k repeat)
+            contaminated = bloom_decontaminate(
+                survivors,
+                state=(
+                    spark.read.parquet(bloom_words),
+                    spark.read.parquet(bloom_pairs),
+                ),
+            ).select("doc_id")
+            n_contam = contaminated.count()
+            survivors = survivors.join(contaminated, "doc_id", "left_anti")
+
             near = incremental_near_duplicates(
                 survivors,
                 None,  # corpus never touched: probe the persisted banding
@@ -176,11 +204,12 @@ def main() -> None:
             accepted = survivors.join(near_ids, "doc_id", "left_anti")
 
             n_batch = batch.count()
-            n_exact = n_batch - survivors.count()
+            n_exact = n_batch - survivors.count() - n_contam
             n_accept = accepted.count()
             print(
                 f"batch {i}: {n_raw} docs, {n_raw - n_batch} intra-batch "
-                f"dups, {n_exact} exact dups vs state, "
+                f"dups, {n_exact} exact dups vs state, {n_contam} "
+                f"contaminated vs holdout, "
                 f"{survivors.count() - n_accept} near dups vs state, "
                 f"{n_accept} accepted"
             )
@@ -222,6 +251,14 @@ def main() -> None:
             )
             print(f"batch {i}: ANN probe over stored index -> "
                   f"{probe.count()} neighbor rows")
+
+        # nightly maintenance (r9): fold the appends' small files into a
+        # balanced set as one atomic version (readers undisturbed, txn
+        # watermarks preserved), then reclaim superseded files
+        did = table.compact(target_file_bytes=128 << 20)
+        reclaimed = table.vacuum(retain_versions=1)
+        print(f"maintenance: compacted={did}, reclaimed "
+              f"{len(reclaimed)} files, rows={table.read().count()}")
         print("state stores:", state_dir)
     finally:
         shutil.rmtree(state_dir, ignore_errors=True)
