@@ -97,7 +97,13 @@ class ManifestTable:
         with open(self._version_path(v)) as fh:
             return json.load(fh)
 
-    def _try_commit(self, v: int, files: list[str], txns: dict) -> None:
+    def _try_commit(
+        self,
+        v: int,
+        files: list[str],
+        txns: dict,
+        schema: str | None = None,
+    ) -> None:
         """Atomically claim version ``v``. O_CREAT|O_EXCL loses cleanly to
         a concurrent committer; the payload is written through a temp file
         + os.replace so a crash mid-write can never leave a torn (and
@@ -106,6 +112,7 @@ class ManifestTable:
             "version": v,
             "files": files,
             "txns": txns,
+            "schema": schema,
             "committed_at": time.strftime(
                 "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
             ),
@@ -126,6 +133,43 @@ class ManifestTable:
             os.close(fd)
             if os.path.exists(tmp):
                 os.remove(tmp)
+
+    def schema_json(self, version: int | None = None) -> str | None:
+        """The committed snapshot schema (Spark DataType JSON) at
+        ``version`` — None only for the empty bootstrap version."""
+        v = self.latest_version() if version is None else version
+        return self._load(v).get("schema")
+
+    @staticmethod
+    def _check_schema(
+        base_schema: str | None, df: DataFrame, allow_evolution: bool
+    ) -> str:
+        """Appending a mismatched schema would corrupt READS silently
+        (a multi-file parquet scan resolves one schema and drops or
+        nulls the rest), so the write path is where it must fail. Exact
+        match passes; with ``allow_evolution=True`` the new schema may
+        ADD nullable fields (existing columns must keep name+type) and
+        becomes the table schema; anything else raises."""
+        from pyspark.sql.types import StructType
+
+        new_json = df.schema.json()
+        if base_schema is None or base_schema == new_json:
+            return new_json
+        old = StructType.fromJson(json.loads(base_schema))
+        new = StructType.fromJson(json.loads(new_json))
+        old_fields = {f.name: f.dataType for f in old.fields}
+        new_fields = {f.name: f.dataType for f in new.fields}
+        compatible = allow_evolution and all(
+            name in new_fields and new_fields[name] == dtype
+            for name, dtype in old_fields.items()
+        )
+        if not compatible:
+            raise ValueError(
+                "schema mismatch vs committed snapshot "
+                f"(table: {old.simpleString()}, append: {new.simpleString()})"
+                " — pass allow_evolution=True to add nullable columns"
+            )
+        return new_json
 
     # -- write path --------------------------------------------------------
 
@@ -153,6 +197,7 @@ class ManifestTable:
         batch_id: int | None = None,
         _staged: list[str] | None = None,
         max_retries: int = 10,
+        allow_evolution: bool = False,
     ) -> bool:
         """Append ``df`` as a new version. With ``(app_id, batch_id)`` the
         append is IDEMPOTENT: if the table's committed watermark for
@@ -170,11 +215,19 @@ class ManifestTable:
                 if done is not None and int(done) >= int(batch_id):
                     return False  # replay of an already-committed batch
                 txns[app_id] = int(batch_id)
+            # re-checked per retry: the schema under evolution is the
+            # FRESH base's, not the one this writer first read
+            schema = self._check_schema(
+                base.get("schema"), df, allow_evolution
+            )
             if staged is None:
                 staged = self._stage_data_files(df)
             try:
                 self._try_commit(
-                    base_v + 1, files=base["files"] + staged, txns=txns
+                    base_v + 1,
+                    files=base["files"] + staged,
+                    txns=txns,
+                    schema=schema,
                 )
                 return True
             except CommitConflict:
@@ -202,7 +255,9 @@ class ManifestTable:
                 return False
             txns[app_id] = int(batch_id)
         staged = self._stage_data_files(df)
-        self._try_commit(base_v + 1, files=staged, txns=txns)
+        self._try_commit(
+            base_v + 1, files=staged, txns=txns, schema=df.schema.json()
+        )
         return True
 
     def upsert(
@@ -241,7 +296,15 @@ class ManifestTable:
                 f"version {v} of {self.root} is empty — append first"
             )
         paths = [os.path.join(self.root, f) for f in m["files"]]
-        return self.spark.read.parquet(*paths)
+        reader = self.spark.read
+        if m.get("schema"):
+            # pin the committed snapshot schema: after an evolved append,
+            # files written before the new column read as null instead of
+            # whichever file's schema the scan happened to resolve
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(StructType.fromJson(json.loads(m["schema"])))
+        return reader.parquet(*paths)
 
     def txn_watermark(self, app_id: str) -> int | None:
         v = self.latest_version()
@@ -305,7 +368,10 @@ class ManifestTable:
             files = staged + [f for f in cur["files"] if f not in old]
             try:
                 self._try_commit(
-                    cur_v + 1, files=files, txns=dict(cur.get("txns", {}))
+                    cur_v + 1,
+                    files=files,
+                    txns=dict(cur.get("txns", {})),
+                    schema=cur.get("schema"),
                 )
                 return True
             except CommitConflict:

@@ -195,3 +195,41 @@ def test_compact_merges_interleaved_append(spark, tmp_path, monkeypatch):
     assert t.compact(target_file_bytes=1 << 30) is True
     assert _snap(t) == [(0, "v0"), (1, "v1"), (2, "v2"), (99, "raced")]
     assert t.txn_watermark("ingest") == 3
+
+
+def test_append_schema_mismatch_fails_fast(spark, tmp_path):
+    """A mismatched-schema append must fail at WRITE time — a multi-schema
+    file list corrupts reads silently (the scan resolves one schema and
+    nulls or drops the rest)."""
+    t = ManifestTable.create(spark, str(tmp_path / "tbl"))
+    t.append(_df(spark, [(1, "a")]))
+    bad = spark.createDataFrame([(2, 3.5)], "k bigint, v double")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.append(bad)
+    renamed = spark.createDataFrame([(2, "b")], "k bigint, w string")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.append(renamed, allow_evolution=True)  # drops v — not additive
+    assert _snap(t) == [(1, "a")]
+
+
+def test_append_schema_evolution_adds_nullable_column(spark, tmp_path):
+    """allow_evolution=True admits ADDITIVE schemas; the committed schema
+    is pinned at read so pre-evolution files surface the new column as
+    null instead of whatever the scan resolves."""
+    t = ManifestTable.create(spark, str(tmp_path / "tbl"))
+    t.append(_df(spark, [(1, "a")]))
+    wider = spark.createDataFrame(
+        [(2, "b", 7)], "k bigint, v string, score bigint"
+    )
+    with pytest.raises(ValueError, match="allow_evolution"):
+        t.append(wider)  # evolution must be explicit
+    assert t.append(wider, allow_evolution=True) is True
+    rows = sorted(
+        (r["k"], r["v"], r["score"]) for r in t.read().collect()
+    )
+    assert rows == [(1, "a", None), (2, "b", 7)]
+    # overwrite redefines the schema outright; narrow append then fails
+    t.overwrite(_df(spark, [(9, "z")]))
+    assert sorted((r["k"], r["v"]) for r in t.read().collect()) == [(9, "z")]
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.append(wider)
