@@ -6831,8 +6831,11 @@ def bloom_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         n=5,
         prefix=200,
-        m_bits=1 << 20,
-        k=2,
+        # m_bits deliberately auto-derived (derive_bloom_m_bits from the
+        # reference count): the output is invariant to sizing — FPs die in
+        # the verify join — so the oracle is untouched, and the query
+        # exercises the REAL scale path at every SF instead of a pinned
+        # bitmap that saturates once the reference outgrows it
     )
 
 
