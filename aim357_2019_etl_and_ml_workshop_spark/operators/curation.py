@@ -432,7 +432,7 @@ def derive_bloom_m_bits(
     semantic-dedup block_rows fix). Gram count is upper-bounded by
     n_docs * prefix (exact when docs exceed the prefix cap, conservative
     otherwise — oversizing only costs bitmap bytes); ~10 bits/gram at
-    k=2 gives fpp ~3%%. The cap (default 2^28 bits = 32 MiB bitmap, the
+    k=2 gives fpp ~3%. The cap (default 2^28 bits = 32 MiB bitmap, the
     broadcast budget) degrades fpp gracefully instead of failing: past
     ~27M reference grams the filter thins, never lies — and at that
     point the honest scale move is sharding the reference (several

@@ -32,6 +32,7 @@ WHITELIST = {
     "tfidf_exact_features": "broadcast scalar n_docs count gather",
     "unigram_logprob_scores": "broadcast scalar corpus-total gather",
     "bigram_logprob_scores": "broadcast scalar vocab-count gather — same shape as unigram_logprob_scores' corpus total",
+    "bloom_decontaminate_overlap": "bitmap densify gather: one ordered collect_list row of <= m_bits/64 words (PARAMETER-bounded, never data-bounded — the bit_or partial agg reduced each partition first), broadcast back as the Bloom filter",
     "dsir_importance_weights": "broadcast scalar totals gather (one row: r_total/t_total/vocab) — same shape as unigram_logprob_scores",
     "dsir_select_topk": "same broadcast scalar totals gather as dsir_importance_weights (selection is TakeOrderedAndProject, no global sort exchange)",
     "dsir_select_fraction": "totals gather (as dsir_importance_weights) + one-row percentile-threshold gather broadcast back; the EXACT percentile buffer is the conformance form — approx=True (percentile_approx, mergeable t-digest buffers) is the corpus-scale swap",
