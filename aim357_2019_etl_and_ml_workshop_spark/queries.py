@@ -2436,8 +2436,12 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # file streams need a DIRECTORY source; the testdata table is one file,
     # so stage a symlink dir (zero-copy)
     stream_dir = tempfile.mkdtemp(prefix="stream_src_")
+    # the target must be ABSOLUTE: a relative symlink target resolves
+    # against the SYMLINK's directory (the /tmp staging dir), not the
+    # caller's cwd — with a relative sf_dir the link dangles and the file
+    # stream silently lists zero files (sf1 gate, r9)
     os.symlink(
-        os.path.join(sf_dir, "events.parquet"),
+        os.path.abspath(os.path.join(sf_dir, "events.parquet")),
         os.path.join(stream_dir, "events.parquet"),
     )
     src = stream_from_directory(spark, stream_dir, raw_schema)
@@ -2460,6 +2464,19 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
         sink = spark.table(qname)
         rows, schema = sink.collect(), sink.schema
+        # Memory-sink visibility guard: processAllAvailable() has been
+        # observed (once, in a 162-query sf1 gate session) to return
+        # before the complete-mode sink table exposed its final batch
+        # under heavy session load. The source is known non-empty, so an
+        # empty read is a race, not an answer — drain again, bounded.
+        import time
+
+        for _ in range(10):
+            if rows:
+                break
+            time.sleep(1)
+            q.processAllAvailable()
+            rows = spark.table(qname).collect()
     finally:
         q.stop()
         spark.catalog.dropTempView(qname)
