@@ -86,6 +86,43 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).orc(path)
 
 
+def _require_avro(spark: SparkSession) -> None:
+    """Avro is an EXTERNAL Spark module (spark-avro) since 2.4; this
+    container ships only the Apache Avro library jars, not the data
+    source. Gate with a clear capability error instead of Spark's
+    deployment-guide message (same posture as multimodal's compressed-
+    codec guards): on a cluster with the module deployed
+    (--packages org.apache.spark:spark-avro_2.13) these entry points
+    work unchanged."""
+    try:
+        # the exact resolution the reader/writer performs (a bare class
+        # probe is wrong: spark ships some sql.avro classes without the
+        # data-source registration)
+        spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+            "avro", spark._jsparkSession.sessionState().conf()
+        )
+    except Exception as exc:
+        raise NotImplementedError(
+            "Avro source requires the external spark-avro module "
+            "(org.apache.spark:spark-avro); it is not deployed in this "
+            "runtime — read_avro/write_avro work unchanged once it is"
+        ) from exc
+
+
+def read_avro(spark: SparkSession, path: str | list[str]) -> DataFrame:
+    """Avro scan (row-oriented at rest; schema from the container
+    metadata). Capability-gated — see _require_avro."""
+    _require_avro(spark)
+    return spark.read.format("avro").load(
+        *(path if isinstance(path, list) else [path])
+    )
+
+
+def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    _require_avro(df.sparkSession)
+    df.write.mode(mode).format("avro").save(path)
+
+
 def read_parquet_evolved(spark: SparkSession, path: str | list[str]) -> DataFrame:
     """Schema-evolution read: mergeSchema unions the footers of all file
     generations (fhv -> fhvhv style column additions); files missing a

@@ -794,3 +794,34 @@ def test_dsir_resample_fraction_threshold_semantics(spark, sf_dir):
     ap_ids = {r["doc_id"] for r in approx}
     overlap = len(ex_ids & ap_ids) / len(ex_ids)
     assert overlap >= 0.9, f"approx selection diverged: {overlap}"
+
+
+def test_avro_capability_gate(spark, tmp_path):
+    """Avro is an external Spark module not deployed here: the entry
+    points must fail with the engine's clear capability error (naming the
+    module to deploy), never Spark's generic deployment-guide message —
+    and must WORK unchanged if the module ever appears (probed via the
+    same DataSource lookup the reader/writer performs)."""
+    import pytest
+
+    from aim357_2019_etl_and_ml_workshop_spark.sources.io import (
+        read_avro,
+        write_avro,
+    )
+
+    try:
+        spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+            "avro", spark._jsparkSession.sessionState().conf()
+        )
+        deployed = True
+    except Exception:
+        deployed = False
+    df = spark.range(3).selectExpr("id", "cast(id as string) AS s")
+    if deployed:
+        write_avro(df, str(tmp_path / "a"))
+        assert read_avro(spark, str(tmp_path / "a")).count() == 3
+    else:
+        with pytest.raises(NotImplementedError, match="spark-avro"):
+            write_avro(df, str(tmp_path / "a"))
+        with pytest.raises(NotImplementedError, match="spark-avro"):
+            read_avro(spark, str(tmp_path / "a"))
