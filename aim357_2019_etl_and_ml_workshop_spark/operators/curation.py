@@ -534,9 +534,10 @@ def bloom_decontaminate(
 
     Scale posture, stage by stage:
     - Reference pass 1 builds the Bloom bitmap IN the engine: per gram,
-      ``k`` probe positions (Kirsch-Mitzenmacher double hashing off one
-      xxhash64 — salted rehashes of the 64-bit gram hash, never of the
-      string), then bucket -> partial bit_or map-side, so the aggregation
+      ``k`` probe positions — independent salted rehashes of the 64-bit
+      gram hash (never of the string; stronger independence than
+      Kirsch-Mitzenmacher double hashing at the same cost) — then
+      bucket -> partial bit_or map-side, so the aggregation
       shuffles at most ``m_bits/64`` (bucket, word) rows no matter the
       reference size. Densification to the broadcastable array happens
       entirely JVM-side (one ordered collect_list row); the Python
