@@ -458,13 +458,17 @@ def bloom_decontaminate_state(
     with zero reference re-scan.
 
     Returns ``(words, pairs)``:
-    - ``words``: (m_bits, k, bucket, word) — the Bloom bitmap as its
-      non-zero 64-bit words. m_bits/k ride every row (RLE-compressed to
-      nothing at rest) so the state is SELF-DESCRIBING: the probe path
-      validates them against its own arguments and fails fast on a
-      mismatch, because probing a bitmap built with different geometry
-      would produce Bloom false NEGATIVES — a correctness error, not a
-      performance one.
+    - ``words``: (m_bits, k, n, prefix, bucket, word) — the Bloom bitmap
+      as its non-zero 64-bit words. The FULL build geometry — bitmap
+      shape (m_bits/k) AND gram shape (n/prefix) — rides every row
+      (RLE-compressed to nothing at rest) so the state is
+      SELF-DESCRIBING: the probe path validates all four against its own
+      arguments and fails fast on a mismatch, because probing a bitmap
+      built with a different bitmap geometry OR hashing different grams
+      (another n, a shorter prefix) would produce Bloom false NEGATIVES
+      — missed contamination, a correctness error, not a performance one
+      (ADVICE r09 #1: n/prefix were originally unstored, so a mismatched
+      probe hashed different grams silently).
     - ``pairs``: distinct (h, sh) gram hash/string pairs — the verify
       side. Incremental reference batches append here and re-derive
       ``words`` with one bit_or re-aggregation over (this batch's probes
@@ -504,6 +508,8 @@ def bloom_decontaminate_state(
         .select(
             F.lit(m_bits).cast("long").alias("m_bits"),
             F.lit(k).cast("int").alias("k"),
+            F.lit(n).cast("int").alias("n"),
+            F.lit(prefix).cast("int").alias("prefix"),
             "bucket",
             "word",
         )
@@ -511,13 +517,36 @@ def bloom_decontaminate_state(
     return words, pairs
 
 
+def _bloom_state_geometry(words: DataFrame, what: str) -> tuple:
+    """Read (m_bits, k, n, prefix) off a stored state's words rows — one
+    limit(1) collect. Raises on empty state and on pre-r10 states that
+    predate n/prefix tracking (ADVICE r09 #1): a state whose gram shape
+    is unknown cannot be probed safely, because a different n or prefix
+    hashes DIFFERENT grams — silent false negatives, not an error."""
+    missing = {"n", "prefix"} - set(words.columns)
+    if missing:
+        raise ValueError(
+            f"bloom state lacks column(s) {sorted(missing)} — it predates "
+            "gram-shape tracking; rebuild it with bloom_decontaminate_state "
+            "(probing with an unknown n/prefix risks Bloom false negatives)"
+        )
+    head = words.limit(1).collect()
+    if not head:
+        raise ValueError(
+            f"empty bloom state — build it with bloom_decontaminate_state"
+            f" before {what}"
+        )
+    h = head[0]
+    return int(h["m_bits"]), int(h["k"]), int(h["n"]), int(h["prefix"])
+
+
 def bloom_decontaminate(
     corpus: DataFrame,
     reference: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
-    n: int = 5,
-    prefix: int = 200,
+    n: int | None = None,
+    prefix: int | None = None,
     m_bits: int | None = None,
     k: int | None = None,
     state: tuple[DataFrame, DataFrame] | None = None,
@@ -574,22 +603,29 @@ def bloom_decontaminate(
 
     if state is not None:
         words, ref_pairs = state
-        head = words.limit(1).collect()  # geometry only — one row
-        if not head:
-            raise ValueError(
-                "empty bloom state — build it with bloom_decontaminate_state"
-            )
-        got_m, got_k = int(head[0]["m_bits"]), int(head[0]["k"])
-        if (m_bits is not None and got_m != m_bits) or (
-            k is not None and got_k != k
+        got_m, got_k, got_n, got_pfx = _bloom_state_geometry(
+            words, "probing"
+        )
+        if (
+            (m_bits is not None and got_m != m_bits)
+            or (k is not None and got_k != k)
+            or (n is not None and got_n != n)
+            or (prefix is not None and got_pfx != prefix)
         ):
             raise ValueError(
-                f"bloom state geometry (m_bits={got_m}, k={got_k}) does "
-                f"not match probe arguments (m_bits={m_bits}, k={k}) — "
-                "a mismatched bitmap produces Bloom false negatives"
+                f"bloom state geometry (m_bits={got_m}, k={got_k}, "
+                f"n={got_n}, prefix={got_pfx}) does not match probe "
+                f"arguments (m_bits={m_bits}, k={k}, n={n}, "
+                f"prefix={prefix}) — a mismatched bitmap produces Bloom "
+                "false negatives (wrong m_bits/k) or hashes different "
+                "grams entirely (wrong n/prefix): missed contamination "
+                "either way"
             )
-        m_bits, k = got_m, got_k  # geometry IS the state's
+        # geometry IS the state's — bitmap shape and gram shape alike
+        m_bits, k, n, prefix = got_m, got_k, got_n, got_pfx
     else:
+        n = 5 if n is None else n
+        prefix = 200 if prefix is None else prefix
         k = 2 if k is None else k
         if m_bits is None:
             m_bits = derive_bloom_m_bits(reference.count(), prefix)
@@ -656,14 +692,18 @@ def bloom_state_append(
     new_reference: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    n: int = 5,
-    prefix: int = 200,
+    n: int | None = None,
+    prefix: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Fold a NEW reference batch into stored decontamination state — the
     nightly maintenance half of ``bloom_decontaminate_state``: old
-    reference text is never re-read. Geometry (m_bits, k) comes from the
-    stored words rows (the state is self-describing), so an append can
-    never silently change the bitmap a probe depends on.
+    reference text is never re-read. The FULL geometry (m_bits, k, n,
+    prefix) comes from the stored words rows (the state is
+    self-describing), so an append can never silently change the bitmap
+    — or the gram shape — a probe depends on; explicitly passing an
+    ``n``/``prefix`` that disagrees with the state raises (ADVICE r09
+    #1: appending grams of a different shape would poison the pairs
+    table with strings no probe at the state's shape can match).
 
     Cost: one gram pass over the BATCH, a bit_or re-aggregation over
     (stored words UNION batch words) — at most 2·m_bits/64 input rows
@@ -681,13 +721,17 @@ def bloom_state_append(
     is known; rebuild (one pass over the accumulated pairs' ``sh``) when
     it was not."""
     words, pairs = state
-    head = words.limit(1).collect()
-    if not head:
+    m_bits, k, got_n, got_pfx = _bloom_state_geometry(words, "appending")
+    if (n is not None and got_n != n) or (
+        prefix is not None and got_pfx != prefix
+    ):
         raise ValueError(
-            "cannot append to empty bloom state — build it with "
-            "bloom_decontaminate_state first"
+            f"bloom state gram shape (n={got_n}, prefix={got_pfx}) does "
+            f"not match append arguments (n={n}, prefix={prefix}) — "
+            "appending grams of a different shape silently breaks every "
+            "future probe of this state"
         )
-    m_bits, k = int(head[0]["m_bits"]), int(head[0]["k"])
+    n, prefix = got_n, got_pfx
     new_words, new_pairs = bloom_decontaminate_state(
         new_reference, text_col, id_col, n=n, prefix=prefix,
         m_bits=m_bits, k=k,
@@ -700,6 +744,8 @@ def bloom_state_append(
         .select(
             F.lit(m_bits).cast("long").alias("m_bits"),
             F.lit(k).cast("int").alias("k"),
+            F.lit(n).cast("int").alias("n"),
+            F.lit(prefix).cast("int").alias("prefix"),
             "bucket",
             "word",
         )

@@ -390,6 +390,120 @@ def bigram_logprob_scores(
     )
 
 
+def trigram_logprob_scores(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+    lambdas: tuple[float, float, float] = (0.6, 0.3, 0.1),
+) -> DataFrame:
+    """Interpolated trigram language-model quality score — the top rung of
+    the perplexity-filter ladder (unigram -> bigram -> this), the shape
+    CCNet (Wenzek et al. 2020) filters with: per document, the mean
+    log of the Jelinek-Mercer mixture
+
+        lam3 * P3(c | p2 p1) + lam2 * P2(c | p1) + lam1 * P1(c)
+
+    over its trigram positions, each order add-``alpha`` smoothed over
+    the corpus's own counts. Interpolation is what makes the trigram
+    order usable at corpus scale: an unseen trigram backs off smoothly to
+    the bigram/unigram evidence instead of flooring every novel phrase
+    at the smoothing constant.
+
+    Scale shape, same posture as bigram_logprob_scores: ALL n-gram
+    streams come from zip_with over token-array slices inside the scan
+    (no self-joins, no windows over exploded corpus tokens); ONE
+    corpus-token aggregation per order (trigram, bigram, unigram);
+    context tables derive from those counts (vocabulary-sized groupBys,
+    never a second corpus pass); then one equi-join per model table
+    against the trigram occurrence stream — every join key is an n-gram,
+    so each join is corpus-tokens x vocab-sized, hash-partitioned with
+    map-side combine upstream. Corpus scalars (V, N) ride a broadcast
+    crossJoin of one row. round(6) keeps cross-engine float fold-order
+    invisible. Documents with fewer than three tokens have no trigrams
+    and are absent from the output — on both engines.
+
+    Output: (id, n_trigram, avg_logprob).
+    """
+    from .dedup import normalize_text
+
+    lam3, lam2, lam1 = (float(x) for x in lambdas)
+    toks = F.filter(
+        F.split(normalize_text(text_col), " "), lambda t: t != ""
+    )
+    base = df.select(F.col(id_col), toks.alias("_toks"))
+
+    def shifted(offset: int, width: int):
+        # slice i..i+width-1 aligned so each output row is one position
+        return F.slice(
+            "_toks", offset + 1, F.size("_toks") - (width - 1)
+        )
+
+    tri_arr = F.when(
+        F.size("_toks") >= 3,
+        F.zip_with(
+            F.zip_with(
+                shifted(0, 3),
+                shifted(1, 3),
+                lambda a, b: F.struct(a.alias("p2"), b.alias("p1")),
+            ),
+            shifted(2, 3),
+            lambda pp, c: F.struct(
+                pp["p2"].alias("p2"), pp["p1"].alias("p1"), c.alias("cur")
+            ),
+        ),
+    ).otherwise(
+        F.array().cast("array<struct<p2:string,p1:string,cur:string>>")
+    )
+    tri = base.select(id_col, F.explode(tri_arr).alias("_tr")).select(
+        id_col,
+        F.col("_tr.p2").alias("p2"),
+        F.col("_tr.p1").alias("p1"),
+        F.col("_tr.cur").alias("cur"),
+    )
+
+    bi_arr = F.when(
+        F.size("_toks") >= 2,
+        F.zip_with(
+            shifted(0, 2),
+            shifted(1, 2),
+            lambda p, c: F.struct(p.alias("p1"), c.alias("cur")),
+        ),
+    ).otherwise(F.array().cast("array<struct<p1:string,cur:string>>"))
+    bi = base.select(F.explode(bi_arr).alias("_b")).select(
+        F.col("_b.p1").alias("p1"), F.col("_b.cur").alias("cur")
+    )
+    uni = base.select(F.explode("_toks").alias("cur"))
+
+    c3 = tri.groupBy("p2", "p1", "cur").agg(F.count(F.lit(1)).alias("n3"))
+    ctx3 = c3.groupBy("p2", "p1").agg(F.sum("n3").alias("n3ctx"))
+    c2 = bi.groupBy("p1", "cur").agg(F.count(F.lit(1)).alias("n2"))
+    ctx2 = c2.groupBy("p1").agg(F.sum("n2").alias("n2ctx"))
+    c1 = uni.groupBy("cur").agg(F.count(F.lit(1)).alias("n1"))
+    scalars = c1.agg(
+        F.sum("n1").alias("n_corpus"), F.count(F.lit(1)).alias("v")
+    )
+
+    a = F.lit(alpha)
+    p3 = (F.col("n3") + a) / (F.col("n3ctx") + a * F.col("v"))
+    p2_ = (F.col("n2") + a) / (F.col("n2ctx") + a * F.col("v"))
+    p1_ = (F.col("n1") + a) / (F.col("n_corpus") + a * F.col("v"))
+    logp = F.log(F.lit(lam3) * p3 + F.lit(lam2) * p2_ + F.lit(lam1) * p1_)
+    return (
+        tri.join(c3, ["p2", "p1", "cur"])
+        .join(ctx3, ["p2", "p1"])
+        .join(c2, ["p1", "cur"])
+        .join(ctx2, "p1")
+        .join(c1, "cur")
+        .crossJoin(F.broadcast(scalars))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_trigram"),
+            F.round(F.avg(logp), 6).alias("avg_logprob"),
+        )
+    )
+
+
 def dsir_importance_weights(
     df: DataFrame,
     text_col: str,

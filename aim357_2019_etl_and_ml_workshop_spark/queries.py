@@ -82,42 +82,43 @@ def register(name: str, oracle: str | None = None):
 # round; everything else follows in registration order and remains covered
 # by the local gate. (VERDICT r02 "Next round" #2.)
 _DRIVER_PRIORITY = [
-    # --- round-9 rotation (VERDICT r08 next #4): entering r9 every one of
-    # the 176 r8-era keys carries a driver verdict (zero failures, eight
-    # rounds); exactly 10 carried a single verdict. The 50-slot sample:
-    # (a) the two queries NEW this round (semantic_dedup_fitted — the
-    # fitted-k-means composition contract — and ivf_state_recall_check —
-    # the persisted-ANN-state contract); (b) queries whose code changed
-    # this round (semantic_dedup's blocked strategy gained corpus-derived
-    # block sizing + base persist + eager_release, so all three strategy
-    # twins re-verdict; repeated_ngram_spans_hashed lost its forced
-    # survivor-set broadcast); (c) ALL remaining single-verdict keys —
-    # including the three no_oracle rows-only singles, sampled for their
-    # second (error-freeness) verdict per VERDICT r08 wrong #2, while
-    # no_oracle keys that already hold >= 2 verdicts are EXCLUDED from
-    # oracle-sample slots; (d) 37 oracle-backed least-recently-verified
-    # keys (last verdict r5-r6). After this round at most the four r9
-    # newcomers are single-verdict (target <= 4). ---
+    # --- round-10 rotation (VERDICT r09 next #1): entering r10 all 180
+    # r9-era keys carry >= 1 lifetime verdict with zero failures; exactly
+    # four are single-verdict. The 50-slot sample: (a) the two queries
+    # NEW this round (bloom_state_overlap — the persisted-Bloom-state
+    # lifecycle contract, VERDICT r09 #3 — and trigram_logprob_scores —
+    # the interpolated-trigram LM rung, VERDICT r09 #6); (b) the four r9
+    # single-verdict keys, sampled for their second lifetime verdict —
+    # after which EVERY pre-r10 registry key holds >= 2, closing the
+    # rotation ledger (bloom_decontaminate_overlap doubles as the
+    # changed-code re-verdict for the r10 n/prefix state-geometry fix);
+    # (c) streaming_hourly_counts, whose empty-sink retry gained the
+    # source-nonempty gate (ADVICE r09 #4) — also LRU (last r6);
+    # (d) the remaining 42 least-recently-verified keys (all last
+    # verdicted r6) + 1 r7 key to fill 50. ---
+    "bloom_state_overlap", "trigram_logprob_scores",
     "bloom_decontaminate_overlap", "bigram_logprob_scores",
     "semantic_dedup_fitted", "ivf_state_recall_check",
-    "semantic_dedup_blocked", "semantic_dedup_tiled",
-    "semantic_dedup_cells", "repeated_ngram_spans_hashed",
-    "dsir_select_topk", "dsir_select_fraction",
-    "scd2_user_state", "snapshot_diff_orders",
-    "simhash_near_duplicates", "stratified_sample_docs", "tfidf_features",
-    # (d) least-recently-verified oracle-backed fill (r5 first, then r6)
-    "count_distinct_users", "counts_by_day", "counts_by_day_type",
-    "customer_order_stats", "date_spine", "dedup_distinct_pairs",
-    "dedup_docs_fingerprint", "embedding_cosine_topk",
-    "epoch_bucket_counts", "flagship_daily_type_counts", "global_count",
-    "group_by_event_type", "inner_join_daily", "json_extract_sum",
-    "like_prefix_filter", "min_max_epoch_bounds", "order_limit_topk",
-    "pivot_daily_by_type", "project_rename_cast", "q1_pricing_summary",
-    "rollup_counts", "sessionize_user_counts", "spine_left_join_gapfill",
-    "strict_range_rows", "text_quality", "token_count", "top3_per_status",
-    "tumbling_hourly_counts", "union_by_name", "union_tagged_counts",
-    "upper_bound_sanity_count", "window_daily_diff",
-    "asof_join_last_signup", "chunk_documents", "cumulative_daily_revenue",
+    "streaming_hourly_counts",
+    # (d) least-recently-verified fill (r6 era, then r7)
+    "customers_with_orders_semi", "customers_without_orders",
+    "decontaminate_ngram_overlap", "deepar_export",
+    "dormant_rich_customers", "except_all_user_bags", "except_user_sets",
+    "forecast_quantiles", "forward_fill_last_value",
+    "grouping_sets_counts", "intersect_user_sets", "ivf_ann_topk",
+    "lang_id_heuristic", "lateral_top2_per_segment",
+    "latest_state_per_user", "lsh_ann_topk", "market_share_by_year",
+    "median_value_by_type", "minhash_near_duplicates",
+    "minhash_recall_check", "moving_avg_7day", "nation_year_profit",
+    "neardup_clusters", "neardup_representatives", "ngram_jaccard_pairs",
+    "not_in_null_aware_anti", "ntile_quartiles", "pii_redaction_rollup",
+    "quality_features", "range_frame_peak_rate",
+    "range_join_campaign_counts", "rank_distribution_probe",
+    "recursive_cte_tree_walk", "repetition_filter", "sequence_packing",
+    "shard_assignment_counts", "simhash_fingerprints",
+    "sliding_window_counts", "sole_return_supplier", "sql_flagship_twin",
+    "unshipped_priority_revenue", "approx_sketches",
+    "argmax_latest_event",
 ]
 
 
@@ -2467,16 +2468,36 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Memory-sink visibility guard: processAllAvailable() has been
         # observed (once, in a 162-query sf1 gate session) to return
         # before the complete-mode sink table exposed its final batch
-        # under heavy session load. The source is known non-empty, so an
-        # empty read is a race, not an answer — drain again, bounded.
-        import time
+        # under heavy session load. The retry is GATED on the source
+        # actually holding rows (one limit(1) probe of the batch reader,
+        # paid only on the empty-read path) so a legitimately empty
+        # source returns empty immediately instead of masking itself
+        # behind a 10 s stall; when the gate does trip, the drain is
+        # logged loudly — it is evidence of the visibility race, and a
+        # silent retry would hide how often it fires (ADVICE r09 #4).
+        if not rows:
+            source_has_rows = bool(
+                spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+                .limit(1)
+                .count()
+            )
+            if source_has_rows:
+                import time
+                import warnings
 
-        for _ in range(10):
-            if rows:
-                break
-            time.sleep(1)
-            q.processAllAvailable()
-            rows = spark.table(qname).collect()
+                warnings.warn(
+                    "memory-sink visibility race: processAllAvailable() "
+                    "returned before the complete-mode sink exposed its "
+                    "final batch; draining again (bounded)",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+                for _ in range(10):
+                    if rows:
+                        break
+                    time.sleep(1)
+                    q.processAllAvailable()
+                    rows = spark.table(qname).collect()
     finally:
         q.stop()
         spark.catalog.dropTempView(qname)
@@ -2574,7 +2595,25 @@ def neardup_clusters_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     below the banding threshold), so labels aren't SQL-recomputable; the
     component operator is full-oracle verified via neardup_clusters at
     conformance SFs, and the pair source carries its own driver-checked
-    contract (minhash_recall_check)."""
+    contract (minhash_recall_check).
+
+    Growth model (VERDICT r09 next #4, measured by
+    tools/measure_neardup_growth.py): the ~18x sf1->sf10 soak growth is
+    PAIR-MASS, not iteration count — verified pairs grew 89.6x for 10x
+    docs (pairs/doc 0.041 -> 0.368; avg graph degree 1.25 -> 3.09, max
+    6 -> 47) because the synthetic corpus draws near-dup docs from a
+    fixed template pool, so group size g scales with the corpus and a
+    group contributes ~g^2/2 pairs above the Jaccard threshold. That
+    quadratic-in-group-size mass is the OPERATOR'S CONTRACT (every
+    >=threshold pair, the set minhash_recall_check certifies), so the
+    cost bound is inherent: time ~ O(corpus + true_pair_mass). The
+    component stage is NOT the driver — it grew 3.9x on 89.6x more
+    pairs (both SFs below the 1M-edge union-find threshold; no
+    pointer-jumping switch). At 100 TB the mitigations are upstream of
+    this operator: exact-dedup first (collapses identical templates,
+    the curation_funnel ordering), or a per-bucket star reduction when
+    only connectivity (not the full pair set) is needed — a different
+    contract, deliberately not this query's."""
     from .operators.dedup import connected_components, minhash_near_duplicates
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -6857,6 +6896,103 @@ def bloom_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bloom_state_overlap",
+    """
+    WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+    g AS (
+        SELECT doc_id,
+               toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+               toks[i+3] || ' ' || toks[i+4] AS sh
+        FROM t, generate_series(1, 200) s(i)
+        WHERE i + 4 <= len(toks)
+    ),
+    gd AS (SELECT DISTINCT doc_id, sh FROM g),
+    ref_sh AS (SELECT DISTINCT sh FROM gd WHERE doc_id % 7 = 0),
+    ov AS (
+        SELECT gd.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+        FROM gd JOIN ref_sh USING (sh)
+        WHERE gd.doc_id % 7 <> 0
+        GROUP BY gd.doc_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_overlap) AS BIGINT) AS total_overlap,
+           CAST(0 AS BIGINT) AS n_mismatched,
+           TRUE AS state_eq_inline
+    FROM ov
+    """,
+)
+def bloom_state_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-decontamination-state contract (VERDICT r09 next #3) —
+    the Bloom mirror of ivf_state_recall_check, closing the lifecycle
+    gap where the state path (curation.bloom_decontaminate_state ->
+    parquet -> bloom_decontaminate(state=...)) had pytest parity but no
+    driver-checked query. The full nightly lifecycle runs inside the
+    query: build state from the reference slice, WRITE it to parquet,
+    read it back (self-describing geometry incl. the r10 n/prefix
+    tracking validates on probe), probe the corpus through the stored
+    state, and compare row-for-row against the inline reference path.
+    The returned row pins (a) state == inline at 0 mismatched (id,
+    n_overlap) rows, and (b) the aggregate (n_docs, total_overlap)
+    which the oracle re-derives from the EXACT n-gram overlap join —
+    so the hash-match proves state-path == inline-path == exact SQL."""
+    import os
+    import shutil
+    import tempfile
+
+    from .operators.curation import (
+        bloom_decontaminate,
+        bloom_decontaminate_state,
+    )
+
+    docs = spread_for_cpu(_t(spark, sf_dir, "documents"))
+    corpus = docs.where(F.col("doc_id") % 7 != 0)
+    ref = docs.where(F.col("doc_id") % 7 == 0)
+    words, pairs = bloom_decontaminate_state(ref, "text", "doc_id")
+    state_dir = tempfile.mkdtemp(prefix="bloom_state_")
+    try:
+        words.write.parquet(os.path.join(state_dir, "words"))
+        pairs.write.parquet(os.path.join(state_dir, "pairs"))
+        stored = (
+            spark.read.parquet(os.path.join(state_dir, "words")),
+            spark.read.parquet(os.path.join(state_dir, "pairs")),
+        )
+        via_state = bloom_decontaminate(
+            corpus, state=stored, text_col="text", id_col="doc_id"
+        ).persist()
+        inline = bloom_decontaminate(
+            corpus, ref, "text", "doc_id", n=5, prefix=200
+        )
+        try:
+            mism = (
+                via_state.join(inline, "doc_id", "full")
+                .where(
+                    ~via_state["n_overlap"].eqNullSafe(inline["n_overlap"])
+                )
+                .count()
+            )
+            agg = via_state.agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_overlap").alias("total_overlap"),
+            ).collect()[0]
+        finally:
+            via_state.unpersist(blocking=False)
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                int(agg["n_docs"]),
+                int(agg["total_overlap"]),
+                mism,
+                mism == 0,
+            )
+        ],
+        "n_docs bigint, total_overlap bigint, n_mismatched bigint, "
+        "state_eq_inline boolean",
+    )
+
+
+@register(
     "bigram_logprob_scores",
     """
     WITH t AS (
@@ -6895,5 +7031,66 @@ def bigram_logprob_scores_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.textanalysis import bigram_logprob_scores
 
     return bigram_logprob_scores(
+        spread_for_cpu(_t(spark, sf_dir, "documents")), "text", "doc_id"
+    )
+
+
+@register(
+    "trigram_logprob_scores",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(
+                   regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '),
+                   x -> x <> '') AS toks
+        FROM documents
+    ), tri AS (
+        SELECT doc_id, toks[i] AS p2, toks[i+1] AS p1, toks[i+2] AS cur
+        FROM t, UNNEST(range(1, len(toks) - 1)) u(i)
+    ), bi AS (
+        SELECT toks[i] AS p1, toks[i+1] AS cur
+        FROM t, UNNEST(range(1, len(toks))) u(i)
+    ), uni AS (
+        SELECT unnest(toks) AS cur FROM t
+    ), c3 AS (
+        SELECT p2, p1, cur, CAST(count(*) AS BIGINT) AS n3
+        FROM tri GROUP BY 1, 2, 3
+    ), ctx3 AS (
+        SELECT p2, p1, CAST(sum(n3) AS BIGINT) AS n3ctx FROM c3 GROUP BY 1, 2
+    ), c2 AS (
+        SELECT p1, cur, CAST(count(*) AS BIGINT) AS n2 FROM bi GROUP BY 1, 2
+    ), ctx2 AS (
+        SELECT p1, CAST(sum(n2) AS BIGINT) AS n2ctx FROM c2 GROUP BY 1
+    ), c1 AS (
+        SELECT cur, CAST(count(*) AS BIGINT) AS n1 FROM uni GROUP BY 1
+    ), sc AS (
+        SELECT CAST(sum(n1) AS BIGINT) AS n_corpus,
+               CAST(count(*) AS BIGINT) AS v
+        FROM c1
+    )
+    SELECT tri.doc_id, CAST(count(*) AS BIGINT) AS n_trigram,
+           CAST(round(avg(ln(
+               0.6 * ((n3 + 0.5) / (n3ctx + 0.5 * v))
+             + 0.3 * ((n2 + 0.5) / (n2ctx + 0.5 * v))
+             + 0.1 * ((n1 + 0.5) / (n_corpus + 0.5 * v)))), 6)
+                AS DOUBLE) AS avg_logprob
+    FROM tri JOIN c3 USING (p2, p1, cur) JOIN ctx3 USING (p2, p1)
+         JOIN c2 USING (p1, cur) JOIN ctx2 USING (p1) JOIN c1 USING (cur)
+         CROSS JOIN sc
+    GROUP BY tri.doc_id
+    """,
+)
+def trigram_logprob_scores_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated-trigram LM quality scoring (VERDICT r09 next #6) under
+    a full value oracle — DuckDB re-derives all three orders' counts,
+    both context tables, the corpus scalars, and every per-doc mean
+    log(0.6*P3 + 0.3*P2 + 0.1*P1) with add-0.5 smoothing
+    (operators/textanalysis.trigram_logprob_scores — the CCNet-style
+    perplexity-filter shape the LM ladder was building toward). One-pass
+    token explode per order, no self-joins; the trigram occurrence
+    stream is joined only against vocabulary-sized model tables."""
+    from .operators.textanalysis import trigram_logprob_scores
+
+    return trigram_logprob_scores(
         spread_for_cpu(_t(spark, sf_dir, "documents")), "text", "doc_id"
     )

@@ -148,8 +148,13 @@ class ManifestTable:
         (a multi-file parquet scan resolves one schema and drops or
         nulls the rest), so the write path is where it must fail. Exact
         match passes; with ``allow_evolution=True`` the new schema may
-        ADD nullable fields (existing columns must keep name+type) and
-        becomes the table schema; anything else raises."""
+        ADD NULLABLE fields (existing columns must keep name, type, AND
+        nullability) and becomes the table schema; anything else raises.
+        Added fields must be nullable because pinned-schema reads of
+        pre-evolution files return null for them — a column committed
+        non-nullable would then carry nulls that null-intolerant codegen
+        is entitled to assume away (ADVICE r09 #2); same reason an
+        existing field may not flip nullable->required."""
         from pyspark.sql.types import StructType
 
         new_json = df.schema.json()
@@ -157,17 +162,31 @@ class ManifestTable:
             return new_json
         old = StructType.fromJson(json.loads(base_schema))
         new = StructType.fromJson(json.loads(new_json))
-        old_fields = {f.name: f.dataType for f in old.fields}
-        new_fields = {f.name: f.dataType for f in new.fields}
-        compatible = allow_evolution and all(
-            name in new_fields and new_fields[name] == dtype
-            for name, dtype in old_fields.items()
+        old_fields = {f.name: (f.dataType, f.nullable) for f in old.fields}
+        new_fields = {f.name: (f.dataType, f.nullable) for f in new.fields}
+        compatible = (
+            allow_evolution
+            and all(
+                name in new_fields
+                and new_fields[name][0] == dtype
+                # required->nullable widening is safe; the reverse is a
+                # lie about existing rows
+                and (new_fields[name][1] or not was_nullable)
+                for name, (dtype, was_nullable) in old_fields.items()
+            )
+            and all(
+                nullable
+                for name, (_, nullable) in new_fields.items()
+                if name not in old_fields
+            )
         )
         if not compatible:
             raise ValueError(
                 "schema mismatch vs committed snapshot "
                 f"(table: {old.simpleString()}, append: {new.simpleString()})"
                 " — pass allow_evolution=True to add nullable columns"
+                " (added columns must be nullable: pre-evolution files"
+                " read as null in them)"
             )
         return new_json
 
@@ -380,11 +399,25 @@ class ManifestTable:
             f"compaction lost {max_retries} commit races at {self.root}"
         )
 
-    def vacuum(self, retain_versions: int = 1) -> list[str]:
+    def vacuum(
+        self, retain_versions: int = 1, grace_seconds: float = 3600.0
+    ) -> list[str]:
         """Delete data files referenced by NO retained version (the last
         ``retain_versions`` manifests stay readable for time travel).
         Orphans from crashed writers are the main customers. Returns the
-        deleted paths (relative)."""
+        deleted paths (relative).
+
+        ``grace_seconds`` is the writer-vs-vacuum guard (the Delta
+        retention pattern; ADVICE r09 #3): append/upsert/compact all
+        STAGE data files unreferenced and only then commit, so an
+        unreferenced file younger than any plausible stage-to-commit
+        window may belong to an IN-FLIGHT transaction — deleting it
+        would make that writer commit a version referencing missing
+        files, bricking the table's latest snapshot. Files younger than
+        the grace period are skipped (mtime-based, like Delta's
+        deletedFileRetentionDuration). Pass ``grace_seconds=0`` only
+        when no writer can be concurrent (tests, single-writer batch
+        jobs between runs)."""
         latest = self.latest_version()
         keep_versions = range(
             max(0, latest - retain_versions + 1), latest + 1
@@ -392,14 +425,18 @@ class ManifestTable:
         referenced: set[str] = set()
         for v in keep_versions:
             referenced.update(self._load(v)["files"])
+        cutoff = time.time() - grace_seconds
         deleted = []
         for dirpath, _dirnames, filenames in os.walk(self.data_dir):
             for name in filenames:
-                rel = os.path.relpath(
-                    os.path.join(dirpath, name), self.root
-                )
-                if name.endswith(".parquet") and rel not in referenced:
-                    os.remove(os.path.join(self.root, rel))
+                full = os.path.join(dirpath, name)
+                rel = os.path.relpath(full, self.root)
+                if (
+                    name.endswith(".parquet")
+                    and rel not in referenced
+                    and os.path.getmtime(full) <= cutoff
+                ):
+                    os.remove(full)
                     deleted.append(rel)
         return sorted(deleted)
 

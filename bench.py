@@ -183,6 +183,7 @@ def duckdb_suite(sf_dir: str, names: list[str], runs: int = 3) -> dict:
 def spark_suite(
     spark, registry, sf_dir: str, names: list[str], runs: int,
     warm_pass: bool | int = False,
+    samples: dict[str, list] | None = None,
 ) -> dict[str, float]:
     """Best-of-`runs` noop-sink wall time per query, cache cleared between
     runs (see main's rationale).
@@ -197,7 +198,11 @@ def spark_suite(
     across-pass min, but rerun_delta_pct read warm-up, not
     reproducibility), so the primary suite now warms twice. The warm
     passes make the published number the steady-state plan cost,
-    reproducible across process launches (VERDICT r05 #3's criterion)."""
+    reproducible across process launches (VERDICT r05 #3's criterion).
+
+    ``samples``, when given, accumulates every TIMED run's wall seconds
+    per query across however many suites share the dict — the raw
+    material for the published variance band (VERDICT r09 next #7)."""
     n_warm = int(warm_pass)
     timings: dict[str, float] = {}
     for name in names:
@@ -209,9 +214,43 @@ def spark_suite(
             dt = time.perf_counter() - t0
             if i >= n_warm:
                 best = dt if best is None else min(best, dt)
+                if samples is not None:
+                    samples.setdefault(name, []).append(round(dt, 4))
             spark.catalog.clearCache()
         timings[name] = round(best, 4)
     return timings
+
+
+def variance_band(samples: dict[str, list]) -> dict:
+    """Per-query min/median/max over every timed run of the primary-SF
+    suites (both passes x best-of-N runs), plus spread = (max-min)/min.
+    This is the noise bracket VERDICT r09 #2 (observations) asked for:
+    BENCH_r09's rerun_delta_pct read 5.57% while a PERF.md-quoted run
+    read 1.53% — both legitimate samples of box noise. With the band
+    published, a future "regression" is only real when it exits the
+    bracket; inside it, it's weather."""
+    import statistics
+
+    per_query = {}
+    spreads = []
+    for name, xs in samples.items():
+        lo, hi = min(xs), max(xs)
+        spread = round(100.0 * (hi - lo) / max(lo, 1e-4), 1)
+        per_query[name] = {
+            "min": lo,
+            "med": round(statistics.median(xs), 4),
+            "max": hi,
+            "n": len(xs),
+            "spread_pct": spread,
+        }
+        spreads.append(spread)
+    return {
+        "per_query": per_query,
+        "spread_pct_median": round(statistics.median(spreads), 1)
+        if spreads
+        else None,
+        "spread_pct_max": round(max(spreads), 1) if spreads else None,
+    }
 
 
 def ratio_block(timings: dict, oracle: dict) -> dict:
@@ -302,8 +341,10 @@ def main() -> None:
     # cleared between runs so every run pays its own intermediate
     # materializations (queries that persist shared subtrees neither leak
     # across runs nor coast on a previous run's cache).
+    samples: dict[str, list] = {}
     timings = spark_suite(
-        spark, registry, sf_dir, HEADLINE, runs, warm_pass=2
+        spark, registry, sf_dir, HEADLINE, runs, warm_pass=2,
+        samples=samples,
     )
     # Snapshots for the SINGLE-PASS reading (VERDICT r08 wrong #3 / next
     # #5): pass-1 Spark numbers against the PRE-phase-only denominator —
@@ -317,7 +358,9 @@ def main() -> None:
     # full pass at the primary SF; the published number must reproduce
     # within ±10% back-to-back or the methodology — not the plans — is
     # what changed between rounds. No warm pass needed: the JVM is warm.
-    rerun = spark_suite(spark, registry, sf_dir, HEADLINE, runs)
+    rerun = spark_suite(
+        spark, registry, sf_dir, HEADLINE, runs, samples=samples
+    )
     rerun_total = round(sum(rerun.values()), 4)
     base_total = round(sum(timings.values()), 4)
     rerun_delta_pct = round(
@@ -371,6 +414,10 @@ def main() -> None:
         ),
         "rerun_queries": rerun,
         "oracle": oracle,
+        # every timed run of both primary-SF passes, bracketed: a future
+        # per-query "regression" inside its band is box noise, outside it
+        # is a plan change (VERDICT r09 next #7)
+        "variance_band": variance_band(samples),
     }
     detail.update(ratio_block(timings, oracle))
     # Single-pass bracket: pass-1-only Spark totals vs the pre-phase-only
@@ -492,6 +539,12 @@ def main() -> None:
         "spark_vs_oracle_geomean": detail["spark_vs_oracle_geomean"],
         "rerun_delta_pct": rerun_delta_pct,
         "single_pass_ratio": detail["single_pass"]["ratio"],
+        # compact noise bracket (full per-query bands in the detail file):
+        # median/max over per-query (max-min)/min across all timed runs
+        "band_spread_pct_median": detail["variance_band"][
+            "spread_pct_median"
+        ],
+        "band_spread_pct_max": detail["variance_band"]["spread_pct_max"],
         "detail": "BENCH_DETAIL.json",
     }
     for key in ("sf1", "sf10"):

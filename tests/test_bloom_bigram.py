@@ -104,6 +104,67 @@ def test_bigram_logprob_hand_computed(spark):
     assert rows[2]["n_bigram"] == 1 and rows[2]["avg_logprob"] == d2
 
 
+def test_trigram_logprob_hand_computed(spark):
+    """Interpolated trigram rung (r10): hand-computed Jelinek-Mercer
+    mixture 0.6*P3 + 0.3*P2 + 0.1*P1, each order add-0.5 smoothed, on a
+    corpus small enough to verify by eye; <3-token docs absent."""
+    from aim357_2019_etl_and_ml_workshop_spark.operators.textanalysis import (
+        trigram_logprob_scores,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "a b")],
+        "doc_id bigint, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in trigram_logprob_scores(df, "text", "doc_id").collect()
+    }
+    # unigrams: a=4 b=4 c=1, N=9, V=3; bigrams: (a,b)=4 (b,a)=1 (b,c)=1,
+    # ctx2: a=4 b=2; trigrams: (a,b,a)=(b,a,b)=(a,b,c)=1, ctx3: (a,b)=2
+    # (b,a)=1 — all with alpha=0.5 smoothing
+    V, N = 3, 9
+
+    def p(n, ctx):
+        return (n + 0.5) / (ctx + 0.5 * V)
+
+    p1_a = (4 + 0.5) / (N + 0.5 * V)
+    p1_b = (4 + 0.5) / (N + 0.5 * V)
+    p1_c = (1 + 0.5) / (N + 0.5 * V)
+    mix_aba = 0.6 * p(1, 2) + 0.3 * p(1, 2) + 0.1 * p1_a  # P(a|b)=p(1,2)
+    mix_bab = 0.6 * p(1, 1) + 0.3 * p(4, 4) + 0.1 * p1_b  # P(b|a)=p(4,4)
+    mix_abc = 0.6 * p(1, 2) + 0.3 * p(1, 2) + 0.1 * p1_c  # P(c|b)=p(1,2)
+    d1 = round((math.log(mix_aba) + math.log(mix_bab)) / 2, 6)
+    d2 = round(math.log(mix_abc), 6)
+    assert set(rows) == {1, 2}, "2-token doc must be absent"
+    assert rows[1]["n_trigram"] == 2 and rows[1]["avg_logprob"] == d1
+    assert rows[2]["n_trigram"] == 1 and rows[2]["avg_logprob"] == d2
+
+
+def test_trigram_backoff_orders_unseen_continuations(spark):
+    """The point of interpolation: an unseen trigram whose bigram/unigram
+    evidence is strong scores ABOVE an equally-unseen trigram with weak
+    lower-order evidence — a pure-trigram model would floor both at the
+    same smoothing constant."""
+    from aim357_2019_etl_and_ml_workshop_spark.operators.textanalysis import (
+        trigram_logprob_scores,
+    )
+
+    background = [(i, "the cat sat on the mat") for i in range(10, 30)]
+    # probe docs: same unseen-trigram count, different lower-order mass
+    df = spark.createDataFrame(
+        background + [(1, "mat the cat"), (2, "zz qq ww")],
+        "doc_id bigint, text string",
+    )
+    rows = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in trigram_logprob_scores(df, "text", "doc_id").collect()
+    }
+    assert rows[1] > rows[2], (
+        "frequent-vocabulary continuation must outscore junk under backoff"
+    )
+
+
 def test_bigram_scores_on_fixture(docs):
     out = bigram_logprob_scores(docs, "text", "doc_id")
     n_docs = docs.where(
@@ -202,11 +263,38 @@ def test_bloom_state_append_requires_nonempty(spark, docs):
     )
 
     empty_words = spark.createDataFrame(
-        [], "m_bits long, k int, bucket int, word long"
+        [], "m_bits long, k int, n int, prefix int, bucket int, word long"
     )
     empty_pairs = spark.createDataFrame([], "h long, sh string")
     with pytest.raises(ValueError, match="empty bloom state"):
         bloom_state_append((empty_words, empty_pairs), docs)
+
+
+def test_bloom_state_gram_shape_mismatch_fails_fast(docs):
+    """ADVICE r09 #1: n/prefix are part of the persisted geometry. Probing
+    (or appending to) stored state with a different gram shape would hash
+    DIFFERENT grams — silent false negatives, i.e. missed contamination —
+    so both paths must raise; and a pre-r10 state that never recorded its
+    gram shape must be rejected outright, not probed on faith."""
+    from aim357_2019_etl_and_ml_workshop_spark.operators.curation import (
+        bloom_decontaminate_state,
+        bloom_state_append,
+    )
+
+    ref = docs.where(F.col("doc_id") % 7 == 0)
+    state = bloom_decontaminate_state(ref, "text", "doc_id", n=5, prefix=200)
+    with pytest.raises(ValueError, match="geometry"):
+        bloom_decontaminate(docs, state=state, n=3)
+    with pytest.raises(ValueError, match="geometry"):
+        bloom_decontaminate(docs, state=state, prefix=100)
+    with pytest.raises(ValueError, match="gram shape"):
+        bloom_state_append(state, docs, n=7)
+    # legacy state (no n/prefix columns): fail fast with a rebuild message
+    legacy = (state[0].drop("n", "prefix"), state[1])
+    with pytest.raises(ValueError, match="predates"):
+        bloom_decontaminate(docs, state=legacy)
+    with pytest.raises(ValueError, match="predates"):
+        bloom_state_append(legacy, docs)
 
 
 def test_derive_bloom_m_bits_policy():

@@ -57,7 +57,12 @@ def test_crash_before_commit_leaves_table_clean(spark, tmp_path):
     before = _snap(t)
     orphans = t._stage_data_files(_df(spark, [(9, "zzz")]))  # crash here
     assert _snap(t) == before  # unreferenced files are invisible
-    deleted = t.vacuum()
+    # default grace period: fresh unreferenced files may belong to an
+    # in-flight writer (stage-to-commit window) and must survive
+    assert t.vacuum() == []
+    assert all(os.path.exists(os.path.join(t.root, r)) for r in orphans)
+    # grace_seconds=0 is the no-concurrent-writer mode: orphans reclaimed
+    deleted = t.vacuum(grace_seconds=0)
     assert deleted == sorted(orphans)
     assert _snap(t) == before
     for rel in orphans:
@@ -171,8 +176,8 @@ def test_compact_rewrites_small_files(spark, tmp_path):
     assert t.latest_version() == v_after
     # replayed batch is STILL a no-op after compaction
     assert t.append(_df(spark, [(0, "dup")]), "ingest", 2) is False
-    # vacuum now reclaims the pre-compaction files
-    deleted = t.vacuum(retain_versions=1)
+    # vacuum now reclaims the pre-compaction files (grace 0: no writers)
+    deleted = t.vacuum(retain_versions=1, grace_seconds=0)
     assert deleted, "compaction's superseded inputs should be reclaimable"
     assert _snap(t) == rows_before
 
@@ -233,3 +238,127 @@ def test_append_schema_evolution_adds_nullable_column(spark, tmp_path):
     assert sorted((r["k"], r["v"]) for r in t.read().collect()) == [(9, "z")]
     with pytest.raises(ValueError, match="schema mismatch"):
         t.append(wider)
+
+
+def test_append_schema_evolution_nullability_rules(spark, tmp_path):
+    """ADVICE r09 #2: evolution may only ADD NULLABLE fields — an added
+    required column would read as null out of pre-evolution files while
+    declared non-nullable (null-intolerant codegen may assume it away);
+    and an existing field may not flip nullable -> required (a lie about
+    rows already committed). required -> nullable widening is fine."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    t = ManifestTable.create(spark, str(tmp_path / "tbl"))
+    t.append(_df(spark, [(1, "a")]))
+    req_new_col = spark.createDataFrame(
+        [(2, "b", 7)],
+        StructType(
+            [
+                StructField("k", LongType(), True),
+                StructField("v", StringType(), True),
+                StructField("score", LongType(), False),  # NOT nullable
+            ]
+        ),
+    )
+    assert not req_new_col.schema["score"].nullable  # fixture sanity
+    with pytest.raises(ValueError, match="nullable"):
+        t.append(req_new_col, allow_evolution=True)
+    tightened = spark.createDataFrame(
+        [(3, "c")],
+        StructType(
+            [
+                StructField("k", LongType(), True),
+                StructField("v", StringType(), False),  # nullable->required
+            ]
+        ),
+    )
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.append(tightened, allow_evolution=True)
+    assert _snap(t) == [(1, "a")]  # nothing committed by the rejects
+
+
+_WORKER_SRC = r"""
+import os, sys, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+from aim357_2019_etl_and_ml_workshop_spark.sources.manifest import (
+    CommitConflict, ManifestTable,
+)
+
+role, root, wid, n_batches = sys.argv[1], sys.argv[2], int(sys.argv[3]), int(sys.argv[4])
+spark = (
+    SparkSession.builder.master("local[2]")
+    .appName(f"manifest-racer-{{wid}}")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "2")
+    .getOrCreate()
+)
+t = ManifestTable(spark, root)
+for b in range(n_batches):
+    df = spark.createDataFrame(
+        [(wid * 1000 + b, f"w{{wid}}b{{b}}")], "k bigint, v string"
+    )
+    assert t.append(df, app_id=f"writer-{{wid}}", batch_id=b) is True
+    if role == "compactor" and b % 2 == 1:
+        try:
+            t.compact(target_file_bytes=1 << 30)
+        except CommitConflict:
+            pass  # a racing overwrite would surface; appends merge, so
+                  # losing every retry here would be a real bug upstream
+print("OK")
+"""
+
+
+def test_multiprocess_commit_contention(spark, tmp_path):
+    """True multi-OS-process contention on the O_CREAT|O_EXCL version
+    claim (VERDICT r09 next #5): two separate JVM-backed writer processes
+    race appends (one interleaving compaction) against the SAME table
+    root. The in-process race test pins the retry logic; this pins the
+    ATOMICITY claim itself — put-if-absent must serialize commits across
+    processes, appends must merge losslessly through retries, and
+    compaction must never drop a concurrent append."""
+    import subprocess
+    import sys as _sys
+
+    root = str(tmp_path / "tbl")
+    ManifestTable.create(spark, root)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = _WORKER_SRC.format(repo=repo)
+    n_batches = 4
+    procs = [
+        subprocess.Popen(
+            [_sys.executable, "-c", src, role, root, str(wid), str(n_batches)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+        )
+        for wid, role in ((1, "appender"), (2, "compactor"))
+    ]
+    outs = [p.communicate(timeout=600) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, err.decode()[-2000:]
+        assert b"OK" in out
+    t = ManifestTable(spark, root)
+    # no lost appends: every (worker, batch) row is present exactly once
+    rows = sorted((r["k"], r["v"]) for r in t.read().collect())
+    want = sorted(
+        (wid * 1000 + b, f"w{wid}b{b}")
+        for wid in (1, 2)
+        for b in range(n_batches)
+    )
+    assert rows == want
+    # watermarks advanced independently to the last batch each
+    assert t.txn_watermark("writer-1") == n_batches - 1
+    assert t.txn_watermark("writer-2") == n_batches - 1
+    # versions are strictly serialized: contiguous, parseable, monotone
+    versions = sorted(
+        int(n[1:11]) for n in os.listdir(t.manifest_dir) if n.endswith(".json")
+    )
+    assert versions == list(range(len(versions)))
+    for v in versions:
+        m = t._load(v)
+        assert m["version"] == v

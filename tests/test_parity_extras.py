@@ -825,3 +825,41 @@ def test_avro_capability_gate(spark, tmp_path):
             write_avro(df, str(tmp_path / "a"))
         with pytest.raises(NotImplementedError, match="spark-avro"):
             read_avro(spark, str(tmp_path / "a"))
+
+
+def test_avro_roundtrip_when_deployed(spark, tmp_path):
+    """VERDICT r09 next #8: value-level Avro round-trip coverage that
+    ACTIVATES the day the environment gains spark-avro, and reports a
+    clean SKIP until then (runtime skip rather than skipif: the probe
+    needs the live session's DataSource resolution, which doesn't exist
+    at collection time). test_avro_capability_gate pins the error path;
+    this pins the data path — schemas, values, append mode."""
+    import pytest
+
+    from aim357_2019_etl_and_ml_workshop_spark.sources.io import (
+        read_avro,
+        write_avro,
+    )
+
+    try:
+        spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+            "avro", spark._jsparkSession.sessionState().conf()
+        )
+    except Exception:
+        pytest.skip(
+            "spark-avro not deployed in this runtime (io._require_avro "
+            "gate covers the error path)"
+        )
+    df = spark.createDataFrame(
+        [(1, "a", 1.5, True), (2, "b", -0.25, False), (3, None, None, None)],
+        "k bigint, s string, x double, f boolean",
+    )
+    path = str(tmp_path / "avro_rt")
+    write_avro(df, path)
+    back = read_avro(spark, path)
+    assert back.schema == df.schema
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, df.collect())
+    )
+    write_avro(df.where("k = 1"), path, mode="append")
+    assert read_avro(spark, path).count() == 4

@@ -160,6 +160,29 @@ def _ckpt_append(rec: dict) -> None:
         f.write(json.dumps(rec) + "\n")
 
 
+def _drain_session_pressure(spark, done: int) -> None:
+    """Between-query hygiene for a several-hundred-query single-JVM
+    session (VERDICT r09 next #2: substring_dedup_rewrite hit a one-shot
+    'Not enough memory to build and broadcast' after ~170 prior queries —
+    accumulated DRIVER pressure, not a plan defect; the query passed
+    standalone and on resume). clearCache drops persisted relations;
+    the periodic paired GC is what actually releases broadcast blocks:
+    a Python gc pass drops py4j handles to dead DataFrames/broadcasts,
+    then a JVM System.gc() lets ContextCleaner observe the now-unreferenced
+    broadcast ids and evict their driver-side blocks. Every query would
+    be wasteful (full GC pauses); every 20 keeps the resident broadcast
+    set bounded by one window's worth instead of the whole sweep's."""
+    spark.catalog.clearCache()
+    if done % 20 == 0:
+        import gc
+
+        gc.collect()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass  # py4j hiccup: hygiene only, never fail the sweep
+
+
 def run_suite(spark, registry, sf_dir: str, sweep: str) -> tuple[dict, dict, object]:
     times, errors = _ckpt_load(sweep)
     if times or errors:
@@ -176,7 +199,7 @@ def run_suite(spark, registry, sf_dir: str, sweep: str) -> tuple[dict, dict, obj
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             times[name] = round(time.perf_counter() - t0, 2)
             _ckpt_append({"sweep": sweep, "name": name, "sec": times[name]})
-            spark.catalog.clearCache()
+            _drain_session_pressure(spark, len(times))
         except Exception as exc:  # record, restart the session, keep going
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             _ckpt_append({"sweep": sweep, "name": name, "err": errors[name]})
