@@ -86,6 +86,33 @@ def main() -> None:
     keep = keep.join(gate.where(F.col("kept")).select("doc_id"), "doc_id")
     report.append(("adaptive per-lang gate", keep.count()))
 
+    # 2c (r10). CCNet-style perplexity gate: score every survivor under
+    # the corpus's own interpolated trigram LM (Jelinek-Mercer backoff —
+    # unseen trigrams fall through to bigram/unigram evidence) and drop
+    # the bottom decile. This is the transition-aware filter the scalar
+    # quality features can't express: boilerplate has the right token
+    # MIX but the wrong token ORDER.
+    from aim357_2019_etl_and_ml_workshop_spark.operators.textanalysis import (
+        trigram_logprob_scores,
+    )
+
+    # the LM derives one token stream per model order from its input, so
+    # feed it a PERSISTED narrow projection — without this the upstream
+    # multi-join subtree re-executes once per model table (measured: the
+    # unpersisted form blew the example's wall clock by >5x)
+    scored_src = keep.select("doc_id", "text").persist()
+    lm = trigram_logprob_scores(scored_src, "text", "doc_id")
+    p10 = lm.agg(
+        F.percentile_approx("avg_logprob", 0.10).alias("p")
+    ).collect()[0]["p"]
+    # the surviving id set stays persisted: every downstream stage's
+    # lineage runs through this gate, and the cached id list is what
+    # keeps them from re-deriving the LM each time
+    lm_pass = lm.where(F.col("avg_logprob") >= p10).select("doc_id").persist()
+    keep = keep.join(lm_pass, "doc_id")
+    report.append(("trigram-LM perplexity gate (>= p10)", keep.count()))
+    scored_src.unpersist(blocking=False)
+
     # 3. PII scrub before anything persists
     clean = keep.withColumn("text", redact_pii("text"))
 
