@@ -84,19 +84,22 @@ def register(name: str, oracle: str | None = None):
 _DRIVER_PRIORITY = [
     # --- round-10 rotation (VERDICT r09 next #1): entering r10 all 180
     # r9-era keys carry >= 1 lifetime verdict with zero failures; exactly
-    # four are single-verdict. The 50-slot sample: (a) the two queries
+    # four are single-verdict. The 50-slot sample: (a) the three queries
     # NEW this round (bloom_state_overlap — the persisted-Bloom-state
-    # lifecycle contract, VERDICT r09 #3 — and trigram_logprob_scores —
-    # the interpolated-trigram LM rung, VERDICT r09 #6); (b) the four r9
+    # lifecycle contract, VERDICT r09 #3 — trigram_logprob_scores —
+    # the interpolated-trigram LM rung, VERDICT r09 #6 — and
+    # bloom_append_overlap — the append half of the state lifecycle,
+    # closing the last pytest-only state path); (b) the four r9
     # single-verdict keys, sampled for their second lifetime verdict —
     # after which EVERY pre-r10 registry key holds >= 2, closing the
     # rotation ledger (bloom_decontaminate_overlap doubles as the
     # changed-code re-verdict for the r10 n/prefix state-geometry fix);
     # (c) streaming_hourly_counts, whose empty-sink retry gained the
     # source-nonempty gate (ADVICE r09 #4) — also LRU (last r6);
-    # (d) the remaining 42 least-recently-verified keys (all last
-    # verdicted r6) + 1 r7 key to fill 50. ---
+    # (d) the 41 remaining least-recently-verified r6-era keys + 1 r7
+    # key (approx_sketches) to fill 50. ---
     "bloom_state_overlap", "trigram_logprob_scores",
+    "bloom_append_overlap",
     "bloom_decontaminate_overlap", "bigram_logprob_scores",
     "semantic_dedup_fitted", "ivf_state_recall_check",
     "streaming_hourly_counts",
@@ -118,7 +121,6 @@ _DRIVER_PRIORITY = [
     "shard_assignment_counts", "simhash_fingerprints",
     "sliding_window_counts", "sole_return_supplier", "sql_flagship_twin",
     "unshipped_priority_revenue", "approx_sketches",
-    "argmax_latest_event",
 ]
 
 
@@ -7032,6 +7034,96 @@ def bigram_logprob_scores_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return bigram_logprob_scores(
         spread_for_cpu(_t(spark, sf_dir, "documents")), "text", "doc_id"
+    )
+
+
+@register(
+    "bloom_append_overlap",
+    """
+    WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+    g AS (
+        SELECT doc_id,
+               toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+               toks[i+3] || ' ' || toks[i+4] AS sh
+        FROM t, generate_series(1, 200) s(i)
+        WHERE i + 4 <= len(toks)
+    ),
+    gd AS (SELECT DISTINCT doc_id, sh FROM g),
+    ref_sh AS (SELECT DISTINCT sh FROM gd WHERE doc_id % 7 = 0),
+    ov AS (
+        SELECT gd.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+        FROM gd JOIN ref_sh USING (sh)
+        WHERE gd.doc_id % 7 <> 0
+        GROUP BY gd.doc_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_overlap) AS BIGINT) AS total_overlap,
+           CAST(0 AS BIGINT) AS n_mismatched,
+           TRUE AS appended_eq_oneshot
+    FROM ov
+    """,
+)
+def bloom_append_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-decontamination-state contract — the APPEND half of
+    the Bloom lifecycle under the oracle gate (bloom_state_overlap
+    covers build -> persist -> probe; this covers the nightly
+    maintenance path `bloom_state_append`, which folds a new reference
+    batch into stored state without re-reading old reference text).
+    The reference arrives in two batches (doc_id%14==0, then %14==7 —
+    their union is the %7==0 slice the sibling queries use); the
+    appended state probes the corpus and is compared row-for-row
+    against the ONE-SHOT state built from the full reference at the
+    same pinned geometry (appends keep the bootstrap bitmap's m_bits/k,
+    so both paths must hash identically). The returned row pins
+    (a) appended == one-shot at 0 mismatched (id, n_overlap) rows and
+    (b) the aggregate (n_docs, total_overlap), which the oracle
+    re-derives from the EXACT n-gram overlap join — so the hash-match
+    proves append-path == one-shot == exact SQL."""
+    from .operators.curation import (
+        bloom_decontaminate,
+        bloom_decontaminate_state,
+        bloom_state_append,
+        derive_bloom_m_bits,
+    )
+
+    docs = spread_for_cpu(_t(spark, sf_dir, "documents"))
+    corpus = docs.where(F.col("doc_id") % 7 != 0)
+    ref_a = docs.where(F.col("doc_id") % 14 == 0)
+    ref_b = docs.where(F.col("doc_id") % 14 == 7)
+    ref_all = docs.where(F.col("doc_id") % 7 == 0)
+    # geometry pinned at the EXPECTED final reference size (the sizing
+    # note on bloom_state_append: bootstrap at the size the state grows
+    # into, not the first batch's)
+    m_bits = derive_bloom_m_bits(ref_all.count())
+    appended = bloom_state_append(
+        bloom_decontaminate_state(ref_a, "text", "doc_id", m_bits=m_bits),
+        ref_b,
+    )
+    via_appended = bloom_decontaminate(corpus, state=appended).persist()
+    one_shot = bloom_decontaminate(
+        corpus,
+        state=bloom_decontaminate_state(
+            ref_all, "text", "doc_id", m_bits=m_bits
+        ),
+    )
+    try:
+        mism = (
+            via_appended.join(one_shot, "doc_id", "full")
+            .where(
+                ~via_appended["n_overlap"].eqNullSafe(one_shot["n_overlap"])
+            )
+            .count()
+        )
+        agg = via_appended.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_overlap").alias("total_overlap"),
+        ).collect()[0]
+    finally:
+        via_appended.unpersist(blocking=False)
+    return spark.createDataFrame(
+        [(int(agg["n_docs"]), int(agg["total_overlap"]), mism, mism == 0)],
+        "n_docs bigint, total_overlap bigint, n_mismatched bigint, "
+        "appended_eq_oneshot boolean",
     )
 
 
