@@ -84,22 +84,23 @@ def register(name: str, oracle: str | None = None):
 _DRIVER_PRIORITY = [
     # --- round-10 rotation (VERDICT r09 next #1): entering r10 all 180
     # r9-era keys carry >= 1 lifetime verdict with zero failures; exactly
-    # four are single-verdict. The 50-slot sample: (a) the three queries
+    # four are single-verdict. The 50-slot sample: (a) the four queries
     # NEW this round (bloom_state_overlap — the persisted-Bloom-state
     # lifecycle contract, VERDICT r09 #3 — trigram_logprob_scores —
-    # the interpolated-trigram LM rung, VERDICT r09 #6 — and
+    # the interpolated-trigram LM rung, VERDICT r09 #6 —
     # bloom_append_overlap — the append half of the state lifecycle,
-    # closing the last pytest-only state path); (b) the four r9
+    # closing the last pytest-only state path — and zorder_key_probe —
+    # the Morton-key layout oracle); (b) the four r9
     # single-verdict keys, sampled for their second lifetime verdict —
     # after which EVERY pre-r10 registry key holds >= 2, closing the
     # rotation ledger (bloom_decontaminate_overlap doubles as the
     # changed-code re-verdict for the r10 n/prefix state-geometry fix);
     # (c) streaming_hourly_counts, whose empty-sink retry gained the
     # source-nonempty gate (ADVICE r09 #4) — also LRU (last r6);
-    # (d) the 41 remaining least-recently-verified r6-era keys + 1 r7
-    # key (approx_sketches) to fill 50. ---
+    # (d) the 41 remaining least-recently-verified r6-era keys to
+    # fill 50. ---
     "bloom_state_overlap", "trigram_logprob_scores",
-    "bloom_append_overlap",
+    "bloom_append_overlap", "zorder_key_probe",
     "bloom_decontaminate_overlap", "bigram_logprob_scores",
     "semantic_dedup_fitted", "ivf_state_recall_check",
     "streaming_hourly_counts",
@@ -120,7 +121,7 @@ _DRIVER_PRIORITY = [
     "recursive_cte_tree_walk", "repetition_filter", "sequence_packing",
     "shard_assignment_counts", "simhash_fingerprints",
     "sliding_window_counts", "sole_return_supplier", "sql_flagship_twin",
-    "unshipped_priority_revenue", "approx_sketches",
+    "unshipped_priority_revenue",
 ]
 
 
@@ -7034,6 +7035,62 @@ def bigram_logprob_scores_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return bigram_logprob_scores(
         spread_for_cpu(_t(spark, sf_dir, "documents")), "text", "doc_id"
+    )
+
+
+def _zorder_oracle_sql(bits: int = 8) -> str:
+    """DuckDB mirror of sources.io.with_zorder_key at ``bits`` bits over
+    (user_id, value): identical min-max scaling expression (same
+    parenthesization, so the doubles are bit-identical) and the Morton
+    interleave unrolled to explicit shift/mask terms."""
+    terms = " | ".join(
+        f"(((c{j} >> {i}) & 1) << {i * 2 + j})"
+        for j in range(2)
+        for i in range(bits)
+    )
+    top = (1 << bits) - 1
+    return f"""
+    WITH b AS (
+        SELECT CAST(min(user_id) AS DOUBLE) AS lo0,
+               CAST(max(user_id) AS DOUBLE) AS hi0,
+               min(value) AS lo1, max(value) AS hi1
+        FROM events
+    ), s AS (
+        SELECT
+          CASE WHEN user_id IS NULL OR (hi0 - lo0) <= 0 THEN 0
+               ELSE least({top}, greatest(0, CAST(floor(
+                   (CAST(user_id AS DOUBLE) - lo0) / (hi0 - lo0) * {top}
+               ) AS BIGINT))) END AS c0,
+          CASE WHEN value IS NULL OR (hi1 - lo1) <= 0 THEN 0
+               ELSE least({top}, greatest(0, CAST(floor(
+                   (value - lo1) / (hi1 - lo1) * {top}
+               ) AS BIGINT))) END AS c1
+        FROM events CROSS JOIN b
+    )
+    SELECT zkey, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT ({terms}) AS zkey FROM s)
+    GROUP BY zkey
+    """
+
+
+@register("zorder_key_probe", _zorder_oracle_sql(bits=8))
+def zorder_key_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) key computation under a full value oracle —
+    DuckDB re-derives the min-max coordinate scaling and every
+    bit-interleaved key over (user_id, value) at 8 bits/dimension
+    (sources/io.with_zorder_key — the multi-dimensional data-skipping
+    layout; write_parquet_zordered is the sink that range-partitions on
+    this key so parquet min/max stats prune on every z-column at once).
+    Grouped by key so the hash-match covers the full key distribution
+    without shipping per-row output."""
+    from .sources.io import with_zorder_key
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "value")
+    keyed = with_zorder_key(ev, ["user_id", "value"], bits=8)
+    return (
+        keyed.groupBy(F.col("_zkey").alias("zkey"))
+        .agg(_count(None))
+        .select("zkey", "n")
     )
 
 

@@ -33,6 +33,7 @@ WHITELIST = {
     "unigram_logprob_scores": "broadcast scalar corpus-total gather",
     "bigram_logprob_scores": "broadcast scalar vocab-count gather — same shape as unigram_logprob_scores' corpus total",
     "trigram_logprob_scores": "broadcast scalar (n_corpus, v) gather — same shape as bigram_logprob_scores' vocab count",
+    "zorder_key_probe": "broadcast per-column (min,max) bounds gather (one row) — the coordinate-scaling scalars, same shape as unigram_logprob_scores' corpus total",
     "bloom_decontaminate_overlap": "bitmap densify gather: one ordered collect_list row of <= m_bits/64 words (PARAMETER-bounded, never data-bounded — the bit_or partial agg reduced each partition first), broadcast back as the Bloom filter",
     "dsir_importance_weights": "broadcast scalar totals gather (one row: r_total/t_total/vocab) — same shape as unigram_logprob_scores",
     "dsir_select_topk": "same broadcast scalar totals gather as dsir_importance_weights (selection is TakeOrderedAndProject, no global sort exchange)",
