@@ -421,6 +421,19 @@ def with_zorder_key(
         raise ValueError(
             f"bits*columns = {bits * k} exceeds the signed-long budget (60)"
         )
+    # fail fast on name collisions: withColumn would silently REPLACE a
+    # pre-existing key_col (and the zordered sink then drops it — user
+    # data lost from the written files), and pre-existing bound names
+    # would make the broadcast crossJoin ambiguous
+    reserved = {key_col} | {
+        n for c in zorder_by for n in (f"_zmin_{c}", f"_zmax_{c}")
+    }
+    clash = sorted(reserved & set(df.columns))
+    if clash:
+        raise ValueError(
+            f"zorder scratch column(s) {clash} already exist in the input "
+            f"frame; rename them or pass a different key_col"
+        )
     aggs = []
     for c in zorder_by:
         aggs.append(F.min(F.col(c).cast("double")).alias(f"_zmin_{c}"))

@@ -431,13 +431,16 @@ class ManifestTable:
             for name in filenames:
                 full = os.path.join(dirpath, name)
                 rel = os.path.relpath(full, self.root)
-                if (
-                    name.endswith(".parquet")
-                    and rel not in referenced
-                    and os.path.getmtime(full) <= cutoff
-                ):
-                    os.remove(full)
-                    deleted.append(rel)
+                if name.endswith(".parquet") and rel not in referenced:
+                    # a concurrent vacuum/cleaner may remove the file
+                    # between os.walk and the stat — already-gone means
+                    # someone else vacuumed it, not an error
+                    try:
+                        if os.path.getmtime(full) <= cutoff:
+                            os.remove(full)
+                            deleted.append(rel)
+                    except FileNotFoundError:
+                        continue
         return sorted(deleted)
 
 

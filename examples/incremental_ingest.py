@@ -256,7 +256,10 @@ def main() -> None:
         # balanced set as one atomic version (readers undisturbed, txn
         # watermarks preserved), then reclaim superseded files
         did = table.compact(target_file_bytes=128 << 20)
-        reclaimed = table.vacuum(retain_versions=1)
+        # grace_seconds=0: single-writer batch demo (the documented
+        # no-concurrent-writer mode) — the default 1h retention guard
+        # would skip the seconds-old superseded files and reclaim nothing
+        reclaimed = table.vacuum(retain_versions=1, grace_seconds=0)
         print(f"maintenance: compacted={did}, reclaimed "
               f"{len(reclaimed)} files, rows={table.read().count()}")
         print("state stores:", state_dir)

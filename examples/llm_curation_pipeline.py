@@ -242,6 +242,10 @@ def main() -> None:
     )
     report.append(("exported jsonl rows", spark.read.json(out).count()))
 
+    # every stage whose lineage runs through the LM gate has executed by
+    # now — release the cached id set (r10 cache-hygiene posture)
+    lm_pass.unpersist(blocking=False)
+
     width = max(len(k) for k, _ in report)
     for k, v in report:
         print(f"{k:<{width}} {v:>8}")

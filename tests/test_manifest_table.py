@@ -71,6 +71,40 @@ def test_crash_before_commit_leaves_table_clean(spark, tmp_path):
     assert _snap(t) == [(1, "a"), (2, "b")]
 
 
+def test_vacuum_skips_files_deleted_by_concurrent_cleaner(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r10: a concurrently running vacuum (or any cleaner) may
+    remove a candidate between os.walk and the stat — the already-gone
+    file is treated as vacuumed by someone else, not a mid-scan abort."""
+    import os as _os
+
+    t = ManifestTable.create(spark, str(tmp_path / "tbl"))
+    t.append(_df(spark, [(1, "a")]))
+    orphans = t._stage_data_files(_df(spark, [(9, "zzz")]))
+    victim = os.path.join(t.root, orphans[0])
+    real_getmtime = _os.path.getmtime
+
+    def racing_getmtime(path):
+        if os.path.abspath(path) == os.path.abspath(victim):
+            # the "other cleaner" wins the race right before our stat
+            if os.path.exists(victim):
+                os.remove(victim)
+            raise FileNotFoundError(path)
+        return real_getmtime(path)
+
+    monkeypatch.setattr(
+        "aim357_2019_etl_and_ml_workshop_spark.sources.manifest."
+        "os.path.getmtime",
+        racing_getmtime,
+    )
+    deleted = t.vacuum(grace_seconds=0)
+    # the raced file is skipped (someone else deleted it); the remaining
+    # orphans are still reclaimed and the snapshot is intact
+    assert deleted == sorted(o for o in orphans if o != orphans[0])
+    assert _snap(t) == [(1, "a")]
+
+
 def test_time_travel_and_vacuum_retention(spark, tmp_path):
     t = ManifestTable.create(spark, str(tmp_path / "tbl"))
     t.append(_df(spark, [(1, "a")]))

@@ -81,6 +81,27 @@ def test_zorder_validations(spark):
         with_zorder_key(df, ["a", "b"], bits=31)
 
 
+def test_zorder_scratch_name_collisions_fail_fast(spark):
+    # ADVICE r10: a pre-existing _zkey would be silently REPLACED by
+    # withColumn (and then dropped by the zordered sink — user data lost
+    # from the written files); pre-existing bound names would make the
+    # broadcast crossJoin ambiguous. Both must raise, not corrupt.
+    df = spark.createDataFrame(
+        [(1.0, 2.0, 9)], "a double, b double, _zkey long"
+    )
+    with pytest.raises(ValueError, match="_zkey"):
+        with_zorder_key(df, ["a", "b"])
+    # a different key_col name sidesteps the clash
+    out = with_zorder_key(df, ["a", "b"], key_col="_zk2")
+    assert "_zkey" in out.columns and "_zk2" in out.columns
+
+    df2 = spark.createDataFrame(
+        [(1.0, 2.0, 0.0)], "a double, b double, _zmin_a double"
+    )
+    with pytest.raises(ValueError, match="_zmin_a"):
+        with_zorder_key(df2, ["a", "b"])
+
+
 def _per_file_span_fractions(spark, path, cols):
     """Mean over output files of (file max-min)/(global max-min) per col."""
     df = spark.read.parquet(path)
