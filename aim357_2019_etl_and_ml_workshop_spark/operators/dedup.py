@@ -119,17 +119,21 @@ def minhash_signatures(
     id_col: str,
     num_hashes: int = 32,
     shingle_n: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, sig: array<bigint>) — k min-hashes over word shingles.
 
     h_i(s) = xxhash64(s, seed=i); signature[i] = min over shingles.
-    Deterministic (seeded), JVM-side, one explode + one groupBy."""
+    Deterministic (seeded), JVM-side, one explode + one groupBy.
+    ``hash_fn='portable60'`` swaps the family for the md5-derived
+    :func:`portable_hash60` (see minhash_signatures_from_shingles)."""
     sh = exploded_shingles(df, text_col, id_col, shingle_n)
-    return minhash_signatures_from_shingles(sh, id_col, num_hashes)
+    return minhash_signatures_from_shingles(sh, id_col, num_hashes, hash_fn)
 
 
 def minhash_signatures_from_shingles(
-    sh: DataFrame, id_col: str, num_hashes: int = 32
+    sh: DataFrame, id_col: str, num_hashes: int = 32,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Signatures from a pre-built (id, sh) shingle table — lets pipelines
     that also need the shingle table for exact verification build it ONCE
@@ -139,15 +143,40 @@ def minhash_signatures_from_shingles(
     where base = xxhash64(sh). Hashing the variable-length shingle string k
     times costs k full passes over the bytes; re-hashing the 8-byte base is
     the standard one-strong-hash + derived-family construction with the
-    same pairwise-independence behavior for min-hash purposes."""
-    based = sh.select(id_col, F.xxhash64(F.col("sh")).alias("_bh"))
-    hashes = based.select(
-        id_col,
-        *[
-            F.xxhash64(F.col("_bh"), F.lit(i)).alias(f"h{i}")
-            for i in range(num_hashes)
-        ],
-    )
+    same pairwise-independence behavior for min-hash purposes.
+
+    ``hash_fn='portable60'`` (r11, the SimHash-twin treatment — VERDICT r10
+    #1): base = portable_hash60(sh), h_i = portable_hash60(base || ':' || i)
+    over the base's DECIMAL string — every value an independent engine can
+    recompute from raw text (DuckDB: ``('0x'||substr(md5(cast(bh as
+    varchar)||':'||i),1,15))::BIGINT``), which is what puts the whole
+    MinHash pipeline under a full value oracle (minhash_portable_neardups).
+    xxhash64 stays the hot-path default: one JVM op per hash vs md5's
+    hex-string round-trip."""
+    if hash_fn == "portable60":
+        based = sh.select(id_col, portable_hash60(F.col("sh")).alias("_bh"))
+        hashes = based.select(
+            id_col,
+            *[
+                portable_hash60(
+                    F.concat(F.col("_bh").cast("string"), F.lit(f":{i}"))
+                ).alias(f"h{i}")
+                for i in range(num_hashes)
+            ],
+        )
+    elif hash_fn == "xxhash64":
+        based = sh.select(id_col, F.xxhash64(F.col("sh")).alias("_bh"))
+        hashes = based.select(
+            id_col,
+            *[
+                F.xxhash64(F.col("_bh"), F.lit(i)).alias(f"h{i}")
+                for i in range(num_hashes)
+            ],
+        )
+    else:
+        raise ValueError(
+            f"hash_fn must be 'xxhash64'|'portable60', got {hash_fn!r}"
+        )
     agg = hashes.groupBy(id_col).agg(
         *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
     )
@@ -163,6 +192,7 @@ def minhash_lsh_candidates(
     bands: int = 8,
     max_bucket_size: int | None = 100_000,
     eager_release: bool = False,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id_a, id_b) candidate pairs: docs whose signatures agree on ALL rows
     of at least one band. Join key is (band_idx, band_hash) — pure equi-join,
@@ -189,15 +219,33 @@ def minhash_lsh_candidates(
             "weakening candidate recall"
         )
     rows = num_hashes // bands
+    if hash_fn == "portable60":
+        # band key = portable60 over the band's min-hashes joined ':' in
+        # row order (decimal strings) — DuckDB re-derives it via
+        # string_agg(... ORDER BY h_idx) + md5 (minhash_portable_neardups)
+        def band_hash(b: int) -> Column:
+            return portable_hash60(
+                F.concat_ws(
+                    ":",
+                    *[
+                        F.col("sig")[b * rows + r].cast("string")
+                        for r in range(rows)
+                    ],
+                )
+            )
+    elif hash_fn == "xxhash64":
+        def band_hash(b: int) -> Column:
+            return F.xxhash64(
+                *[F.col("sig")[b * rows + r] for r in range(rows)]
+            )
+    else:
+        raise ValueError(
+            f"hash_fn must be 'xxhash64'|'portable60', got {hash_fn!r}"
+        )
     banded = sigs.select(
         F.col(id_col),
         F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(*[F.col("sig")[b * rows + r] for r in range(rows)])
-                    for b in range(bands)
-                ]
-            )
+            F.array(*[band_hash(b) for b in range(bands)])
         ).alias("band", "bh"),
     ).persist()  # feeds both sides of the band self-join: without this the
     # k-hash signature groupBy executes twice
@@ -234,6 +282,7 @@ def minhash_near_duplicates(
     shingle_n: int = 3,
     eager_release: bool = False,
     max_bucket_size: int | None = 100_000,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates verified with EXACT Jaccard
     over distinct shingles (computed only for candidate pairs via a
@@ -255,12 +304,22 @@ def minhash_near_duplicates(
     ``max_bucket_size`` forwards to minhash_lsh_candidates' hot-bucket
     guard (code-review r7: it was previously unreachable from this entry
     point, so the 100k drop cap was always on with no exact-recall
-    opt-out). Pass None for exact-recall conformance runs."""
+    opt-out). Pass None for exact-recall conformance runs.
+
+    ``hash_fn='portable60'`` (r11) runs the IDENTICAL pipeline over the
+    md5-derived engine-portable hash family — every signature, band key,
+    candidate pair, and verified Jaccard becomes re-derivable by an
+    independent SQL engine (the minhash_portable_neardups full value
+    oracle). The candidate SET differs from xxhash64 mode (different hash
+    family → different band collisions), but in the design regime both
+    recall every true pair and exact-Jaccard verification makes the
+    verdicts identical (pytest-pinned)."""
     sh = exploded_shingles(df, text_col, id_col, shingle_n).persist()
-    sigs = minhash_signatures_from_shingles(sh, id_col, num_hashes)
+    sigs = minhash_signatures_from_shingles(sh, id_col, num_hashes, hash_fn)
     cand = minhash_lsh_candidates(
         sigs, id_col, num_hashes, bands,
         max_bucket_size=max_bucket_size, eager_release=eager_release,
+        hash_fn=hash_fn,
     )
     if not eager_release:
         cand = cand.persist()  # localCheckpoint already materialized it

@@ -1233,10 +1233,14 @@ def quality_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_near_duplicates_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates verified by exact Jaccard — the
     linear-scale replacement for the all-pairs shingle join. Rows-only
-    WAIVER: band-bucket membership is hash-dependent, so the recalled pair
-    set is not SQL-predictable; the precision/recall contract is
-    driver-checked via the oracle-backed minhash_recall_check twin against
-    the exact ngram_jaccard_pairs ground truth."""
+    WAIVER: xxhash64 band-bucket membership has no DuckDB twin, so THIS
+    variant's recalled pair set is not SQL-predictable; the identical
+    pipeline over the engine-portable md5 hash IS hash-exact verified as
+    minhash_portable_neardups (r11 — DuckDB replays signatures, band
+    keys, candidates, and verified Jaccard), and the precision/recall
+    contract of this hot-path variant is driver-checked via the
+    oracle-backed minhash_recall_check twin against the exact
+    ngram_jaccard_pairs ground truth."""
     from .operators.dedup import minhash_near_duplicates
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -5377,6 +5381,118 @@ def simhash_portable_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
         bits=60, hash_fn="portable60",
     )
     return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+# Shared MinHash CTE (r11, VERDICT r10 #1 — the SimHash-twin treatment for
+# the MinHash family): must mirror operators.dedup token-for-token —
+# split on single space KEEPING empties, DISTINCT word-3-gram shingles,
+# base = portable60(shingle), h_i = portable60(base_decimal || ':' || i),
+# signature[i] = min over shingles. 32 hashes.
+_MINHASH_PORTABLE_CTE = """
+    t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), s AS (
+        SELECT DISTINCT doc_id,
+               toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+        FROM t, LATERAL unnest(generate_series(1, len(toks) - 2)) AS g(i)
+    ), based AS (
+        SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS bh FROM s
+    ), h AS (
+        SELECT doc_id, g.i AS h_idx,
+               ('0x' || substr(md5(CAST(bh AS VARCHAR) || ':' ||
+                   CAST(g.i AS VARCHAR)), 1, 15))::BIGINT AS hv
+        FROM based CROSS JOIN
+             (SELECT unnest(generate_series(0, 31)) AS i) g
+    ), sig AS (
+        SELECT doc_id, h_idx, min(hv) AS min_h FROM h GROUP BY 1, 2
+    )
+"""
+
+
+@register(
+    "minhash_portable_signatures",
+    f"""
+    WITH {_MINHASH_PORTABLE_CTE}
+    SELECT doc_id, CAST(h_idx AS INTEGER) AS h_idx, min_h FROM sig
+    """,
+)
+def minhash_portable_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures over the engine-portable md5-derived hash family
+    — the oracle-checked twin of the xxhash64 signature path (which stays
+    the hot default: one JVM op per hash vs md5's hex round-trip). The
+    oracle recomputes every min-hash from raw text in SQL — tokenization,
+    shingling, the base hash, all 32 derived hashes, and the per-doc min —
+    so a hash-exact match proves the entire signature construction agrees
+    value-for-value across engines. Signatures are emitted exploded
+    (doc_id, h_idx, min_h) so the comparison is row-exact without array
+    semantics. Plan shape identical to the xxhash64 variant: one shingle
+    explode -> 32 column hashes -> one groupBy(doc)."""
+    from .operators.dedup import minhash_signatures
+
+    sigs = minhash_signatures(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"),
+        "text",
+        "doc_id",
+        num_hashes=32,
+        hash_fn="portable60",
+    )
+    return sigs.select(
+        "doc_id", F.posexplode("sig").alias("h_idx", "min_h")
+    )
+
+
+@register(
+    "minhash_portable_neardups",
+    f"""
+    WITH {_MINHASH_PORTABLE_CTE}, bnd AS (
+        SELECT doc_id, (h_idx // 2) AS band,
+               string_agg(CAST(min_h AS VARCHAR), ':' ORDER BY h_idx) AS bkey
+        FROM sig GROUP BY doc_id, (h_idx // 2)
+    ), bh2 AS (
+        SELECT doc_id, band,
+               ('0x' || substr(md5(bkey), 1, 15))::BIGINT AS bh
+        FROM bnd
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bh2 a JOIN bh2 b
+          ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ), sz AS (
+        SELECT doc_id, count(*) AS sz FROM s GROUP BY doc_id
+    ), inter AS (
+        SELECT c.id_a, c.id_b, count(*) AS inter
+        FROM cand c
+        JOIN s sa ON sa.doc_id = c.id_a
+        JOIN s sb ON sb.doc_id = c.id_b AND sa.sh = sb.sh
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(inter / (za.sz + zb.sz - inter), 6) AS jaccard
+    FROM inter
+    JOIN sz za ON za.doc_id = id_a
+    JOIN sz zb ON zb.doc_id = id_b
+    WHERE inter / (za.sz + zb.sz - inter) >= 0.05
+    """,
+)
+def minhash_portable_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL MinHash+LSH near-dup pipeline under a full value oracle
+    (VERDICT r10 #1 — the last big rows-only family flipped): DuckDB
+    re-derives every signature, every band key (string_agg of the band's
+    min-hashes in row order, md5-hashed exactly like the engine's
+    portable60 band hash), the candidate pair set from band-bucket
+    equality, and the exact Jaccard verification — so the engine's
+    banded linear-scale shape (ONE (band, band_hash) equi-join, never
+    all-pairs) is checked against an independent replay of the identical
+    algorithm, not just a recall contract. max_bucket_size=None is the
+    exact-recall conformance mode (no bucket at these SFs approaches the
+    100k production cap anyway); the xxhash64 twin minhash_near_duplicates
+    remains the hot path and keeps its recall-contract check."""
+    from .operators.dedup import minhash_near_duplicates
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return minhash_near_duplicates(
+        docs, "text", "doc_id", threshold=0.05, num_hashes=32, bands=16,
+        max_bucket_size=None, hash_fn="portable60",
+    )
 
 
 @register(
