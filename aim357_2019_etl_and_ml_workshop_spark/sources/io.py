@@ -386,6 +386,7 @@ def with_zorder_key(
     zorder_by: list[str],
     bits: int = 12,
     key_col: str = "_zkey",
+    mapping: str = "linear",
 ) -> DataFrame:
     """Append a Z-order (Morton) key interleaving ``bits`` bits from each
     of ``zorder_by``'s columns — the multi-dimensional upgrade of
@@ -396,16 +397,28 @@ def with_zorder_key(
     parquet min/max statistics become selective on ALL the z-columns at
     once instead of only the leading sort column.
 
-    Coordinate mapping: each column is min-max scaled to [0, 2^bits)
-    with one corpus aggregate (broadcast back as scalars — same shape
-    as unigram_logprob_scores' totals gather). Linear scaling is
-    deterministic and SQL-re-derivable, which is what puts this key
-    under a full value oracle; the trade vs rank-based mapping (Delta's
-    range_partition_id) is outlier sensitivity — heavily skewed columns
-    concentrate coordinates, degrading (never breaking) the layout.
-    NULL and constant columns map to coordinate 0. Everything is
-    whole-stage-codegen built-ins: shiftright/&/shiftleft per bit,
-    OR-folded — no UDF, no second pass over the data.
+    Coordinate mapping (``mapping=``):
+
+    * ``'linear'`` (default): each column min-max scaled to [0, 2^bits)
+      with one corpus aggregate (broadcast back as scalars — same shape
+      as unigram_logprob_scores' totals gather). Deterministic and
+      SQL-re-derivable, which is what puts this key under a full value
+      oracle (zorder_key_probe); the trade is outlier sensitivity — one
+      extreme value collapses every other row into a few cells,
+      degrading (never breaking) the layout.
+    * ``'rank'`` (r11, VERDICT r10 #4 — Delta's range_partition_id
+      analogue): each column's coordinate is its RANGE-SPLIT id from a
+      ``repartitionByRange(2^bits, col)`` pass — sampled boundaries put
+      ~equal row counts in every cell, so heavy tails and outliers cost
+      one cell instead of the whole coordinate space. One extra range
+      shuffle per z-column (acceptable for a write-once OPTIMIZE job);
+      boundary sampling makes the exact cell edges data-dependent, so
+      rank mode is for LAYOUT (pytest-verified narrowing) while linear
+      stays the oracle-exact conformance mapping.
+
+    NULL and constant columns map to coordinate 0 (nulls sort first in
+    rank mode). The interleave itself is whole-stage-codegen built-ins:
+    shiftright/&/shiftleft per bit, OR-folded — no UDF.
 
     ``bits * len(zorder_by)`` must fit a signed long (<= 60 enforced);
     the default 12 bits x up to 5 columns keeps 4096 distinct cells per
@@ -421,12 +434,18 @@ def with_zorder_key(
         raise ValueError(
             f"bits*columns = {bits * k} exceeds the signed-long budget (60)"
         )
+    if mapping not in ("linear", "rank"):
+        raise ValueError(
+            f"mapping must be 'linear'|'rank', got {mapping!r}"
+        )
     # fail fast on name collisions: withColumn would silently REPLACE a
     # pre-existing key_col (and the zordered sink then drops it — user
     # data lost from the written files), and pre-existing bound names
     # would make the broadcast crossJoin ambiguous
     reserved = {key_col} | {
-        n for c in zorder_by for n in (f"_zmin_{c}", f"_zmax_{c}")
+        n
+        for c in zorder_by
+        for n in (f"_zmin_{c}", f"_zmax_{c}", f"_zrank_{c}")
     }
     clash = sorted(reserved & set(df.columns))
     if clash:
@@ -434,31 +453,51 @@ def with_zorder_key(
             f"zorder scratch column(s) {clash} already exist in the input "
             f"frame; rename them or pass a different key_col"
         )
-    aggs = []
-    for c in zorder_by:
-        aggs.append(F.min(F.col(c).cast("double")).alias(f"_zmin_{c}"))
-        aggs.append(F.max(F.col(c).cast("double")).alias(f"_zmax_{c}"))
-    bounds = df.agg(*aggs)
-    top = (1 << bits) - 1
-    out = df.crossJoin(F.broadcast(bounds))
-    coords = []
-    for c in zorder_by:
-        lo, hi = F.col(f"_zmin_{c}"), F.col(f"_zmax_{c}")
-        span = hi - lo
-        scaled = F.when(
-            F.col(c).isNull() | (span <= 0), F.lit(0).cast("long")
-        ).otherwise(
-            F.least(
-                F.lit(top).cast("long"),
-                F.greatest(
-                    F.lit(0).cast("long"),
-                    F.floor(
-                        (F.col(c).cast("double") - lo) / span * top
-                    ).cast("long"),
-                ),
+    scratch: list[str] = []
+    if mapping == "rank":
+        cells = 1 << bits
+        out = df
+        coords = []
+        for c in zorder_by:
+            # range split id == rank bucket: the partitioner's sampled
+            # boundaries give ~|df|/cells rows per bucket regardless of
+            # the value distribution; monotone in the column, so the
+            # Morton interleave sees a rank-space coordinate
+            out = out.repartitionByRange(
+                cells, F.col(c).asc_nulls_first()
+            ).withColumn(
+                f"_zrank_{c}", F.spark_partition_id().cast("long")
             )
-        )
-        coords.append(scaled)
+            scratch.append(f"_zrank_{c}")
+        coords = [F.col(f"_zrank_{c}") for c in zorder_by]
+    else:
+        aggs = []
+        for c in zorder_by:
+            aggs.append(F.min(F.col(c).cast("double")).alias(f"_zmin_{c}"))
+            aggs.append(F.max(F.col(c).cast("double")).alias(f"_zmax_{c}"))
+        bounds = df.agg(*aggs)
+        top = (1 << bits) - 1
+        out = df.crossJoin(F.broadcast(bounds))
+        coords = []
+        for c in zorder_by:
+            lo, hi = F.col(f"_zmin_{c}"), F.col(f"_zmax_{c}")
+            span = hi - lo
+            scaled = F.when(
+                F.col(c).isNull() | (span <= 0), F.lit(0).cast("long")
+            ).otherwise(
+                F.least(
+                    F.lit(top).cast("long"),
+                    F.greatest(
+                        F.lit(0).cast("long"),
+                        F.floor(
+                            (F.col(c).cast("double") - lo) / span * top
+                        ).cast("long"),
+                    ),
+                )
+            )
+            coords.append(scaled)
+        scratch.extend(f"_zmin_{c}" for c in zorder_by)
+        scratch.extend(f"_zmax_{c}" for c in zorder_by)
     terms = [
         F.shiftleft(
             F.shiftright(coord, i).bitwiseAND(F.lit(1)), i * k + j
@@ -468,10 +507,7 @@ def with_zorder_key(
     ]
     # Column.bitwiseOR, not the | operator — | on Columns is LOGICAL or
     zkey = functools.reduce(lambda a, b: a.bitwiseOR(b), terms)
-    drop = [f"_zmin_{c}" for c in zorder_by] + [
-        f"_zmax_{c}" for c in zorder_by
-    ]
-    return out.withColumn(key_col, zkey.cast("long")).drop(*drop)
+    return out.withColumn(key_col, zkey.cast("long")).drop(*scratch)
 
 
 def write_parquet_zordered(
@@ -482,6 +518,7 @@ def write_parquet_zordered(
     n_files: int | None = None,
     mode: str = "overwrite",
     compression: str = "zstd",
+    mapping: str = "linear",
 ) -> None:
     """Parquet sink with Z-order layout: rows are range-partitioned AND
     locally sorted on the interleaved key (with_zorder_key), so each
@@ -490,8 +527,12 @@ def write_parquet_zordered(
     filtering on any combination of them skips whole files the
     single-dimension clustered write could only skip for its leading
     column. One range shuffle (sampled boundaries) is the entire cost;
-    the key column never reaches the files."""
-    keyed = with_zorder_key(df, zorder_by, bits)
+    the key column never reaches the files.
+
+    ``mapping='rank'`` (see with_zorder_key) swaps min-max coordinate
+    scaling for range-split ranks — use for heavy-tailed z-columns where
+    one outlier would collapse the linear coordinates."""
+    keyed = with_zorder_key(df, zorder_by, bits, mapping=mapping)
     parts = (
         keyed.repartitionByRange(n_files, "_zkey")
         if n_files
