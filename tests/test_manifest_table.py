@@ -236,6 +236,86 @@ def test_compact_merges_interleaved_append(spark, tmp_path, monkeypatch):
     assert t.txn_watermark("ingest") == 3
 
 
+def test_compact_zorder_relays_committed_data(spark, tmp_path):
+    """OPTIMIZE ZORDER on the ACID table (VERDICT r10 #2): compact(
+    zorder_by=) rewrites the snapshot z-ordered ATOMICALLY — same rows,
+    pinned schema, watermarks preserved, prior version time-travelable —
+    and the COMMITTED files measurably narrow on every z-column where the
+    random appends spanned everything. A z-ordered compact commits even
+    at target file count (the layout is the point), so OPTIMIZE can be
+    re-run after appends."""
+    from pyspark.sql import functions as F
+
+    t = ManifestTable.create(spark, str(tmp_path / "tbl"))
+    n = 40_000
+    df = spark.range(n).select(
+        (F.hash(F.col("id")) % 1000).cast("double").alias("x"),
+        (F.hash(F.col("id"), F.lit(7)) % 1000).cast("double").alias("y"),
+    )
+    # four appends, each a random slice spanning the full range of both
+    # columns -> every committed file's stats span ~everything
+    for b in range(4):
+        t.append(
+            df.where(F.pmod(F.hash("x", "y"), F.lit(4)) == b).repartition(4),
+            "ingest",
+            b,
+        )
+    v_before = t.latest_version()
+    rows_before = t.read().count()
+
+    def span_fracs(version=None):
+        snap = t.read(version=version)
+        per_file = (
+            snap.withColumn("_f", F.input_file_name())
+            .groupBy("_f")
+            .agg(
+                F.min("x").alias("lx"), F.max("x").alias("hx"),
+                F.min("y").alias("ly"), F.max("y").alias("hy"),
+            )
+            .collect()
+        )
+        out = {}
+        for c in ("x", "y"):
+            lo = min(r[f"l{c}"] for r in per_file)
+            hi = max(r[f"h{c}"] for r in per_file)
+            out[c] = sum(
+                (r[f"h{c}"] - r[f"l{c}"]) / (hi - lo) for r in per_file
+            ) / len(per_file)
+        return out, len(per_file)
+
+    pre, n_pre = span_fracs()
+    assert pre["x"] > 0.9 and pre["y"] > 0.9  # appends span everything
+
+    # size the rewrite to keep multiple files so the layout is observable
+    total = sum(
+        os.path.getsize(os.path.join(t.root, f))
+        for f in t._load(v_before)["files"]
+    )
+    assert t.compact(
+        target_file_bytes=max(1, total // 12),
+        zorder_by=["x", "y"],
+        zorder_bits=10,
+    ) is True
+    v_after = t.latest_version()
+    assert v_after == v_before + 1
+    assert t.read().count() == rows_before
+    assert t.txn_watermark("ingest") == 3
+    assert [f.name for f in t.read().schema.fields] == ["x", "y"]  # pinned
+    post, n_post = span_fracs()
+    assert n_post > 4
+    assert post["x"] < 0.6 and post["y"] < 0.6, post
+    # pre-compaction version still time travels with its own layout
+    assert t.read(version=v_before).count() == rows_before
+
+    # z-ordered compact commits again even though file count is at target
+    assert t.compact(
+        target_file_bytes=max(1, total // 12), zorder_by=["x", "y"],
+        zorder_bits=10,
+    ) is True
+    assert t.latest_version() == v_after + 1
+    assert t.read().count() == rows_before
+
+
 def test_append_schema_mismatch_fails_fast(spark, tmp_path):
     """A mismatched-schema append must fail at WRITE time — a multi-schema
     file list corrupts reads silently (the scan resolves one schema and
