@@ -62,6 +62,40 @@ def test_every_exclusion_is_docstring_cross_referenced():
             )
 
 
+def test_soak_contention_protocol_helpers():
+    """The r11 exclusive-box protocol's pure pieces (VERDICT r10 #6):
+    the competing-process scan excludes our own process group (this test
+    process is busy RIGHT NOW and must not flag itself), the per-query
+    snapshot carries the fields a flag needs for attribution, and the
+    sweep order is a deterministic permutation that varies with the
+    round salt (no family systematically first)."""
+    spec = importlib.util.spec_from_file_location("_soak_mod", _SOAK)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    comp = mod._competing_procs()
+    assert isinstance(comp, list)
+    assert "pytest" not in " ".join(comp)  # never flags our own tree
+
+    snap = mod._load_snapshot()
+    assert "competing" in snap and "load1" in snap
+
+    names = sorted(q.queries())
+    o1 = mod._sweep_order(names, "SOAK_r11.jsonsf1")
+    assert o1 == mod._sweep_order(names, "SOAK_r11.jsonsf1")  # stable
+    assert sorted(o1) == names  # a permutation, nothing dropped
+    o2 = mod._sweep_order(names, "SOAK_r12.jsonsf1")
+    assert o1 != o2  # rotates across rounds
+
+    # waived guard returns immediately and says so
+    os.environ["SPARK_GRAFT_SOAK_NO_WAIT"] = "1"
+    try:
+        g = mod._wait_for_quiet("sf1")
+        assert g["waived"] is True and g["waited_sec"] == 0
+    finally:
+        del os.environ["SPARK_GRAFT_SOAK_NO_WAIT"]
+
+
 def test_soak_artifact_exclusions_match_ledger():
     """The most recent committed SOAK artifact must carry exactly the
     ledger's exclusion keys (stale artifacts are allowed to lag only by

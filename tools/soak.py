@@ -17,6 +17,16 @@ Long soaks survive process churn via a JSONL checkpoint
 (SPARK_GRAFT_SOAK_CKPT, default .localdata/soak_ckpt.jsonl): one line per
 completed query per sweep; a rerun loads it and skips what's already
 timed, so an external kill mid-sweep costs only the in-flight query.
+
+Contention protocol (r11, VERDICT r10 #6): each sweep starts behind an
+exclusive-box guard (bounded wait for zero competing runnable processes;
+SPARK_GRAFT_SOAK_NO_WAIT=1 waives it, recorded), every query records a
+load-average + competing-process snapshot taken right before it runs, a
+superlinear flag carries both SFs' snapshots as its own contention
+evidence, execution order is a per-round deterministic permutation (no
+family is systematically first and thus systematically exposed to
+warm-up-window contention), and an untimed warm-up query absorbs
+JVM/codegen start-up.
 """
 
 from __future__ import annotations
@@ -125,6 +135,103 @@ EXCLUDE = {
 }
 
 
+def _competing_procs() -> list[str]:
+    """Names of RUNNABLE processes outside this session's process group —
+    the heavyweight-competitor detector (VERDICT r10 #6: SOAK_r10's one
+    superlinear flag was a concurrently running example process
+    contaminating the sweep's first minutes; the rerun protocol caught it
+    only after the fact). /proc 'R' state means on-CPU or runqueue NOW, so
+    anything here is actively stealing cores from the sweep."""
+    try:
+        my_pgrp = os.getpgid(0)
+    except OSError:
+        my_pgrp = -1
+    out = []
+    for p in os.listdir("/proc"):
+        if not p.isdigit():
+            continue
+        try:
+            with open(f"/proc/{p}/stat") as f:
+                s = f.read()
+        except OSError:
+            continue  # raced a process exit
+        rpar = s.rfind(")")
+        comm = s[s.find("(") + 1:rpar]
+        rest = s[rpar + 2:].split()
+        state, pgrp = rest[0], int(rest[2])
+        if state == "R" and pgrp != my_pgrp:
+            out.append(comm)
+    return sorted(out)
+
+
+def _load_snapshot() -> dict:
+    """Per-query contention evidence: 1/5-minute load averages plus the
+    competing-runnable-process list, recorded BEFORE each query so a
+    superlinear flag carries its own contention attribution instead of
+    needing an after-the-fact standalone rerun."""
+    snap = {"competing": _competing_procs()}
+    try:
+        l1, l5, _ = os.getloadavg()
+        snap["load1"] = round(l1, 2)
+        snap["load5"] = round(l5, 2)
+    except OSError:
+        pass
+    return snap
+
+
+def _wait_for_quiet(
+    sweep: str, max_wait_sec: float = 900.0, poll_sec: float = 15.0
+) -> dict:
+    """Exclusive-box guard at sweep start: wait (bounded) until no
+    competing runnable process exists outside our process group. Load
+    average alone can't gate here — our OWN just-finished sweep keeps
+    load1 high for minutes — so the gate is the competitor list and the
+    loads are recorded as evidence. SPARK_GRAFT_SOAK_NO_WAIT=1 skips the
+    wait (recorded, so the artifact shows the guard was waived)."""
+    if os.environ.get("SPARK_GRAFT_SOAK_NO_WAIT"):
+        snap = _load_snapshot()
+        snap.update({"sweep": sweep, "waived": True, "waited_sec": 0})
+        return snap
+    waited = 0.0
+    while True:
+        snap = _load_snapshot()
+        if not snap["competing"] or waited >= max_wait_sec:
+            snap.update(
+                {
+                    "sweep": sweep,
+                    "waived": False,
+                    "waited_sec": round(waited, 1),
+                    "gave_up": bool(snap["competing"]),
+                }
+            )
+            if snap["competing"]:
+                print(
+                    f"  [contention] sweep {sweep} starting DESPITE "
+                    f"competitors after {waited:.0f}s: {snap['competing']}",
+                    file=sys.stderr,
+                )
+            return snap
+        print(
+            f"  [contention] waiting on {snap['competing']} "
+            f"(load1={snap.get('load1')})",
+            file=sys.stderr,
+        )
+        time.sleep(poll_sec)
+        waited += poll_sec
+
+
+def _sweep_order(names, salt: str) -> list[str]:
+    """Deterministic per-round permutation of the execution order: keyed
+    md5 so no query family (the near-dup rotation prefix, in SOAK_r10's
+    case) is SYSTEMATICALLY first in every round and thus systematically
+    exposed to warm-up-window contention."""
+    import hashlib
+
+    return sorted(
+        names, key=lambda n: hashlib.md5((salt + n).encode()).hexdigest()
+    )
+
+
 def _ckpt_path() -> str:
     base = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     return os.environ.get(
@@ -133,9 +240,10 @@ def _ckpt_path() -> str:
     )
 
 
-def _ckpt_load(sweep: str) -> tuple[dict, dict]:
+def _ckpt_load(sweep: str) -> tuple[dict, dict, dict]:
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
+    loads: dict[str, dict] = {}
     path = _ckpt_path()
     if os.path.exists(path):
         with open(path) as f:
@@ -148,9 +256,11 @@ def _ckpt_load(sweep: str) -> tuple[dict, dict]:
                     continue
                 if "sec" in rec:
                     times[rec["name"]] = rec["sec"]
+                    if "load" in rec:
+                        loads[rec["name"]] = rec["load"]
                 else:
                     errors[rec["name"]] = rec.get("err", "?")
-    return times, errors
+    return times, errors, loads
 
 
 def _ckpt_append(rec: dict) -> None:
@@ -183,22 +293,38 @@ def _drain_session_pressure(spark, done: int) -> None:
             pass  # py4j hiccup: hygiene only, never fail the sweep
 
 
-def run_suite(spark, registry, sf_dir: str, sweep: str) -> tuple[dict, dict, object]:
-    times, errors = _ckpt_load(sweep)
+def run_suite(
+    spark, registry, sf_dir: str, sweep: str, order_salt: str = ""
+) -> tuple[dict, dict, dict, object]:
+    times, errors, loads = _ckpt_load(sweep)
     if times or errors:
         print(
             f"  [resume] {len(times)} timed + {len(errors)} errored "
             f"loaded from checkpoint",
             file=sys.stderr,
         )
-    for name, fn in registry.items():
+    # untimed warm-up: JVM/codegen/scan warm-up lands here, not on the
+    # first timed query of whatever family the order puts first
+    warm = registry.get("global_count")
+    if warm is not None and not times:
+        try:
+            warm(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception:
+            pass  # warm-up is best-effort; the timed run will surface it
+    for name in _sweep_order(registry, order_salt + sweep):
+        fn = registry[name]
         if name in times or name in errors:
             continue
+        snap = _load_snapshot()
+        loads[name] = snap
         t0 = time.perf_counter()
         try:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             times[name] = round(time.perf_counter() - t0, 2)
-            _ckpt_append({"sweep": sweep, "name": name, "sec": times[name]})
+            _ckpt_append(
+                {"sweep": sweep, "name": name, "sec": times[name],
+                 "load": snap}
+            )
             _drain_session_pressure(spark, len(times))
         except Exception as exc:  # record, restart the session, keep going
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
@@ -215,7 +341,7 @@ def run_suite(spark, registry, sf_dir: str, sweep: str) -> tuple[dict, dict, obj
         print(
             f"  {name}: {times.get(name, 'ERROR')}s", file=sys.stderr, flush=True
         )
-    return times, errors, spark
+    return times, errors, loads, spark
 
 
 def main() -> None:
@@ -239,9 +365,15 @@ def main() -> None:
         if n not in EXCLUDE and n not in skip
     }
     print(f"sf1 sweep ({len(registry)} queries)", file=sys.stderr)
-    t1, e1, spark = run_suite(spark, registry, sf1_dir, "sf1")
+    guard1 = _wait_for_quiet("sf1")
+    t1, e1, l1, spark = run_suite(
+        spark, registry, sf1_dir, "sf1", order_salt=out_path
+    )
     print(f"sf10 sweep ({len(registry)} queries)", file=sys.stderr)
-    t10, e10, spark = run_suite(spark, registry, sf10_dir, "sf10")
+    guard10 = _wait_for_quiet("sf10")
+    t10, e10, l10, spark = run_suite(
+        spark, registry, sf10_dir, "sf10", order_salt=out_path
+    )
 
     flags = {}
     for name, s10 in t10.items():
@@ -252,7 +384,16 @@ def main() -> None:
         # is under 2x the linear extrapolation of max(sf1, floor).
         budget = 2 * 10 * max(s1, 0.5)
         if s10 > max(budget, 5.0):
-            flags[name] = {"sf1_sec": s1, "sf10_sec": s10, "budget": budget}
+            flags[name] = {
+                "sf1_sec": s1,
+                "sf10_sec": s10,
+                "budget": budget,
+                # contention attribution travels WITH the flag (r11):
+                # load + competing-process snapshots taken right before
+                # each of the two timed runs
+                "load_sf1": l1.get(name),
+                "load_sf10": l10.get(name),
+            }
 
     out = {
         "round": round_no,
@@ -262,10 +403,11 @@ def main() -> None:
             "baselines documented in EXCLUDE with their scale twins"
         ),
         "excluded": EXCLUDE,
+        "exclusive_box_guard": {"sf1": guard1, "sf10": guard10},
         "sf1": {"dir": sf1_dir, "total_sec": round(sum(t1.values()), 1),
-                "queries": t1, "errors": e1},
+                "queries": t1, "errors": e1, "loads": l1},
         "sf10": {"dir": sf10_dir, "total_sec": round(sum(t10.values()), 1),
-                 "queries": t10, "errors": e10},
+                 "queries": t10, "errors": e10, "loads": l10},
         "superlinear_flags": flags,
         "summary": {
             "queries_run": len(registry),
