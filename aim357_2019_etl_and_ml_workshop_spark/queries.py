@@ -82,46 +82,42 @@ def register(name: str, oracle: str | None = None):
 # round; everything else follows in registration order and remains covered
 # by the local gate. (VERDICT r02 "Next round" #2.)
 _DRIVER_PRIORITY = [
-    # --- round-10 rotation (VERDICT r09 next #1): entering r10 all 180
-    # r9-era keys carry >= 1 lifetime verdict with zero failures; exactly
-    # four are single-verdict. The 50-slot sample: (a) the four queries
-    # NEW this round (bloom_state_overlap — the persisted-Bloom-state
-    # lifecycle contract, VERDICT r09 #3 — trigram_logprob_scores —
-    # the interpolated-trigram LM rung, VERDICT r09 #6 —
-    # bloom_append_overlap — the append half of the state lifecycle,
-    # closing the last pytest-only state path — and zorder_key_probe —
-    # the Morton-key layout oracle); (b) the four r9
-    # single-verdict keys, sampled for their second lifetime verdict —
-    # after which EVERY pre-r10 registry key holds >= 2, closing the
-    # rotation ledger (bloom_decontaminate_overlap doubles as the
-    # changed-code re-verdict for the r10 n/prefix state-geometry fix);
-    # (c) streaming_hourly_counts, whose empty-sink retry gained the
-    # source-nonempty gate (ADVICE r09 #4) — also LRU (last r6);
-    # (d) the 41 remaining least-recently-verified r6-era keys to
-    # fill 50. ---
+    # --- round-11 rotation (continuing VERDICT r02 #2's ledger): entering
+    # r11 every pre-r11 registry key carries >= 2 lifetime verdicts with
+    # zero failures; the four r10-new keys carry exactly one. The 50-slot
+    # sample: (a) the TWO queries new this round — the portable-hash
+    # MinHash family (VERDICT r10 #1: minhash_portable_neardups is the
+    # full-oracle flip of the registry's last big rows-only family, and
+    # minhash_portable_signatures pins the signature construction
+    # itself); (b) the four r10-new single-verdict keys, sampled for
+    # their second lifetime verdict; (c) the 44 least-recently-verified
+    # keys (all last seen in r7) to fill 50 — after this round, no
+    # registry key's latest verdict is older than r8. ---
+    "minhash_portable_signatures", "minhash_portable_neardups",
+    # (b) r10-new keys, second verdict
     "bloom_state_overlap", "trigram_logprob_scores",
     "bloom_append_overlap", "zorder_key_probe",
-    "bloom_decontaminate_overlap", "bigram_logprob_scores",
-    "semantic_dedup_fitted", "ivf_state_recall_check",
-    "streaming_hourly_counts",
-    # (d) least-recently-verified fill (r6 era, then r7)
-    "customers_with_orders_semi", "customers_without_orders",
-    "decontaminate_ngram_overlap", "deepar_export",
-    "dormant_rich_customers", "except_all_user_bags", "except_user_sets",
-    "forecast_quantiles", "forward_fill_last_value",
-    "grouping_sets_counts", "intersect_user_sets", "ivf_ann_topk",
-    "lang_id_heuristic", "lateral_top2_per_segment",
-    "latest_state_per_user", "lsh_ann_topk", "market_share_by_year",
-    "median_value_by_type", "minhash_near_duplicates",
-    "minhash_recall_check", "moving_avg_7day", "nation_year_profit",
-    "neardup_clusters", "neardup_representatives", "ngram_jaccard_pairs",
-    "not_in_null_aware_anti", "ntile_quartiles", "pii_redaction_rollup",
-    "quality_features", "range_frame_peak_rate",
-    "range_join_campaign_counts", "rank_distribution_probe",
-    "recursive_cte_tree_walk", "repetition_filter", "sequence_packing",
-    "shard_assignment_counts", "simhash_fingerprints",
-    "sliding_window_counts", "sole_return_supplier", "sql_flagship_twin",
-    "unshipped_priority_revenue",
+    # (c) least-recently-verified fill (r7 era)
+    "approx_sketches", "argmax_latest_event", "array_functions_probe",
+    "bool_argmax_agg_probe", "bpe_token_count", "conditional_agg_filter",
+    "cube_counts", "curation_funnel", "date_arithmetic_probe",
+    "date_parts", "deterministic_stratified_docs",
+    "disjunctive_brand_revenue", "embedding_clusters_contract",
+    "embedding_neardup_lsh", "events_key_skew_report",
+    "exists_late_lineitems", "first_last_window_probe",
+    "fuzzy_brand_distance", "fuzzy_supplier_matches",
+    "having_active_users", "inclusive_range_count",
+    "incremental_exact_screen", "incremental_neardup_ingest",
+    "large_quantity_orders", "leakage_safe_split",
+    "local_supplier_volume", "multimodal_curation_pipeline",
+    "native_session_window_counts", "promo_revenue_pct",
+    "q16_supplier_part_counts", "q20_excess_shippers",
+    "q2_min_cost_supplier", "returned_item_losses",
+    "simhash_portable_fingerprints", "simhash_portable_neardups",
+    "small_quantity_revenue", "source_capped_sample",
+    "tfidf_exact_features", "try_arithmetic_probe",
+    "unigram_logprob_scores", "ivf_recall_check", "lsh_recall_check",
+    "multimodal_decode_meta", "revenue_by_region",
 ]
 
 
