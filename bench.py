@@ -309,6 +309,23 @@ def main() -> None:
         os.path.exists(os.path.join(sf10_dir, "lineitem.parquet"))
         and os.environ.get("SPARK_GRAFT_SKIP_SF10") != "1"
     )
+    # sf0.3 bracketing point (VERDICT r10 #7): the sf1 waiver's claim —
+    # the subset ratio is a per-query fixed-cost floor amortizing with
+    # scale, not an sf1 anomaly — gets a measured point BELOW sf1 on the
+    # same 27-query curve. Measured shape (r11): 3.8x (sf0.3) -> ~2.0x
+    # (sf1) -> 0.86x (sf10) — monotone decay through sf1, crossing 2x
+    # just past it; the floor is the whole story and the contractual
+    # sf0.1 bar is the full-suite ratio, not this subset.
+    sf03_dir = os.environ.get(
+        "SPARK_GRAFT_SF03_DIR",
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), ".localdata", "sf0.3"
+        ),
+    )
+    run_sf03 = (
+        os.path.exists(os.path.join(sf03_dir, "lineitem.parquet"))
+        and os.environ.get("SPARK_GRAFT_SKIP_SF03") != "1"
+    )
     # Both sides use the same best-of-N aggregation (default 3, VERDICT
     # r05 #3 — single runs at sub-second magnitudes made methodology the
     # dominant error bar of the suite ratio).
@@ -324,6 +341,9 @@ def main() -> None:
     # both ends of the window bounds the denominator by the quieter phase
     # — the same steady-state estimate min-of-N already targets per query.
     oracle = duckdb_suite(sf_dir, HEADLINE, runs)
+    oracle_sf03 = (
+        duckdb_suite(sf03_dir, SF1_SUBSET, runs) if run_sf03 else None
+    )
     oracle_sf1 = duckdb_suite(sf1_dir, SF1_SUBSET, runs) if run_sf1 else None
     oracle_sf10 = (
         duckdb_suite(sf10_dir, SF10_SUBSET, runs) if run_sf10 else None
@@ -438,6 +458,42 @@ def main() -> None:
         ),
     }
 
+    if run_sf03:
+        t_sf03 = spark_suite(
+            spark, registry, sf03_dir, SF1_SUBSET, runs, warm_pass=True
+        )
+        t_sf03_rerun = spark_suite(
+            spark, registry, sf03_dir, SF1_SUBSET, runs
+        )
+        sf03_rerun_delta = round(
+            100.0
+            * abs(sum(t_sf03_rerun.values()) - sum(t_sf03.values()))
+            / sum(t_sf03.values()),
+            2,
+        )
+        t_sf03 = {n: min(t_sf03[n], t_sf03_rerun[n]) for n in t_sf03}
+        oracle_sf03_post = duckdb_suite(sf03_dir, SF1_SUBSET, runs)
+        oracle_sf03["queries"] = {
+            n: min(oracle_sf03["queries"][n], oracle_sf03_post["queries"][n])
+            for n in oracle_sf03["queries"]
+        }
+        oracle_sf03["value"] = round(sum(oracle_sf03["queries"].values()), 4)
+        sf03_block = {
+            "sf": 0.3,
+            "dir": sf03_dir,
+            "value": round(sum(t_sf03.values()), 4),
+            "queries": t_sf03,
+            "rerun_delta_pct": sf03_rerun_delta,
+            "oracle": oracle_sf03,
+            "spec": (
+                "fixed-cost-floor bracketing point below sf1 (VERDICT "
+                "r10 #7): same 27-query subset as sf1/sf10, so the three "
+                "blocks read as one amortization curve"
+            ),
+        }
+        sf03_block.update(ratio_block(t_sf03, oracle_sf03))
+        detail["sf03"] = sf03_block
+
     if run_sf1:
         t_sf1 = spark_suite(
             spark, registry, sf1_dir, SF1_SUBSET, runs, warm_pass=True
@@ -547,11 +603,31 @@ def main() -> None:
         "band_spread_pct_max": detail["variance_band"]["spread_pct_max"],
         "detail": "BENCH_DETAIL.json",
     }
-    for key in ("sf1", "sf10"):
+    for key in ("sf03", "sf1", "sf10"):
         if key in detail:
             out[key] = _compact_sf(detail[key])
 
+    # The stdout line must stay under the driver's ~2000-char tail
+    # capture. With three extra-SF blocks (sf03 added r11) the full
+    # compact form can exceed it, so the SF blocks degrade gracefully:
+    # first drop the per-SF geomean, then everything but the tracked
+    # ratio. The FULL blocks are always in BENCH_DETAIL.json.
     line = json.dumps(out, separators=(",", ":"))
+    if len(line) >= 1900:
+        for key in ("sf03", "sf1", "sf10"):
+            if key in out:
+                out[key].pop("spark_vs_oracle_geomean", None)
+        line = json.dumps(out, separators=(",", ":"))
+    if len(line) >= 1900:
+        for key in ("sf03", "sf1", "sf10"):
+            if key in out:
+                out[key] = {
+                    "sf": out[key]["sf"],
+                    "spark_vs_oracle_ratio": out[key][
+                        "spark_vs_oracle_ratio"
+                    ],
+                }
+        line = json.dumps(out, separators=(",", ":"))
     assert len(line) < 1900, f"stdout line too long ({len(line)} chars)"
     print(line)
 
