@@ -85,15 +85,18 @@ _DRIVER_PRIORITY = [
     # --- round-11 rotation (continuing VERDICT r02 #2's ledger): entering
     # r11 every pre-r11 registry key carries >= 2 lifetime verdicts with
     # zero failures; the four r10-new keys carry exactly one. The 50-slot
-    # sample: (a) the TWO queries new this round — the portable-hash
+    # sample: (a) the THREE queries new this round — the portable-hash
     # MinHash family (VERDICT r10 #1: minhash_portable_neardups is the
-    # full-oracle flip of the registry's last big rows-only family, and
+    # full-oracle flip of the registry's last big rows-only family,
     # minhash_portable_signatures pins the signature construction
-    # itself); (b) the four r10-new single-verdict keys, sampled for
-    # their second lifetime verdict; (c) the 44 least-recently-verified
-    # keys (all last seen in r7) to fill 50 — after this round, no
-    # registry key's latest verdict is older than r8. ---
+    # itself) and zorder_optimize_lifecycle (VERDICT r10 #2+#4: the
+    # in-query OPTIMIZE ZORDER maintenance story on the ACID table,
+    # rank-mapped coordinates included); (b) the four r10-new
+    # single-verdict keys, sampled for their second lifetime verdict;
+    # (c) the 43 least-recently-verified keys (all last seen in r7) to
+    # fill 50. ---
     "minhash_portable_signatures", "minhash_portable_neardups",
+    "zorder_optimize_lifecycle",
     # (b) r10-new keys, second verdict
     "bloom_state_overlap", "trigram_logprob_scores",
     "bloom_append_overlap", "zorder_key_probe",
@@ -117,7 +120,7 @@ _DRIVER_PRIORITY = [
     "small_quantity_revenue", "source_capped_sample",
     "tfidf_exact_features", "try_arithmetic_probe",
     "unigram_logprob_scores", "ivf_recall_check", "lsh_recall_check",
-    "multimodal_decode_meta", "revenue_by_region",
+    "multimodal_decode_meta",
 ]
 
 
@@ -7203,6 +7206,106 @@ def zorder_key_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         keyed.groupBy(F.col("_zkey").alias("zkey"))
         .agg(_count(None))
         .select("zkey", "n")
+    )
+
+
+@register(
+    "zorder_optimize_lifecycle",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(user_id) AS BIGINT) AS sum_user_id,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+           TRUE AS compact_committed,
+           TRUE AS rows_preserved,
+           TRUE AS multi_file,
+           TRUE AS span_narrow_both
+    FROM events
+    """,
+)
+def zorder_optimize_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER on the ACID table under the driver gate (r11,
+    VERDICT r10 #2+#4 composed) — the manifest mirror of
+    bloom_state_overlap's lifecycle pattern: the whole maintenance story
+    runs INSIDE the query. Two appends land events in a ManifestTable,
+    compact(zorder_by=['user_id','event_id'], zorder_mapping='rank')
+    rewrites the snapshot z-ordered as one atomic version (rank mapping —
+    the r11 range-split coordinates — gets driver-checked here since its
+    sampled boundaries keep it out of the key-level oracle), and the
+    COMMITTED files are then measured: every file's min/max span on BOTH
+    z-columns must be narrow where the append layout spanned everything.
+    The returned row pins the layout/commit booleans (oracle: TRUE) and
+    content aggregates (n_rows, sum_user_id, n_types) the oracle
+    re-derives from the raw events table — hash-match proves the
+    rewrite changed LAYOUT only, never data."""
+    import os
+    import shutil
+    import tempfile
+
+    from .sources.manifest import ManifestTable
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    root = tempfile.mkdtemp(prefix="zorder_tbl_")
+    try:
+        t = ManifestTable.create(spark, root)
+        t.append(ev.where(F.col("event_id") % 2 == 0).repartition(4),
+                 "ingest", 0)
+        t.append(ev.where(F.col("event_id") % 2 != 0).repartition(4),
+                 "ingest", 1)
+        v_before = t.latest_version()
+        n_before = t.read().count()
+        total = sum(
+            os.path.getsize(os.path.join(t.root, f))
+            for f in t._load(v_before)["files"]
+        )
+        committed = t.compact(
+            target_file_bytes=max(1, total // 16),
+            zorder_by=["user_id", "event_id"],
+            zorder_bits=8,
+            zorder_mapping="rank",
+        )
+        v_after = t.latest_version()
+        snap = t.read()
+        per_file = (
+            snap.withColumn("_f", F.input_file_name())
+            .groupBy("_f")
+            .agg(
+                F.min("user_id").alias("lu"), F.max("user_id").alias("hu"),
+                F.min("event_id").alias("le"), F.max("event_id").alias("he"),
+            )
+            .collect()
+        )
+        agg = snap.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("user_id").alias("sum_user_id"),
+            F.countDistinct("event_type").alias("n_types"),
+        ).collect()[0]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    def mean_span(lo_k: str, hi_k: str) -> float:
+        lo = min(r[lo_k] for r in per_file)
+        hi = max(r[hi_k] for r in per_file)
+        return sum(
+            (r[hi_k] - r[lo_k]) / (hi - lo) for r in per_file
+        ) / len(per_file)
+
+    return spark.createDataFrame(
+        [
+            (
+                int(agg["n_rows"]),
+                int(agg["sum_user_id"]),
+                int(agg["n_types"]),
+                bool(committed) and v_after == v_before + 1,
+                int(agg["n_rows"]) == n_before,
+                len(per_file) > 4,
+                mean_span("lu", "hu") < 0.7 and mean_span("le", "he") < 0.7,
+            )
+        ],
+        "n_rows bigint, sum_user_id bigint, n_types bigint, "
+        "compact_committed boolean, rows_preserved boolean, "
+        "multi_file boolean, span_narrow_both boolean",
     )
 
 
