@@ -159,7 +159,9 @@ def _competing_procs() -> list[str]:
         comm = s[s.find("(") + 1:rpar]
         rest = s[rpar + 2:].split()
         state, pgrp = rest[0], int(rest[2])
-        if state == "R" and pgrp != my_pgrp:
+        # pgrp 0 = kernel threads (rcu_preempt, kworkers) — they flicker
+        # 'R' transiently and are never the contention this guard hunts
+        if state == "R" and pgrp not in (0, my_pgrp):
             out.append(comm)
     return sorted(out)
 
