@@ -267,6 +267,139 @@ def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> list[list[float
     return rng.randn(n_planes, dim).round(6).tolist()
 
 
+def portable_hyperplanes_int(
+    dim: int, n_bits: int, table: int
+) -> list[list[int]]:
+    """Integer hyperplanes an independent engine can re-derive (r11 — the
+    ANN leg of the portable-hash program that flipped SimHash in r6 and
+    MinHash this round): component w[t][b][j] = (md5-60bit("t:b:j") %
+    2001) - 1000, uniform in [-1000, 1000]. DuckDB spells the identical
+    value ``(('0x'||substr(md5(t||':'||b||':'||j),1,15))::BIGINT % 2001)
+    - 1000``. Uniform components lose the Gaussian angle calculus's exact
+    collision probabilities, but the hash stays a perfectly good locality
+    bucket — and the portable twin's point is replayability, with recall
+    guaranteed by the exact re-rank and checked by the oracle itself."""
+    import hashlib
+
+    return [
+        [
+            (
+                int(
+                    hashlib.md5(f"{table}:{b}:{j}".encode()).hexdigest()[:15],
+                    16,
+                )
+                % 2001
+            )
+            - 1000
+            for j in range(dim)
+        ]
+        for b in range(n_bits)
+    ]
+
+
+def _multi_table_buckets_int(
+    df: DataFrame,
+    vec_col: str,
+    all_planes_int: list[list[list[int]]],
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Integer-exact twin of _multi_table_buckets: the vector is quantized
+    (floor(x * scale) per component — floor, never round: identical
+    doubles floor identically in every engine, while round-half ties are
+    implementation-defined) and the T*B sign decisions are pure int64
+    dot products — associative, so numpy's matmul order, a JVM fold, and
+    DuckDB's SUM all produce THE SAME bit, which is what lets a SQL
+    oracle replay bucket membership exactly (float dots can flip a
+    near-zero sign between summation orders). Overflow-safe by
+    construction: |component| <= scale, |weight| <= 1000, dim <= 2^12
+    keeps |dot| < 2^52."""
+    planes_flat = np.array(
+        [p for planes in all_planes_int for p in planes], dtype=np.int64
+    )
+    n_tables, n_bits = len(all_planes_int), len(all_planes_int[0])
+    weights = (1 << np.arange(n_bits)).astype(np.int64)
+
+    @pandas_udf("array<bigint>")
+    def buckets(vs: pd.Series) -> pd.Series:
+        v = np.stack(vs.to_numpy())
+        vq = np.floor(v * scale).astype(np.int64)
+        signs = (vq @ planes_flat.T) > 0  # exact: int64 matmul
+        b = signs.reshape(len(vq), n_tables, n_bits) @ weights
+        return pd.Series(list(b))
+
+    return df.withColumn("_buckets", buckets(F.col(vec_col))).select(
+        *[c for c in df.columns],
+        F.posexplode(F.col("_buckets")).alias("table", "bucket"),
+    )
+
+
+def lsh_portable_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    n_tables: int = 16,
+    n_bits: int = 4,
+    scale: int = 1_000_000,
+    dim: int | None = None,
+) -> DataFrame:
+    """Hyperplane-LSH top-k whose EVERY stage an independent SQL engine
+    re-derives (the ANN mirror of minhash_portable_neardups): md5-derived
+    integer hyperplanes, integer-exact bucket bits, (table, bucket)
+    equi-join candidates, exact cosine re-rank under the proven round-6
+    + id-tiebreak quantization policy (brute_force_topk's contract).
+    Same plan shape as lsh_topk — query side tiny, candidate side one
+    bucket explode, shuffle on bucket keys only; the gauss/xxhash
+    variant stays the hot path (broadcast gathers, multiprobe, persisted
+    bucket state)."""
+    if dim is None:
+        first = candidates.select(F.size(vec_col).alias("d")).first()
+        dim = int(first["d"])
+    planes = [
+        portable_hyperplanes_int(dim, n_bits, t) for t in range(n_tables)
+    ]
+    cb = _multi_table_buckets_int(
+        candidates.select(
+            F.col(id_col).alias("c_id"), F.col(vec_col).alias("cv")
+        ),
+        "cv",
+        planes,
+        scale,
+    ).select("c_id", "table", "bucket")
+    qb = _multi_table_buckets_int(
+        queries.select(
+            F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv")
+        ),
+        "qv",
+        planes,
+        scale,
+    ).select("q_id", "table", "bucket")
+    pairs = (
+        qb.join(cb, ["table", "bucket"])
+        .where(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id")
+        .distinct()
+    )
+    qv = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"))
+    cv = candidates.select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("cv")
+    )
+    pair_cos = _pair_cosine_udf()
+    sims = (
+        pairs.join(F.broadcast(qv), "q_id")
+        .join(cv, "c_id")
+        .select("q_id", "c_id", pair_cos(F.col("qv"), F.col("cv")).alias("sim"))
+    )
+    ranked = sims.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("q_id").orderBy(F.col("sim").desc(), "c_id")
+        ),
+    )
+    return ranked.where(F.col("rn") <= k).select("q_id", "c_id", "sim")
+
+
 def _pair_cosine_udf():
     """Vectorized cosine over candidate PAIRS (rows-only paths: embedding
     near-dup, where both sides are large). numpy row-wise dot per Arrow

@@ -85,18 +85,20 @@ _DRIVER_PRIORITY = [
     # --- round-11 rotation (continuing VERDICT r02 #2's ledger): entering
     # r11 every pre-r11 registry key carries >= 2 lifetime verdicts with
     # zero failures; the four r10-new keys carry exactly one. The 50-slot
-    # sample: (a) the THREE queries new this round — the portable-hash
+    # sample: (a) the FOUR queries new this round — the portable-hash
     # MinHash family (VERDICT r10 #1: minhash_portable_neardups is the
     # full-oracle flip of the registry's last big rows-only family,
     # minhash_portable_signatures pins the signature construction
-    # itself) and zorder_optimize_lifecycle (VERDICT r10 #2+#4: the
-    # in-query OPTIMIZE ZORDER maintenance story on the ACID table,
-    # rank-mapped coordinates included); (b) the four r10-new
-    # single-verdict keys, sampled for their second lifetime verdict;
-    # (c) the 43 least-recently-verified keys (all last seen in r7) to
-    # fill 50. ---
+    # itself), lsh_portable_topk (the ANN leg of the same program:
+    # DuckDB replays integer hyperplanes, quantized sign bits, bucket
+    # joins, and the rounded re-rank), and zorder_optimize_lifecycle
+    # (VERDICT r10 #2+#4: the in-query OPTIMIZE ZORDER maintenance
+    # story on the ACID table, rank-mapped coordinates included);
+    # (b) the four r10-new single-verdict keys, sampled for their
+    # second lifetime verdict; (c) the 42 least-recently-verified keys
+    # (all last seen in r7) to fill 50. ---
     "minhash_portable_signatures", "minhash_portable_neardups",
-    "zorder_optimize_lifecycle",
+    "lsh_portable_topk", "zorder_optimize_lifecycle",
     # (b) r10-new keys, second verdict
     "bloom_state_overlap", "trigram_logprob_scores",
     "bloom_append_overlap", "zorder_key_probe",
@@ -120,7 +122,6 @@ _DRIVER_PRIORITY = [
     "small_quantity_revenue", "source_capped_sample",
     "tfidf_exact_features", "try_arithmetic_probe",
     "unigram_logprob_scores", "ivf_recall_check", "lsh_recall_check",
-    "multimodal_decode_meta",
 ]
 
 
@@ -1266,8 +1267,12 @@ def simhash_fingerprints_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("lsh_ann_topk")
 def lsh_ann_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate top-k neighbors (bucket join + exact
-    re-rank). Rows-only WAIVER: bucket membership is hash-dependent, so the
-    reported pair set is not SQL-predictable; the accuracy contract is
+    re-rank). Rows-only WAIVER: Gaussian-hyperplane bucket membership is
+    float-hash-dependent, so THIS variant's pair set is not
+    SQL-predictable; the identical pipeline over md5-derived INTEGER
+    hyperplanes IS hash-exact verified as lsh_portable_topk (r11 — DuckDB
+    replays planes, quantized sign bits, bucket joins, and the rounded
+    re-rank), and this hot-path variant's accuracy contract is
     driver-checked via the oracle-backed lsh_recall_check twin (recall vs
     the exact embedding_cosine_topk), plus pytest recall assertions."""
     from .operators.similarity import as_double_vec, lsh_topk
@@ -1277,6 +1282,74 @@ def lsh_ann_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = _ann_queries(emb)
     return lsh_topk(emb, q, k=5, n_tables=16, n_bits=4, multiprobe=1)
+
+
+@register(
+    "lsh_portable_topk",
+    f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), ev AS (
+        SELECT vec_id,
+               list_transform(v, x -> CAST(floor(x * 1000000) AS BIGINT)) AS iv
+        FROM e
+    ), pl AS (
+        SELECT t.t, b.b, j.j,
+               (('0x' || substr(md5(CAST(t.t AS VARCHAR) || ':' ||
+                   CAST(b.b AS VARCHAR) || ':' || CAST(j.j - 1 AS VARCHAR)),
+                   1, 15))::BIGINT % 2001) - 1000 AS w
+        FROM (SELECT unnest(generate_series(0, 15)) AS t) t,
+             (SELECT unnest(generate_series(0, 3)) AS b) b,
+             (SELECT unnest(generate_series(1, 64)) AS j) j
+    ), dots AS (
+        SELECT ev.vec_id, pl.t, pl.b, sum(ev.iv[pl.j] * pl.w) AS dot
+        FROM ev, pl GROUP BY 1, 2, 3
+    ), bk AS (
+        SELECT vec_id, t AS tbl,
+               CAST(sum(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << b)
+                             ELSE 0 END) AS BIGINT) AS bucket
+        FROM dots GROUP BY 1, 2
+    ), cand AS (
+        SELECT DISTINCT qb.vec_id AS q_id, cb.vec_id AS c_id
+        FROM bk qb JOIN bk cb ON qb.tbl = cb.tbl AND qb.bucket = cb.bucket
+        WHERE qb.vec_id % {_ANN_STEP_SQL} = 0
+          AND cb.vec_id <> qb.vec_id
+    ), p AS (
+        SELECT cand.q_id, cand.c_id,
+               round(list_dot_product(eq.v, ec.v)
+                     / (sqrt(list_dot_product(eq.v, eq.v))
+                        * sqrt(list_dot_product(ec.v, ec.v))), 6) AS sim
+        FROM cand
+        JOIN e eq ON eq.vec_id = cand.q_id
+        JOIN e ec ON ec.vec_id = cand.c_id
+    )
+    SELECT q_id, c_id, sim FROM (
+        SELECT q_id, c_id, sim,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY sim DESC, c_id) AS rn
+        FROM p
+    ) WHERE rn <= 5
+    """,
+)
+def lsh_portable_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL hyperplane-LSH ANN pipeline under a full value oracle
+    (r11 — the ANN leg of the portable-hash program, after SimHash r6 and
+    MinHash this round): DuckDB re-derives every md5-derived integer
+    hyperplane component, every quantized sign bit (floor(x*1e6) int64
+    dots — associative, so bucket membership is engine-exact where float
+    dots could flip a near-zero sign between summation orders), the
+    (table, bucket) candidate join, and the exact cosine re-rank under
+    brute_force_topk's proven round-6 + id-tiebreak policy. The Gaussian
+    lsh_topk stays the hot path (multiprobe, broadcast gathers, persisted
+    bucket state); this twin makes its pipeline SHAPE row-exact
+    verifiable."""
+    from .operators.similarity import as_double_vec, lsh_portable_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_vec("embedding").alias("v")
+    )
+    q = _ann_queries(emb)
+    return lsh_portable_topk(emb, q, k=5, n_tables=16, n_bits=4)
 
 
 @register(

@@ -222,6 +222,81 @@ def test_minhash_portable_and_xxhash_verdicts_agree(spark):
     assert all(j == 1.0 for j in got["portable60"].values())
 
 
+def test_lsh_portable_buckets_match_int_reference(spark):
+    """The portable ANN twin's load-bearing property (r11): bucket bits
+    are INTEGER-exact — floor-quantized vectors against md5-derived
+    integer hyperplanes — so a pure-python big-int reference (no numpy,
+    no float dot anywhere) must reproduce every (table, bucket) row the
+    Spark kernel emits. This is the associativity that lets the DuckDB
+    oracle replay bucket membership where float dots could flip a
+    near-zero sign between summation orders."""
+    import hashlib
+    import math
+
+    from aim357_2019_etl_and_ml_workshop_spark.operators.similarity import (
+        _multi_table_buckets_int,
+        portable_hyperplanes_int,
+    )
+
+    dim, n_tables, n_bits, scale = 8, 5, 3, 1_000_000
+    vecs = [
+        (i, [math.sin(i * 13 + j) for j in range(dim)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id bigint, v array<double>")
+    planes = [
+        portable_hyperplanes_int(dim, n_bits, t) for t in range(n_tables)
+    ]
+    # independent reference: re-derive the planes from hashlib and the
+    # buckets from pure-int arithmetic
+    for t in range(n_tables):
+        for b in range(n_bits):
+            for j in range(dim):
+                h = int(
+                    hashlib.md5(f"{t}:{b}:{j}".encode()).hexdigest()[:15], 16
+                )
+                assert planes[t][b][j] == (h % 2001) - 1000
+
+    got = {
+        (r.vec_id, r.table): r.bucket
+        for r in _multi_table_buckets_int(df, "v", planes, scale).collect()
+    }
+    for i, v in vecs:
+        vq = [math.floor(x * scale) for x in v]
+        for t in range(n_tables):
+            want = sum(
+                (1 << b)
+                for b in range(n_bits)
+                if sum(vq[j] * planes[t][b][j] for j in range(dim)) > 0
+            )
+            assert got[(i, t)] == want, (i, t)
+
+
+def test_lsh_portable_topk_recall_vs_brute_force(spark, sf_dir):
+    """The portable twin must remain a GOOD ANN, not just a replayable
+    one: recall vs exact brute force at the conformance SF (measured
+    0.88 at sf0.001 / 0.96 at sf0.01 with the default 16x4 geometry)."""
+    from pyspark.sql import functions as F
+
+    from aim357_2019_etl_and_ml_workshop_spark.operators.similarity import (
+        as_double_vec,
+        brute_force_topk,
+        lsh_portable_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", as_double_vec("embedding").alias("v")
+    )
+    q = emb.where(F.col("vec_id") % 50 == 0)
+    approx = {
+        (r.q_id, r.c_id) for r in lsh_portable_topk(emb, q, k=5).collect()
+    }
+    exact = {
+        (r.q_id, r.c_id) for r in brute_force_topk(emb, q, k=5).collect()
+    }
+    assert len(exact) > 0
+    assert len(approx & exact) / len(exact) >= 0.7
+
+
 def test_lsh_topk_recall_vs_brute_force(spark, sf_dir):
     emb = read_testdata(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_vec("embedding").alias("v")
