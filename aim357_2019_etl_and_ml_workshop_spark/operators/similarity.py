@@ -385,6 +385,25 @@ def lsh_portable_topk(
     cv = candidates.select(
         F.col(id_col).alias("c_id"), F.col(vec_col).alias("cv")
     )
+    return _rerank_pairs_rounded(pairs, queries, candidates, k, id_col, vec_col)
+
+
+def _rerank_pairs_rounded(
+    pairs: DataFrame,
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Exact cosine re-rank of an (q_id, c_id) candidate pair table under
+    the proven cross-engine policy (brute_force_topk's contract): per-pair
+    cosine rounded to 6, top-k per query by (sim DESC, c_id). Shared by
+    the portable ANN twins."""
+    qv = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"))
+    cv = candidates.select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("cv")
+    )
     pair_cos = _pair_cosine_udf()
     sims = (
         pairs.join(F.broadcast(qv), "q_id")
@@ -398,6 +417,84 @@ def lsh_portable_topk(
         ),
     )
     return ranked.where(F.col("rn") <= k).select("q_id", "c_id", "sim")
+
+
+def ivf_portable_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """IVF ANN whose every stage an independent SQL engine re-derives —
+    the inverted-file leg of the portable program (SimHash r6, MinHash +
+    LSH r11): centroids are the ``n_cells`` smallest-id candidate vectors
+    (a deterministic, SQL-replayable pick — the fitted-k-means IVF stays
+    the quality path via ivf_topk / ivf_state_recall_check), assignment
+    is ARGMIN of integer-exact squared distance over floor-quantized
+    vectors (associative int64 sums — no float argmin tie can diverge
+    between engines; ties broken by smallest centroid id, which both
+    numpy's first-occurrence argmin over id-sorted centroids and SQL's
+    ``ORDER BY d, cid`` row_number produce), queries probe their
+    ``n_probe`` nearest cells, and the candidate join re-ranks with the
+    round-6 + id-tiebreak exact cosine. Same plan shape as ivf_topk:
+    centroids broadcast in the kernel closure, shuffle on cell keys
+    only."""
+    crows = (
+        candidates.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(n_cells)
+        .collect()
+    )
+    cids = np.fromiter((r[0] for r in crows), dtype=np.int64, count=len(crows))
+    cint = np.stack(
+        [
+            np.floor(np.asarray(r[1], dtype=np.float64) * scale).astype(
+                np.int64
+            )
+            for r in crows
+        ]
+    )
+
+    def int_dists(vs: pd.Series) -> np.ndarray:
+        v = np.stack(vs.to_numpy())
+        vq = np.floor(v * scale).astype(np.int64)
+        # loop over the (few) centroids: exact int64, bounded memory
+        d = np.empty((len(vq), len(cids)), dtype=np.int64)
+        for c in range(len(cids)):
+            diff = vq - cint[c]
+            d[:, c] = np.einsum("ij,ij->i", diff, diff)
+        return d
+
+    @pandas_udf("bigint")
+    def cell_of(vs: pd.Series) -> pd.Series:
+        d = int_dists(vs)
+        # argmin first occurrence == smallest centroid id (cids sorted)
+        return pd.Series(cids[np.argmin(d, axis=1)])
+
+    @pandas_udf("array<bigint>")
+    def probe_cells(vs: pd.Series) -> pd.Series:
+        d = int_dists(vs)
+        order = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series(list(cids[order]))
+
+    assign = candidates.select(
+        F.col(id_col).alias("c_id"),
+        cell_of(F.col(vec_col)).alias("cell"),
+    )
+    probes = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.explode(probe_cells(F.col(vec_col))).alias("cell"),
+    )
+    pairs = (
+        probes.join(assign, "cell")
+        .where(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id")
+    )
+    return _rerank_pairs_rounded(pairs, queries, candidates, k, id_col, vec_col)
 
 
 def _pair_cosine_udf():

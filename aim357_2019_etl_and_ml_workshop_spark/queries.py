@@ -85,20 +85,21 @@ _DRIVER_PRIORITY = [
     # --- round-11 rotation (continuing VERDICT r02 #2's ledger): entering
     # r11 every pre-r11 registry key carries >= 2 lifetime verdicts with
     # zero failures; the four r10-new keys carry exactly one. The 50-slot
-    # sample: (a) the FOUR queries new this round — the portable-hash
+    # sample: (a) the FIVE queries new this round — the portable-hash
     # MinHash family (VERDICT r10 #1: minhash_portable_neardups is the
     # full-oracle flip of the registry's last big rows-only family,
     # minhash_portable_signatures pins the signature construction
-    # itself), lsh_portable_topk (the ANN leg of the same program:
-    # DuckDB replays integer hyperplanes, quantized sign bits, bucket
-    # joins, and the rounded re-rank), and zorder_optimize_lifecycle
+    # itself), lsh_portable_topk + ivf_portable_topk (the ANN legs of
+    # the same program: DuckDB replays integer hyperplanes/centroid
+    # distances, quantized sign bits/cell argmins, bucket/cell joins,
+    # and the rounded re-rank), and zorder_optimize_lifecycle
     # (VERDICT r10 #2+#4: the in-query OPTIMIZE ZORDER maintenance
     # story on the ACID table, rank-mapped coordinates included);
     # (b) the four r10-new single-verdict keys, sampled for their
-    # second lifetime verdict; (c) the 42 least-recently-verified keys
+    # second lifetime verdict; (c) the 41 least-recently-verified keys
     # (all last seen in r7) to fill 50. ---
     "minhash_portable_signatures", "minhash_portable_neardups",
-    "lsh_portable_topk", "zorder_optimize_lifecycle",
+    "lsh_portable_topk", "ivf_portable_topk", "zorder_optimize_lifecycle",
     # (b) r10-new keys, second verdict
     "bloom_state_overlap", "trigram_logprob_scores",
     "bloom_append_overlap", "zorder_key_probe",
@@ -121,7 +122,7 @@ _DRIVER_PRIORITY = [
     "simhash_portable_fingerprints", "simhash_portable_neardups",
     "small_quantity_revenue", "source_capped_sample",
     "tfidf_exact_features", "try_arithmetic_probe",
-    "unigram_logprob_scores", "ivf_recall_check", "lsh_recall_check",
+    "unigram_logprob_scores", "ivf_recall_check",
 ]
 
 
@@ -1753,14 +1754,84 @@ def multimodal_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_CENTROID_CACHE: dict = {}
 
 
+@register(
+    "ivf_portable_topk",
+    f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), ev AS (
+        SELECT vec_id,
+               list_transform(v, x -> CAST(floor(x * 1000000) AS BIGINT)) AS iv
+        FROM e
+    ), cent AS (
+        SELECT vec_id AS cid, iv AS civ FROM ev ORDER BY vec_id LIMIT 16
+    ), dist AS (
+        SELECT ev.vec_id, cent.cid,
+               list_sum(list_transform(generate_series(1, 64),
+                   j -> (ev.iv[j] - cent.civ[j])
+                        * (ev.iv[j] - cent.civ[j]))) AS d
+        FROM ev, cent
+    ), ranked_cells AS (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM dist
+    ), assign AS (
+        SELECT vec_id AS c_id, cid AS cell FROM ranked_cells WHERE rn = 1
+    ), probes AS (
+        SELECT vec_id AS q_id, cid AS cell FROM ranked_cells
+        WHERE rn <= 6
+          AND vec_id % {_ANN_STEP_SQL} = 0
+    ), cand AS (
+        SELECT p.q_id, a.c_id FROM probes p JOIN assign a ON a.cell = p.cell
+        WHERE a.c_id <> p.q_id
+    ), pr AS (
+        SELECT cand.q_id, cand.c_id,
+               round(list_dot_product(eq.v, ec.v)
+                     / (sqrt(list_dot_product(eq.v, eq.v))
+                        * sqrt(list_dot_product(ec.v, ec.v))), 6) AS sim
+        FROM cand
+        JOIN e eq ON eq.vec_id = cand.q_id
+        JOIN e ec ON ec.vec_id = cand.c_id
+    )
+    SELECT q_id, c_id, sim FROM (
+        SELECT q_id, c_id, sim,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY sim DESC, c_id) AS rn
+        FROM pr
+    ) WHERE rn <= 5
+    """,
+)
+def ivf_portable_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL IVF ANN pipeline under a full value oracle (r11 — the
+    inverted-file leg of the portable program, completing the ANN family
+    after lsh_portable_topk): centroids are the 16 smallest-id vectors
+    (deterministic, SQL-replayable — the fitted-k-means path stays the
+    quality twin), assignment/probing is integer-exact argmin of squared
+    distance over floor-quantized vectors (no float argmin tie can
+    diverge between engines; ties fall to the smallest centroid id in
+    both), queries probe 6 cells, and the re-rank rides the proven
+    round-6 + id-tiebreak cosine. DuckDB re-derives every distance, cell
+    assignment, probe set, candidate, and re-ranked sim."""
+    from .operators.similarity import as_double_vec, ivf_portable_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_vec("embedding").alias("v")
+    )
+    q = _ann_queries(emb)
+    return ivf_portable_topk(emb, q, k=5, n_cells=16, n_probe=6)
+
+
 @register("ivf_ann_topk")
 def ivf_ann_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) ANN: deterministic mini-KMeans cells + n_probe
     nearest-cell search + exact re-rank (rows-only: recall vs the
     brute-force exact twin embedding_cosine_topk asserted in tests and in
-    ivf_recall_check). Rows-only WAIVER: cell assignment depends on fitted
-    centroids, so the pair set is not SQL-predictable; the accuracy contract
-    is driver-checked via the oracle-backed ivf_recall_check twin. Centroids
+    ivf_recall_check). Rows-only WAIVER: cell assignment depends on FITTED
+    centroids, so the pair set is not SQL-predictable; the identical
+    pipeline over deterministic smallest-id centroids and integer-exact
+    assignment IS hash-exact verified as ivf_portable_topk (r11), and
+    this variant's accuracy contract is driver-checked via the
+    oracle-backed ivf_recall_check twin. Centroids
     are model state: fitted once per sf_dir on a seeded sample and memoized,
     so repeat invocations (bench loops, the conformance gate) pay only the
     assign pass + cell equi-join — the same fit-once-persist shape the

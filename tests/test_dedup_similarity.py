@@ -297,6 +297,85 @@ def test_lsh_portable_topk_recall_vs_brute_force(spark, sf_dir):
     assert len(approx & exact) / len(exact) >= 0.7
 
 
+def test_ivf_portable_assignment_matches_int_reference(spark):
+    """The portable IVF twin's load-bearing property (r11): cell
+    assignment and probe sets are INTEGER-exact argmins of quantized
+    squared distance, so a pure-python big-int reference must reproduce
+    them row-for-row, ties falling to the smallest centroid id in both
+    — the associativity that lets the DuckDB oracle replay cell
+    membership (float argmins can diverge between summation orders)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from aim357_2019_etl_and_ml_workshop_spark.operators.similarity import (
+        ivf_portable_topk,
+    )
+
+    dim, scale = 6, 1_000_000
+    vecs = [
+        (i, [math.cos(i * 7 + j) for j in range(dim)]) for i in range(30)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id bigint, v array<double>")
+    q = df.where(F.col("vec_id") % 5 == 0)
+    out = ivf_portable_topk(df, q, k=3, n_cells=4, n_probe=2, scale=scale)
+    got = {(r.q_id, r.c_id): r.sim for r in out.collect()}
+
+    # pure-python reference of the whole pipeline
+    vq = {i: [math.floor(x * scale) for x in v] for i, v in vecs}
+    cents = sorted(vq)[:4]
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(vq[a], vq[b]))
+
+    assign = {
+        i: min(cents, key=lambda c: (d2(i, c), c)) for i, _ in vecs
+    }
+    want = {}
+    texts = dict(vecs)
+    for qi in sorted(i for i, _ in vecs if i % 5 == 0):
+        probe = sorted(cents, key=lambda c: (d2(qi, c), c))[:2]
+        cand = [c for c, cell in assign.items() if cell in probe and c != qi]
+        sims = []
+        for c in cand:
+            num = sum(x * y for x, y in zip(texts[qi], texts[c]))
+            den = math.sqrt(sum(x * x for x in texts[qi])) * math.sqrt(
+                sum(x * x for x in texts[c])
+            )
+            sims.append((round(num / den, 6), c))
+        for sim, c in sorted(sims, key=lambda t: (-t[0], t[1]))[:3]:
+            want[(qi, c)] = sim
+    assert got == want
+
+
+def test_ivf_portable_topk_recall_vs_brute_force(spark, sf_dir):
+    """The portable IVF twin must remain a usable ANN: recall vs exact
+    brute force at the conformance SF (measured 0.72 at sf0.001 / 0.62
+    at sf0.01 with smallest-id centroids, 16 cells, 6 probes — the
+    fitted-k-means path stays the quality twin)."""
+    from pyspark.sql import functions as F
+
+    from aim357_2019_etl_and_ml_workshop_spark.operators.similarity import (
+        as_double_vec,
+        brute_force_topk,
+        ivf_portable_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", as_double_vec("embedding").alias("v")
+    )
+    q = emb.where(F.col("vec_id") % 50 == 0)
+    approx = {
+        (r.q_id, r.c_id)
+        for r in ivf_portable_topk(emb, q, k=5, n_probe=6).collect()
+    }
+    exact = {
+        (r.q_id, r.c_id) for r in brute_force_topk(emb, q, k=5).collect()
+    }
+    assert len(exact) > 0
+    assert len(approx & exact) / len(exact) >= 0.5
+
+
 def test_lsh_topk_recall_vs_brute_force(spark, sf_dir):
     emb = read_testdata(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_vec("embedding").alias("v")
