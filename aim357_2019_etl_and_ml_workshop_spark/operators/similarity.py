@@ -419,6 +419,57 @@ def _rerank_pairs_rounded(
     return ranked.where(F.col("rn") <= k).select("q_id", "c_id", "sim")
 
 
+def embedding_neardup_portable(
+    vecs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    threshold: float = 0.42,
+    n_tables: int = 16,
+    n_bits: int = 4,
+    scale: int = 1_000_000,
+    dim: int | None = None,
+) -> DataFrame:
+    """LSH-bucketed embedding near-dup whose candidates AND verdicts an
+    independent SQL engine replays (completes the portable program for
+    the embedding dedup family): integer hyperplane buckets
+    (_multi_table_buckets_int — engine-exact sign bits), ONE (table,
+    bucket) self equi-join with id_a < id_b, rounded-cosine >= threshold
+    verification (the round-6 quantization both engines apply before the
+    compare, so the boundary cannot straddle). Output (id_a, id_b, sim).
+    The Gaussian embedding_near_duplicates stays the hot path."""
+    if dim is None:
+        first = vecs.select(F.size(vec_col).alias("d")).first()
+        dim = int(first["d"])
+    planes = [
+        portable_hyperplanes_int(dim, n_bits, t) for t in range(n_tables)
+    ]
+    b = _multi_table_buckets_int(
+        vecs.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vv")),
+        "_vv",
+        planes,
+        scale,
+    ).select("_id", "table", "bucket")
+    a_side = b.select(F.col("_id").alias("id_a"), "table", "bucket")
+    b_side = b.select(F.col("_id").alias("id_b"), "table", "bucket")
+    pairs = (
+        a_side.join(b_side, ["table", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pair_cos = _pair_cosine_udf()
+    sims = (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a", "id_b", pair_cos(F.col("va"), F.col("vb")).alias("sim")
+        )
+    )
+    return sims.where(F.col("sim") >= threshold)
+
+
 def ivf_portable_topk(
     candidates: DataFrame,
     queries: DataFrame,

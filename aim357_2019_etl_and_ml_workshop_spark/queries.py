@@ -85,21 +85,23 @@ _DRIVER_PRIORITY = [
     # --- round-11 rotation (continuing VERDICT r02 #2's ledger): entering
     # r11 every pre-r11 registry key carries >= 2 lifetime verdicts with
     # zero failures; the four r10-new keys carry exactly one. The 50-slot
-    # sample: (a) the FIVE queries new this round — the portable-hash
+    # sample: (a) the SIX queries new this round — the portable-hash
     # MinHash family (VERDICT r10 #1: minhash_portable_neardups is the
     # full-oracle flip of the registry's last big rows-only family,
     # minhash_portable_signatures pins the signature construction
-    # itself), lsh_portable_topk + ivf_portable_topk (the ANN legs of
-    # the same program: DuckDB replays integer hyperplanes/centroid
+    # itself), lsh_portable_topk + ivf_portable_topk +
+    # embedding_neardup_portable (the ANN/embedding-dedup legs of the
+    # same program: DuckDB replays integer hyperplanes/centroid
     # distances, quantized sign bits/cell argmins, bucket/cell joins,
-    # and the rounded re-rank), and zorder_optimize_lifecycle
+    # and the rounded re-rank/verify), and zorder_optimize_lifecycle
     # (VERDICT r10 #2+#4: the in-query OPTIMIZE ZORDER maintenance
     # story on the ACID table, rank-mapped coordinates included);
     # (b) the four r10-new single-verdict keys, sampled for their
-    # second lifetime verdict; (c) the 41 least-recently-verified keys
+    # second lifetime verdict; (c) the 40 least-recently-verified keys
     # (all last seen in r7) to fill 50. ---
     "minhash_portable_signatures", "minhash_portable_neardups",
-    "lsh_portable_topk", "ivf_portable_topk", "zorder_optimize_lifecycle",
+    "lsh_portable_topk", "ivf_portable_topk",
+    "embedding_neardup_portable", "zorder_optimize_lifecycle",
     # (b) r10-new keys, second verdict
     "bloom_state_overlap", "trigram_logprob_scores",
     "bloom_append_overlap", "zorder_key_probe",
@@ -122,7 +124,7 @@ _DRIVER_PRIORITY = [
     "simhash_portable_fingerprints", "simhash_portable_neardups",
     "small_quantity_revenue", "source_capped_sample",
     "tfidf_exact_features", "try_arithmetic_probe",
-    "unigram_logprob_scores", "ivf_recall_check",
+    "unigram_logprob_scores",
 ]
 
 
@@ -2138,9 +2140,11 @@ def embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("embedding_neardup_lsh")
 def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed embedding near-dup — the unblocked scale path. Rows-only
-    WAIVER: hyperplane buckets aren't SQL-reproducible; its exact-oracle
-    twin is embedding_neardup_blocked (green oracle row), with recall vs
-    that exact pair set asserted in tests."""
+    WAIVER: GAUSSIAN hyperplane buckets aren't SQL-reproducible; the
+    identical bucketed pipeline over md5-derived integer hyperplanes IS
+    hash-exact verified as embedding_neardup_portable (r11), its
+    exact-oracle twin is embedding_neardup_blocked (green oracle row),
+    and recall vs that exact pair set is asserted in tests."""
     from .operators.dedup import embedding_near_duplicates
     from .operators.similarity import as_double_vec
 
@@ -2148,6 +2152,66 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", as_double_vec("embedding").alias("v")
     )
     return embedding_near_duplicates(e, "vec_id", "v", threshold=0.42)
+
+
+@register(
+    "embedding_neardup_portable",
+    """
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), ev AS (
+        SELECT vec_id,
+               list_transform(v, x -> CAST(floor(x * 1000000) AS BIGINT)) AS iv
+        FROM e
+    ), pl AS (
+        SELECT t.t, b.b, j.j,
+               (('0x' || substr(md5(CAST(t.t AS VARCHAR) || ':' ||
+                   CAST(b.b AS VARCHAR) || ':' || CAST(j.j - 1 AS VARCHAR)),
+                   1, 15))::BIGINT % 2001) - 1000 AS w
+        FROM (SELECT unnest(generate_series(0, 15)) AS t) t,
+             (SELECT unnest(generate_series(0, 3)) AS b) b,
+             (SELECT unnest(generate_series(1, 64)) AS j) j
+    ), dots AS (
+        SELECT ev.vec_id, pl.t, pl.b, sum(ev.iv[pl.j] * pl.w) AS dot
+        FROM ev, pl GROUP BY 1, 2, 3
+    ), bk AS (
+        SELECT vec_id, t AS tbl,
+               CAST(sum(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << b)
+                             ELSE 0 END) AS BIGINT) AS bucket
+        FROM dots GROUP BY 1, 2
+    ), cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket
+        WHERE a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, sim FROM (
+        SELECT cand.id_a, cand.id_b,
+               round(list_dot_product(ea.v, eb.v)
+                     / (sqrt(list_dot_product(ea.v, ea.v))
+                        * sqrt(list_dot_product(eb.v, eb.v))), 6) AS sim
+        FROM cand
+        JOIN e ea ON ea.vec_id = cand.id_a
+        JOIN e eb ON eb.vec_id = cand.id_b
+    ) WHERE sim >= 0.42
+    """,
+)
+def embedding_neardup_portable_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bucketed embedding near-dup under a full value oracle (r11 —
+    closing the last hash-bucket rows-only family): DuckDB replays the
+    integer hyperplanes, every quantized sign bit, the (table, bucket)
+    self-join candidates, and the rounded-cosine >= 0.42 verdicts — both
+    engines quantize to 6 decimals BEFORE the compare, so the threshold
+    boundary cannot straddle. The Gaussian embedding_neardup_lsh stays
+    the hot path; embedding_neardup_blocked remains the
+    blocking-independent exact ground truth."""
+    from .operators.similarity import as_double_vec, embedding_neardup_portable
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_vec("embedding").alias("v")
+    )
+    return embedding_neardup_portable(e, "vec_id", "v", threshold=0.42)
 
 
 @register(

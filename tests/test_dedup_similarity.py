@@ -376,6 +376,45 @@ def test_ivf_portable_topk_recall_vs_brute_force(spark, sf_dir):
     assert len(approx & exact) / len(exact) >= 0.5
 
 
+def test_embedding_neardup_portable_precision_and_recall(spark, sf_dir):
+    """The portable bucketed near-dup (r11): precision must be EXACTLY 1
+    against a numpy all-pairs ground truth (the rounded-cosine verify
+    kills every false bucket candidate — same quantization both sides),
+    and recall must stay high (measured 0.963 at sf0.001 with the 16x4
+    integer-plane geometry)."""
+    import numpy as np
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from aim357_2019_etl_and_ml_workshop_spark.operators.similarity import (
+        as_double_vec,
+        embedding_neardup_portable,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", as_double_vec("embedding").alias("v")
+    )
+    rows = emb.collect()
+    ids = np.array([r.vec_id for r in rows])
+    m = np.stack([np.array(r.v) for r in rows])
+    n = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = np.round(n @ n.T, 6)
+    exact = {
+        (int(ids[i]), int(ids[j]))
+        for i in range(len(ids))
+        for j in range(len(ids))
+        if ids[i] < ids[j] and sims[i, j] >= 0.42
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in embedding_neardup_portable(
+            emb, "vec_id", "v", threshold=0.42
+        ).collect()
+    }
+    assert len(exact) > 10
+    assert got <= exact  # precision 1: no false positive survives verify
+    assert len(got & exact) / len(exact) >= 0.8
+
+
 def test_lsh_topk_recall_vs_brute_force(spark, sf_dir):
     emb = read_testdata(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_vec("embedding").alias("v")
