@@ -119,6 +119,19 @@ EXCLUDE = {
             "conformance SFs; neardup_clusters_banded covers the scale path"
         ),
     },
+    "embedding_neardup_portable": {
+        "twins": ["embedding_neardup_lsh", "embedding_neardup_blocked"],
+        "reason": (
+            "conformance-geometry portable twin (r11): its 16x4 integer-"
+            "plane geometry is FIXED so the DuckDB oracle can replay it "
+            "literally, which at sf10 leaves ~12.5k-vector buckets whose "
+            "self-join emits ~10^10 candidate pairs — the scale knobs "
+            "live in the Gaussian twin embedding_neardup_lsh (tunable "
+            "bits/tables, runs here), and embedding_neardup_blocked "
+            "remains the blocking-independent exact ground truth. "
+            "Full-oracle at sf0.01/sf0.1 in the conformance gate"
+        ),
+    },
     "semantic_dedup_fitted": {
         "twins": ["semantic_dedup_tiled", "semantic_dedup_blocked"],
         "reason": (
