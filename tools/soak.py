@@ -120,7 +120,7 @@ EXCLUDE = {
         ),
     },
     "embedding_neardup_portable": {
-        "twins": ["embedding_neardup_lsh", "embedding_neardup_blocked"],
+        "twins": ["embedding_neardup_lsh"],
         "reason": (
             "conformance-geometry portable twin (r11): its 16x4 integer-"
             "plane geometry is FIXED so the DuckDB oracle can replay it "
