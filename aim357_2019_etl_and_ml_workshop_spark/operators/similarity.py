@@ -312,16 +312,31 @@ def _multi_table_buckets_int(
     oracle replay bucket membership exactly (float dots can flip a
     near-zero sign between summation orders). Overflow-safe by
     construction: |component| <= scale, |weight| <= 1000, dim <= 2^12
-    keeps |dot| < 2^52."""
+    keeps |dot| < 2^52 — and both preconditions are ENFORCED (ADVICE
+    r11): dim is asserted here, unit scale is checked per Arrow batch
+    (numpy int64 matmul would wrap silently on violation while DuckDB's
+    BIGINT widens/errors, silently diverging the bucket bits)."""
     planes_flat = np.array(
         [p for planes in all_planes_int for p in planes], dtype=np.int64
     )
+    if planes_flat.shape[1] > 4096:
+        raise ValueError(
+            f"portable buckets: dim {planes_flat.shape[1]} > 4096 breaks "
+            "the int64 overflow-safety bound (|dot| < 2^52)"
+        )
     n_tables, n_bits = len(all_planes_int), len(all_planes_int[0])
     weights = (1 << np.arange(n_bits)).astype(np.int64)
 
     @pandas_udf("array<bigint>")
     def buckets(vs: pd.Series) -> pd.Series:
         v = np.stack(vs.to_numpy())
+        amax = float(np.abs(v).max()) if v.size else 0.0
+        if amax > 1.0:
+            raise ValueError(
+                f"portable buckets require unit-scale components "
+                f"(|x| <= 1); got max |x| = {amax}. Normalize the "
+                "embedding first — int64 dots would overflow silently."
+            )
         vq = np.floor(v * scale).astype(np.int64)
         signs = (vq @ planes_flat.T) > 0  # exact: int64 matmul
         b = signs.reshape(len(vq), n_tables, n_bits) @ weights
@@ -347,8 +362,8 @@ def lsh_portable_topk(
     """Hyperplane-LSH top-k whose EVERY stage an independent SQL engine
     re-derives (the ANN mirror of minhash_portable_neardups): md5-derived
     integer hyperplanes, integer-exact bucket bits, (table, bucket)
-    equi-join candidates, exact cosine re-rank under the proven round-6
-    + id-tiebreak quantization policy (brute_force_topk's contract).
+    equi-join candidates, integer-exact quantized-cosine re-rank with id
+    tiebreak (quantized_cosine — bit-identical across engines, r12).
     Same plan shape as lsh_topk — query side tiny, candidate side one
     bucket explode, shuffle on bucket keys only; the gauss/xxhash
     variant stays the hot path (broadcast gathers, multiprobe, persisted
@@ -381,34 +396,77 @@ def lsh_portable_topk(
         .select("q_id", "c_id")
         .distinct()
     )
-    qv = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"))
-    cv = candidates.select(
-        F.col(id_col).alias("c_id"), F.col(vec_col).alias("cv")
+    return _rerank_pairs_quantized(
+        pairs, queries, candidates, k, id_col, vec_col, scale
     )
-    return _rerank_pairs_rounded(pairs, queries, candidates, k, id_col, vec_col)
 
 
-def _rerank_pairs_rounded(
+def _int_vec(col: Column, scale: int) -> Column:
+    """floor(x*scale) per component, bigint — the engine-portable vector
+    quantization every portable-twin stage shares (floor never round:
+    identical doubles floor identically in every IEEE engine)."""
+    return F.transform(
+        col, lambda x: F.floor(x * F.lit(float(scale))).cast("bigint")
+    )
+
+
+def _int_dot(a: Column, b: Column) -> Column:
+    """int64 dot of two quantized vectors — associative, so the JVM fold
+    equals DuckDB's list_sum regardless of order."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+
+def quantized_cosine(a: Column, b: Column, scale: int = 1_000_000) -> Column:
+    """Cross-engine EXACT cosine (r12, closes ADVICE r11 medium): both
+    vectors are floor(x*scale) int64-quantized, num/norms are exact
+    integer dots (< 2^53, so exactly double-representable), and the only
+    float ops are two correctly-rounded sqrts, one multiply, one divide,
+    one scale-multiply and a floor — every one deterministic IEEE-754 on
+    bit-identical inputs, so numpy, the JVM, and DuckDB produce THE SAME
+    double by construction. The previous policy (np.round half-even vs
+    DuckDB round half-away on independently-folded float cosines) could
+    flip a value within float noise of a 5e-7 boundary; floor-of-identical
+    -doubles cannot. DuckDB spells it
+    ``floor((dot/(sqrt(na2)*sqrt(nb2)))*1000000)/1000000`` over the same
+    ``iv`` lists."""
+    qa, qb = _int_vec(a, scale), _int_vec(b, scale)
+    num = _int_dot(qa, qb).cast("double")
+    den = F.sqrt(_int_dot(qa, qa).cast("double")) * F.sqrt(
+        _int_dot(qb, qb).cast("double")
+    )
+    s = F.lit(float(scale))
+    return F.floor((num / den) * s) / s
+
+
+def _rerank_pairs_quantized(
     pairs: DataFrame,
     queries: DataFrame,
     candidates: DataFrame,
     k: int,
     id_col: str,
     vec_col: str,
+    scale: int = 1_000_000,
 ) -> DataFrame:
-    """Exact cosine re-rank of an (q_id, c_id) candidate pair table under
-    the proven cross-engine policy (brute_force_topk's contract): per-pair
-    cosine rounded to 6, top-k per query by (sim DESC, c_id). Shared by
-    the portable ANN twins."""
+    """Re-rank of a (q_id, c_id) candidate pair table under the
+    integer-exact quantized cosine (see quantized_cosine) — top-k per
+    query by (sim DESC, c_id). Shared by the portable ANN twins; JVM-side
+    expressions only (no Python in the re-rank)."""
     qv = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"))
     cv = candidates.select(
         F.col(id_col).alias("c_id"), F.col(vec_col).alias("cv")
     )
-    pair_cos = _pair_cosine_udf()
     sims = (
         pairs.join(F.broadcast(qv), "q_id")
         .join(cv, "c_id")
-        .select("q_id", "c_id", pair_cos(F.col("qv"), F.col("cv")).alias("sim"))
+        .select(
+            "q_id",
+            "c_id",
+            quantized_cosine(F.col("qv"), F.col("cv"), scale).alias("sim"),
+        )
     )
     ranked = sims.withColumn(
         "rn",
@@ -433,10 +491,11 @@ def embedding_neardup_portable(
     independent SQL engine replays (completes the portable program for
     the embedding dedup family): integer hyperplane buckets
     (_multi_table_buckets_int — engine-exact sign bits), ONE (table,
-    bucket) self equi-join with id_a < id_b, rounded-cosine >= threshold
-    verification (the round-6 quantization both engines apply before the
-    compare, so the boundary cannot straddle). Output (id_a, id_b, sim).
-    The Gaussian embedding_near_duplicates stays the hot path."""
+    bucket) self equi-join with id_a < id_b, quantized-cosine >=
+    threshold verification (quantized_cosine is bit-identical across
+    engines by construction — r12, ADVICE r11 — so the boundary cannot
+    straddle). Output (id_a, id_b, sim). The Gaussian
+    embedding_near_duplicates stays the hot path."""
     if dim is None:
         first = vecs.select(F.size(vec_col).alias("d")).first()
         dim = int(first["d"])
@@ -459,12 +518,13 @@ def embedding_neardup_portable(
     )
     va = vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     vb = vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    pair_cos = _pair_cosine_udf()
     sims = (
         pairs.join(va, "id_a")
         .join(vb, "id_b")
         .select(
-            "id_a", "id_b", pair_cos(F.col("va"), F.col("vb")).alias("sim")
+            "id_a",
+            "id_b",
+            quantized_cosine(F.col("va"), F.col("vb"), scale).alias("sim"),
         )
     )
     return sims.where(F.col("sim") >= threshold)
@@ -491,9 +551,9 @@ def ivf_portable_topk(
     numpy's first-occurrence argmin over id-sorted centroids and SQL's
     ``ORDER BY d, cid`` row_number produce), queries probe their
     ``n_probe`` nearest cells, and the candidate join re-ranks with the
-    round-6 + id-tiebreak exact cosine. Same plan shape as ivf_topk:
-    centroids broadcast in the kernel closure, shuffle on cell keys
-    only."""
+    integer-exact quantized cosine + id tiebreak (quantized_cosine —
+    r12). Same plan shape as ivf_topk: centroids broadcast in the kernel
+    closure, shuffle on cell keys only."""
     crows = (
         candidates.select(id_col, vec_col)
         .orderBy(id_col)
@@ -545,7 +605,9 @@ def ivf_portable_topk(
         .where(F.col("q_id") != F.col("c_id"))
         .select("q_id", "c_id")
     )
-    return _rerank_pairs_rounded(pairs, queries, candidates, k, id_col, vec_col)
+    return _rerank_pairs_quantized(
+        pairs, queries, candidates, k, id_col, vec_col, scale
+    )
 
 
 def _pair_cosine_udf():

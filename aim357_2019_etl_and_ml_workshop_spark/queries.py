@@ -1303,7 +1303,8 @@ def lsh_ann_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                    1, 15))::BIGINT % 2001) - 1000 AS w
         FROM (SELECT unnest(generate_series(0, 15)) AS t) t,
              (SELECT unnest(generate_series(0, 3)) AS b) b,
-             (SELECT unnest(generate_series(1, 64)) AS j) j
+             (SELECT unnest(generate_series(1,
+                  (SELECT len(v) FROM e LIMIT 1))) AS j) j
     ), dots AS (
         SELECT ev.vec_id, pl.t, pl.b, sum(ev.iv[pl.j] * pl.w) AS dot
         FROM ev, pl GROUP BY 1, 2, 3
@@ -1319,12 +1320,19 @@ def lsh_ann_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND cb.vec_id <> qb.vec_id
     ), p AS (
         SELECT cand.q_id, cand.c_id,
-               round(list_dot_product(eq.v, ec.v)
-                     / (sqrt(list_dot_product(eq.v, eq.v))
-                        * sqrt(list_dot_product(ec.v, ec.v))), 6) AS sim
+               floor((CAST(list_sum(list_transform(
+                          generate_series(1, len(iq.iv)),
+                          j -> iq.iv[j] * ic.iv[j])) AS DOUBLE)
+                      / (sqrt(CAST(list_sum(list_transform(
+                             generate_series(1, len(iq.iv)),
+                             j -> iq.iv[j] * iq.iv[j])) AS DOUBLE))
+                         * sqrt(CAST(list_sum(list_transform(
+                               generate_series(1, len(ic.iv)),
+                               j -> ic.iv[j] * ic.iv[j])) AS DOUBLE))))
+                     * 1000000) / 1000000 AS sim
         FROM cand
-        JOIN e eq ON eq.vec_id = cand.q_id
-        JOIN e ec ON ec.vec_id = cand.c_id
+        JOIN ev iq ON iq.vec_id = cand.q_id
+        JOIN ev ic ON ic.vec_id = cand.c_id
     )
     SELECT q_id, c_id, sim FROM (
         SELECT q_id, c_id, sim,
@@ -1341,11 +1349,13 @@ def lsh_portable_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     hyperplane component, every quantized sign bit (floor(x*1e6) int64
     dots — associative, so bucket membership is engine-exact where float
     dots could flip a near-zero sign between summation orders), the
-    (table, bucket) candidate join, and the exact cosine re-rank under
-    brute_force_topk's proven round-6 + id-tiebreak policy. The Gaussian
-    lsh_topk stays the hot path (multiprobe, broadcast gathers, persisted
-    bucket state); this twin makes its pipeline SHAPE row-exact
-    verifiable."""
+    (table, bucket) candidate join, and the integer-exact quantized
+    cosine re-rank (r12 — quantized_cosine: exact int64 dots < 2^53 +
+    correctly-rounded sqrt/div/floor, so the sim double is bit-identical
+    across engines BY CONSTRUCTION, closing ADVICE r11's half-even vs
+    half-away rounding-boundary risk). The Gaussian lsh_topk stays the
+    hot path (multiprobe, broadcast gathers, persisted bucket state);
+    this twin makes its pipeline SHAPE row-exact verifiable."""
     from .operators.similarity import as_double_vec, lsh_portable_topk
 
     emb = _t(spark, sf_dir, "embeddings").select(
@@ -1769,7 +1779,7 @@ _IVF_CENTROID_CACHE: dict = {}
         SELECT vec_id AS cid, iv AS civ FROM ev ORDER BY vec_id LIMIT 16
     ), dist AS (
         SELECT ev.vec_id, cent.cid,
-               list_sum(list_transform(generate_series(1, 64),
+               list_sum(list_transform(generate_series(1, len(ev.iv)),
                    j -> (ev.iv[j] - cent.civ[j])
                         * (ev.iv[j] - cent.civ[j]))) AS d
         FROM ev, cent
@@ -1788,12 +1798,19 @@ _IVF_CENTROID_CACHE: dict = {}
         WHERE a.c_id <> p.q_id
     ), pr AS (
         SELECT cand.q_id, cand.c_id,
-               round(list_dot_product(eq.v, ec.v)
-                     / (sqrt(list_dot_product(eq.v, eq.v))
-                        * sqrt(list_dot_product(ec.v, ec.v))), 6) AS sim
+               floor((CAST(list_sum(list_transform(
+                          generate_series(1, len(iq.iv)),
+                          j -> iq.iv[j] * ic.iv[j])) AS DOUBLE)
+                      / (sqrt(CAST(list_sum(list_transform(
+                             generate_series(1, len(iq.iv)),
+                             j -> iq.iv[j] * iq.iv[j])) AS DOUBLE))
+                         * sqrt(CAST(list_sum(list_transform(
+                               generate_series(1, len(ic.iv)),
+                               j -> ic.iv[j] * ic.iv[j])) AS DOUBLE))))
+                     * 1000000) / 1000000 AS sim
         FROM cand
-        JOIN e eq ON eq.vec_id = cand.q_id
-        JOIN e ec ON ec.vec_id = cand.c_id
+        JOIN ev iq ON iq.vec_id = cand.q_id
+        JOIN ev ic ON ic.vec_id = cand.c_id
     )
     SELECT q_id, c_id, sim FROM (
         SELECT q_id, c_id, sim,
@@ -1811,9 +1828,11 @@ def ivf_portable_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality twin), assignment/probing is integer-exact argmin of squared
     distance over floor-quantized vectors (no float argmin tie can
     diverge between engines; ties fall to the smallest centroid id in
-    both), queries probe 6 cells, and the re-rank rides the proven
-    round-6 + id-tiebreak cosine. DuckDB re-derives every distance, cell
-    assignment, probe set, candidate, and re-ranked sim."""
+    both), queries probe 6 cells, and the re-rank rides the
+    integer-exact quantized cosine + id tiebreak (quantized_cosine,
+    r12 — bit-identical across engines by construction). DuckDB
+    re-derives every distance, cell assignment, probe set, candidate,
+    and re-ranked sim."""
     from .operators.similarity import as_double_vec, ivf_portable_topk
 
     emb = _t(spark, sf_dir, "embeddings").select(
@@ -2170,7 +2189,8 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                    1, 15))::BIGINT % 2001) - 1000 AS w
         FROM (SELECT unnest(generate_series(0, 15)) AS t) t,
              (SELECT unnest(generate_series(0, 3)) AS b) b,
-             (SELECT unnest(generate_series(1, 64)) AS j) j
+             (SELECT unnest(generate_series(1,
+                  (SELECT len(v) FROM e LIMIT 1))) AS j) j
     ), dots AS (
         SELECT ev.vec_id, pl.t, pl.b, sum(ev.iv[pl.j] * pl.w) AS dot
         FROM ev, pl GROUP BY 1, 2, 3
@@ -2186,12 +2206,19 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT id_a, id_b, sim FROM (
         SELECT cand.id_a, cand.id_b,
-               round(list_dot_product(ea.v, eb.v)
-                     / (sqrt(list_dot_product(ea.v, ea.v))
-                        * sqrt(list_dot_product(eb.v, eb.v))), 6) AS sim
+               floor((CAST(list_sum(list_transform(
+                          generate_series(1, len(ia.iv)),
+                          j -> ia.iv[j] * ib.iv[j])) AS DOUBLE)
+                      / (sqrt(CAST(list_sum(list_transform(
+                             generate_series(1, len(ia.iv)),
+                             j -> ia.iv[j] * ia.iv[j])) AS DOUBLE))
+                         * sqrt(CAST(list_sum(list_transform(
+                               generate_series(1, len(ib.iv)),
+                               j -> ib.iv[j] * ib.iv[j])) AS DOUBLE))))
+                     * 1000000) / 1000000 AS sim
         FROM cand
-        JOIN e ea ON ea.vec_id = cand.id_a
-        JOIN e eb ON eb.vec_id = cand.id_b
+        JOIN ev ia ON ia.vec_id = cand.id_a
+        JOIN ev ib ON ib.vec_id = cand.id_b
     ) WHERE sim >= 0.42
     """,
 )
@@ -2201,9 +2228,10 @@ def embedding_neardup_portable_query(
     """Bucketed embedding near-dup under a full value oracle (r11 —
     closing the last hash-bucket rows-only family): DuckDB replays the
     integer hyperplanes, every quantized sign bit, the (table, bucket)
-    self-join candidates, and the rounded-cosine >= 0.42 verdicts — both
-    engines quantize to 6 decimals BEFORE the compare, so the threshold
-    boundary cannot straddle. The Gaussian embedding_neardup_lsh stays
+    self-join candidates, and the quantized-cosine >= 0.42 verdicts —
+    the sim double is bit-identical across engines by construction
+    (quantized_cosine, r12), so the threshold boundary cannot straddle.
+    The Gaussian embedding_neardup_lsh stays
     the hot path; embedding_neardup_blocked remains the
     blocking-independent exact ground truth."""
     from .operators.similarity import as_double_vec, embedding_neardup_portable

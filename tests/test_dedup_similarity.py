@@ -332,17 +332,19 @@ def test_ivf_portable_assignment_matches_int_reference(spark):
         i: min(cents, key=lambda c: (d2(i, c), c)) for i, _ in vecs
     }
     want = {}
-    texts = dict(vecs)
     for qi in sorted(i for i, _ in vecs if i % 5 == 0):
         probe = sorted(cents, key=lambda c: (d2(qi, c), c))[:2]
         cand = [c for c, cell in assign.items() if cell in probe and c != qi]
         sims = []
         for c in cand:
-            num = sum(x * y for x, y in zip(texts[qi], texts[c]))
-            den = math.sqrt(sum(x * x for x in texts[qi])) * math.sqrt(
-                sum(x * x for x in texts[c])
+            # the r12 quantized-cosine contract: exact int dots over the
+            # SAME quantized vectors, floor-quantized sim (bit-identical
+            # across engines — see quantized_cosine)
+            num = sum(x * y for x, y in zip(vq[qi], vq[c]))
+            den = math.sqrt(sum(x * x for x in vq[qi])) * math.sqrt(
+                sum(x * x for x in vq[c])
             )
-            sims.append((round(num / den, 6), c))
+            sims.append((math.floor((num / den) * scale) / scale, c))
         for sim, c in sorted(sims, key=lambda t: (-t[0], t[1]))[:3]:
             want[(qi, c)] = sim
     assert got == want
