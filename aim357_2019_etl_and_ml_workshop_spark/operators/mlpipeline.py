@@ -185,11 +185,16 @@ def pack_sequences(
     strata_col: str = "lang",
     budget_tokens: int = 512,
     shard_size: int = 1000,
+    n_tok_col: str | None = None,
 ) -> DataFrame:
     """Greedy contiguous sequence packing for training export: documents are
-    packed into bins of ~``budget_tokens`` whitespace tokens, in
-    deterministic (stratum, shard, id) order — bin = floor(preceding
-    cumulative tokens / budget).
+    packed into bins of ~``budget_tokens`` tokens, in deterministic
+    (stratum, shard, id) order — bin = floor(preceding cumulative tokens
+    / budget). The budget unit defaults to whitespace tokens from
+    ``text_col``; pass ``n_tok_col`` to budget in a precomputed count —
+    the learned-BPE wiring (r12): feed ``bpe.bpe_encode_counts`` output
+    so bins are sized in actual tokenizer tokens, not regex
+    approximations (VERDICT r11 #1).
 
     Scale design: the running sum is windowed by (stratum, shard) where
     shard = id div ``shard_size``, so no partition exceeds ``shard_size``
@@ -199,11 +204,16 @@ def pack_sequences(
     practice."""
     from pyspark.sql import Window
 
+    n_tok = (
+        F.col(n_tok_col).cast("bigint")
+        if n_tok_col is not None
+        else F.size(F.split(F.col(text_col), " ")).cast("bigint")
+    )
     d = df.select(
         F.col(id_col),
         F.col(strata_col),
         F.floor(F.col(id_col) / shard_size).cast("bigint").alias("shard"),
-        F.size(F.split(F.col(text_col), " ")).cast("bigint").alias("n_tok"),
+        n_tok.alias("n_tok"),
     )
     w = (
         Window.partitionBy(strata_col, "shard")
