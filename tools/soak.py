@@ -27,6 +27,17 @@ evidence, execution order is a per-round deterministic permutation (no
 family is systematically first and thus systematically exposed to
 warm-up-window contention), and an untimed warm-up query absorbs
 JVM/codegen start-up.
+
+Self-adjudicating flags (r12, VERDICT r11 #4 — SOAK_r11's one flag,
+math_functions_probe 25.2 s in-sweep vs 3.6-4.4 s standalone, still
+needed a MANUAL standalone rerun to attribute): every superlinear flag
+is auto-rerun once in a FRESH session at the end of the sf10 sweep and
+carries both timings plus a machine verdict — 'session_pressure' when
+the fresh run lands back inside budget (an aged JVM manufactured the
+number, not the plan), 'superlinear_confirmed' when it does not. And
+the sweep recycles the session every SPARK_GRAFT_SOAK_RECYCLE timed
+queries (default 60) so a 170-query-old JVM can't manufacture flags in
+the first place.
 """
 
 from __future__ import annotations
@@ -308,9 +319,59 @@ def _drain_session_pressure(spark, done: int) -> None:
             pass  # py4j hiccup: hygiene only, never fail the sweep
 
 
+def adjudicate_flag(
+    fn, sf_dir: str, budget: float, session_factory=None
+) -> dict:
+    """Re-run one flagged query in a FRESH session and return the machine
+    verdict (r12, VERDICT r11 #4): the in-sweep number came from a
+    session that had executed up to ~180 prior queries; a fresh-JVM rerun
+    inside the same quiet box isolates plan cost from session aging.
+    'session_pressure' = the fresh run lands back inside the superlinear
+    budget (the flag was manufactured by the aged session);
+    'superlinear_confirmed' = it does not (a real plan defect)."""
+    factory = session_factory or (lambda: get_spark("soak-adjudicate"))
+    fresh = factory()
+    try:
+        snap = _load_snapshot()
+        t0 = time.perf_counter()
+        fn(fresh, sf_dir).write.format("noop").mode("overwrite").save()
+        sec = round(time.perf_counter() - t0, 2)
+        return {
+            "fresh_sf10_sec": sec,
+            "fresh_load": snap,
+            "verdict": (
+                "session_pressure" if sec <= budget
+                else "superlinear_confirmed"
+            ),
+        }
+    except Exception as exc:
+        return {
+            "fresh_err": f"{type(exc).__name__}: {exc}"[:300],
+            "verdict": "rerun_error",
+        }
+    finally:
+        try:
+            fresh.stop()
+        except Exception:
+            pass
+
+
+def _recycle_every() -> int:
+    return int(os.environ.get("SPARK_GRAFT_SOAK_RECYCLE", "60"))
+
+
 def run_suite(
-    spark, registry, sf_dir: str, sweep: str, order_salt: str = ""
+    spark,
+    registry,
+    sf_dir: str,
+    sweep: str,
+    order_salt: str = "",
+    session_factory=None,
+    recycle_every: int | None = None,
 ) -> tuple[dict, dict, dict, object]:
+    factory = session_factory or (lambda: get_spark("registry-soak"))
+    recycle = _recycle_every() if recycle_every is None else recycle_every
+    since_restart = 0
     times, errors, loads = _ckpt_load(sweep)
     if times or errors:
         print(
@@ -341,6 +402,17 @@ def run_suite(
                  "load": snap}
             )
             _drain_session_pressure(spark, len(times))
+            since_restart += 1
+            if recycle and since_restart >= recycle:
+                # periodic session recycle (r12, VERDICT r11 #4): bound
+                # how old the JVM serving any timed query can be, so
+                # session aging cannot manufacture superlinear flags
+                since_restart = 0
+                try:
+                    spark.stop()
+                except Exception:
+                    pass
+                spark = factory()
         except Exception as exc:  # record, restart the session, keep going
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             _ckpt_append({"sweep": sweep, "name": name, "err": errors[name]})
@@ -352,7 +424,8 @@ def run_suite(
                 spark.stop()
             except Exception:
                 pass
-            spark = get_spark("registry-soak")
+            spark = factory()
+            since_restart = 0
         print(
             f"  {name}: {times.get(name, 'ERROR')}s", file=sys.stderr, flush=True
         )
@@ -410,6 +483,18 @@ def main() -> None:
                 "load_sf10": l10.get(name),
             }
 
+    # self-adjudication (r12): every flag gets one fresh-session rerun at
+    # sf10 and a machine verdict, so the artifact arrives pre-attributed
+    if flags:
+        try:
+            spark.stop()
+        except Exception:
+            pass
+        for name in flags:
+            flags[name].update(
+                adjudicate_flag(registry[name], sf10_dir, flags[name]["budget"])
+            )
+
     out = {
         "round": round_no,
         "what": (
@@ -419,6 +504,7 @@ def main() -> None:
         ),
         "excluded": EXCLUDE,
         "exclusive_box_guard": {"sf1": guard1, "sf10": guard10},
+        "session_recycle_every": _recycle_every(),
         "sf1": {"dir": sf1_dir, "total_sec": round(sum(t1.values()), 1),
                 "queries": t1, "errors": e1, "loads": l1},
         "sf10": {"dir": sf10_dir, "total_sec": round(sum(t10.values()), 1),
