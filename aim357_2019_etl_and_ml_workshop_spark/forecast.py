@@ -131,6 +131,79 @@ class SeasonalQuantileForecaster:
         )
 
 
+class SeasonalMeanQuantileForecaster(SeasonalQuantileForecaster):
+    """The quality rung above seasonal-naive (r12, VERDICT r11 #6): same
+    contract, hyperparameter names, and applyInPandas shape as
+    SeasonalQuantileForecaster, but the point forecast is the SEASONAL
+    MEAN (average of the context's same-weekday observations — averaging
+    k same-season samples cuts base noise ~sqrt(k) where naive carries
+    one sample's noise whole) and the quantile spread comes from POOLED
+    residuals of that fit (every context day contributes, 7x the
+    residual sample the per-season split would give). Deterministic —
+    no RNG, no fitted weights — so the seasonal-naive model stays the
+    oracle path while this one is the quality path:
+    FORECAST_QUALITY.md backtest mean_wQL 0.0293 vs naive's 0.0375 and
+    the reference DeepAR's 0.0362 on its own data (target <= 0.0362 per
+    VERDICT r11 #6), better at every quantile, RMSE 33.5 vs 50.0.
+
+    Quantiles stay monotone by construction: one shared base plus
+    np.quantile of one residual sample at sorted q."""
+
+    def predict(
+        self,
+        df: DataFrame,
+        series_col: str,
+        ts_col: str,
+        value_col: str,
+    ) -> DataFrame:
+        season = self.season
+        horizon = self.prediction_length
+        context = max(self.context_length, 2 * season)
+        qs = self.quantiles
+
+        def forecast(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("_ts")
+            vals = pdf["_v"].to_numpy(dtype=float)
+            last_ts = pdf["_ts"].iloc[-1]
+            series = pdf["_series"].iloc[0]
+            n_total = len(vals)
+            hist = vals[-context:]
+            offset = n_total - len(hist)  # absolute-position alignment
+            overall = float(hist.mean())
+            by_season: dict[int, list[float]] = {}
+            for j, v in enumerate(hist):
+                by_season.setdefault((offset + j) % season, []).append(v)
+            smean = {
+                d: float(np.mean(xs)) for d, xs in by_season.items()
+            }
+            resid = np.array(
+                [
+                    v - smean[(offset + j) % season]
+                    for j, v in enumerate(hist)
+                ]
+            )
+            rq = {q: float(np.quantile(resid, q)) for q in qs}
+            rows = []
+            for h in range(1, horizon + 1):
+                base = smean.get((n_total + h - 1) % season, overall)
+                ts = last_ts + pd.Timedelta(days=h)
+                for q in qs:
+                    rows.append((series, ts, float(q), base + rq[q]))
+            return pd.DataFrame(
+                rows, columns=["series", "ts", "quantile", "value"]
+            )
+
+        prepared = df.select(
+            F.col(series_col).cast("string").alias("_series"),
+            F.col(ts_col).alias("_ts"),
+            F.col(value_col).cast("double").alias("_v"),
+        )
+        return prepared.groupBy("_series").applyInPandas(
+            forecast,
+            "series string, ts timestamp, quantile double, value double",
+        )
+
+
 def evaluate(
     predictions: DataFrame,
     actuals: DataFrame,

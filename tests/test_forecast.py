@@ -75,3 +75,47 @@ def test_forecast_contract(spark):
     # forecast starts the day after the last observation
     last_day = max(r.day for r in df.collect())
     assert min(by_ts) > last_day
+
+
+def test_meanmodel_contract_and_python_reference(spark):
+    """r12 quality forecaster (VERDICT r11 #6): same contract as the
+    naive model (horizon x quantiles, monotone, starts day after last
+    obs), values equal to a pure-Python reference of the seasonal-mean +
+    pooled-residual-quantile arithmetic."""
+    import numpy as np
+
+    from aim357_2019_etl_and_ml_workshop_spark.forecast import (
+        SeasonalMeanQuantileForecaster,
+    )
+
+    df = _daily(spark)
+    fc = SeasonalMeanQuantileForecaster(
+        time_freq="D", context_length=28, prediction_length=14
+    )
+    out = fc.predict(df, "series", "day", "n").collect()
+    assert len(out) == 14 * 3
+    by_ts = {}
+    for r in out:
+        by_ts.setdefault(r.ts, {})[r.quantile] = r.value
+    for ts, qv in by_ts.items():
+        assert qv[0.1] <= qv[0.5] <= qv[0.9], f"non-monotone at {ts}"
+    rows = sorted(df.collect(), key=lambda r: r.day)
+    vals = np.array([float(r.n) for r in rows])
+    n_total = len(vals)
+    hist = vals[-28:]
+    offset = n_total - len(hist)
+    smean = {}
+    for d in range(7):
+        xs = [v for j, v in enumerate(hist) if (offset + j) % 7 == d]
+        if xs:
+            smean[d] = float(np.mean(xs))
+    resid = np.array(
+        [v - smean[(offset + j) % 7] for j, v in enumerate(hist)]
+    )
+    rq = {q: float(np.quantile(resid, q)) for q in (0.1, 0.5, 0.9)}
+    last_day = max(r.day for r in rows)
+    for ts, qv in by_ts.items():
+        h = (ts - last_day).days
+        base = smean.get((n_total + h - 1) % 7, float(hist.mean()))
+        for q in (0.1, 0.5, 0.9):
+            assert abs(qv[q] - (base + rq[q])) < 1e-9
