@@ -82,6 +82,19 @@ def register(name: str, oracle: str | None = None):
 # round; everything else follows in registration order and remains covered
 # by the local gate. (VERDICT r02 "Next round" #2.)
 _DRIVER_PRIORITY = [
+    # --- round-12 rotation: (a) queries NEW this round — the learned-BPE
+    # tokenizer program (VERDICT r11 #1: bpe_train_merges pins the merge
+    # table itself under a DuckDB from-scratch training replay,
+    # bpe_encode_counts the per-doc learned-token counts,
+    # bpe_packed_sequences the pack_sequences(n_tok_col=) wiring) — more
+    # r12 keys appended as they land; (b) the six r11-new keys for their
+    # second lifetime verdict — lsh_portable_topk / ivf_portable_topk /
+    # embedding_neardup_portable ALSO carry r12 code changes (the
+    # quantized-cosine re-rank, ADVICE r11 medium) so their re-verdict is
+    # load-bearing; (c) least-recently-verified fill. ---
+    "bpe_train_merges", "bpe_encode_counts", "bpe_packed_sequences",
+    "manifest_delete_lifecycle", "multimodal_packed_sequences",
+    "forecast_quantiles_meanmodel",
     # --- round-11 rotation (continuing VERDICT r02 #2's ledger): entering
     # r11 every pre-r11 registry key carries >= 2 lifetime verdicts with
     # zero failures; the four r10-new keys carry exactly one. The 50-slot
@@ -1478,6 +1491,85 @@ def forecast_quantiles_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "forecast_quantiles_meanmodel",
+    """
+    WITH daily AS (
+        SELECT event_type AS series,
+               CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               CAST(count(*) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 2
+    ), idx AS (
+        SELECT series, day, v,
+               row_number() OVER (PARTITION BY series ORDER BY day) - 1 AS j,
+               count(*) OVER (PARTITION BY series) AS n_total,
+               max(day) OVER (PARTITION BY series) AS last_day
+        FROM daily
+    ), hist AS (
+        SELECT * FROM idx WHERE j >= n_total - 28
+    ), sm AS (
+        SELECT series, j % 7 AS dow, avg(v) AS m FROM hist GROUP BY 1, 2
+    ), resid AS (
+        SELECT h.series, h.v - sm.m AS r
+        FROM hist h JOIN sm ON sm.series = h.series AND sm.dow = h.j % 7
+    ), rq AS (
+        SELECT series,
+               quantile_cont(r, 0.1) AS r10,
+               quantile_cont(r, 0.5) AS r50,
+               quantile_cont(r, 0.9) AS r90
+        FROM resid GROUP BY 1
+    ), meta AS (
+        SELECT DISTINCT series, n_total, last_day FROM idx
+    ), hs AS (
+        SELECT unnest(generate_series(1, 14)) AS h
+    ), fc AS (
+        SELECT m.series,
+               CAST(m.last_day + hs.h * INTERVAL 1 DAY AS TIMESTAMP) AS ts,
+               sm.m AS base, rq.r10, rq.r50, rq.r90
+        FROM meta m
+        CROSS JOIN hs
+        JOIN sm ON sm.series = m.series
+           AND sm.dow = (m.n_total + hs.h - 1) % 7
+        JOIN rq ON rq.series = m.series
+    )
+    SELECT series, ts, 0.1 AS quantile, round(base + r10, 4) AS value FROM fc
+    UNION ALL
+    SELECT series, ts, 0.5 AS quantile, round(base + r50, 4) AS value FROM fc
+    UNION ALL
+    SELECT series, ts, 0.9 AS quantile, round(base + r90, 4) AS value FROM fc
+    """,
+)
+def forecast_quantiles_meanmodel_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The r12 QUALITY forecaster (VERDICT r11 #6 — seasonal-mean base +
+    pooled residual quantiles; FORECAST_QUALITY.md backtest mean_wQL
+    0.0293 vs naive 0.0375, reference DeepAR 0.0362) under a FULL exact
+    oracle: positions, per-weekday means over the 28-day context,
+    pooled residuals, quantile_cont == np.quantile('linear'), and the
+    position-aligned future bases are all re-derived in SQL (the oracle
+    replays positional weekday alignment via row_number, matching the
+    engine's offset arithmetic; the engine's missing-weekday fallback
+    never fires on a >= 2-season context). forecast_quantiles remains
+    the seasonal-naive oracle twin."""
+    from .forecast import SeasonalMeanQuantileForecaster
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("day", F.col("ts")).alias("day"), F.col("event_type")
+        )
+        .agg(_count(None))
+    )
+    fc = SeasonalMeanQuantileForecaster(
+        time_freq="D", context_length=28, prediction_length=14
+    )
+    out = fc.predict(daily, "event_type", "day", "n")
+    return out.select(
+        "series", "ts", "quantile", F.round("value", 4).alias("value")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Semi/anti joins, set ops, exact quantiles, moving windows
 # ---------------------------------------------------------------------------
@@ -1650,6 +1742,99 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = attach_multimodal(docs, "payload", "image/fake")
     decoded = decode_features(media)
     return decoded.select("content_hash", "width", "height", "n_frames")
+
+
+@register(
+    "multimodal_packed_sequences",
+    """
+    WITH b AS (
+        SELECT doc_id, lang, text, hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS blen
+        FROM documents
+    ), m AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_text_tok,
+               CAST(
+                 (((1 + (CASE WHEN blen < 1 THEN 0 ELSE
+                       (strpos('0123456789ABCDEF', substr(hx, 1, 1)) - 1) * 16
+                     + (strpos('0123456789ABCDEF', substr(hx, 2, 1)) - 1) END)
+                     % 64) + 15) // 16)
+                 * (((1 + (CASE WHEN blen < 2 THEN 0 ELSE
+                       (strpos('0123456789ABCDEF', substr(hx, 3, 1)) - 1) * 16
+                     + (strpos('0123456789ABCDEF', substr(hx, 4, 1)) - 1) END)
+                     % 64) + 15) // 16)
+                 * (1 + blen % 7) AS BIGINT) AS patch_tok
+        FROM b
+    ), d AS (
+        SELECT doc_id, lang,
+               CAST(floor(doc_id / 1000) AS BIGINT) AS shard,
+               n_text_tok, patch_tok, n_text_tok + patch_tok AS n_tok
+        FROM m
+    )
+    SELECT doc_id, lang, shard, n_text_tok, patch_tok, n_tok,
+           CAST(floor(
+               (sum(n_tok) OVER (
+                    PARTITION BY lang, shard ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) - n_tok) / 512.0
+           ) AS BIGINT) AS bin
+    FROM d
+    """,
+)
+def multimodal_packed_sequences_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Interleaved MULTIMODAL sequence packing (r12, VERDICT r11 #5 —
+    §2.12's missing next step after decode/dedup): per-item cost = text
+    tokens + ViT-style patch-token equivalents derived from the DECODED
+    metadata (patch_token_cost: ceil(w/16)*ceil(h/16)*n_frames, integer
+    arithmetic), one deterministic pack_sequences(n_tok_col=) packing
+    over the mixed costs. Decode runs once per DISTINCT payload
+    (split_payload_table indirection — payload bytes never shuffle) and
+    the typed metadata joins back on content_hash. The oracle replays
+    the decoded dims byte-exactly (hex(encode(text)) — the proven
+    multimodal_decode_meta trick), the patch/text costs, and the packing
+    window arithmetic."""
+    from .operators.multimodal import (
+        attach_multimodal,
+        decode_features,
+        multimodal_item_cost,
+        split_payload_table,
+    )
+    from .operators.mlpipeline import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("text"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    media = attach_multimodal(docs, "payload", "image/fake")
+    light, payloads = split_payload_table(media)
+    meta = decode_features(
+        payloads.withColumn("media_type", F.lit("image/fake"))
+    ).select("content_hash", "width", "height", "n_frames")
+    items = light.join(meta, "content_hash").select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.col("text"), " "))
+        .cast("bigint")
+        .alias("n_text_tok"),
+        multimodal_item_cost(
+            F.size(F.split(F.col("text"), " ")),
+            "width", "height", "n_frames", patch=16,
+        ).alias("n_tok"),
+    )
+    items = items.withColumn(
+        "patch_tok", (F.col("n_tok") - F.col("n_text_tok")).cast("bigint")
+    )
+    packed = pack_sequences(
+        items, "doc_id", "text", "lang",
+        budget_tokens=512, shard_size=1000, n_tok_col="n_tok",
+    )
+    return packed.join(
+        items.select("doc_id", "n_text_tok", "patch_tok"), "doc_id"
+    ).select(
+        "doc_id", "lang", "shard", "n_text_tok", "patch_tok", "n_tok", "bin"
+    )
 
 
 @register(
@@ -2257,6 +2442,106 @@ def bpe_token_count_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return _t(spark, sf_dir, "documents").select(
         "doc_id", bpe_token_count("text").alias("n_bpe")
+    )
+
+
+from .operators.bpe import bpe_encode_oracle_sql as _bpe_enc_sql
+from .operators.bpe import bpe_train_oracle_sql as _bpe_train_sql
+
+_BPE_MERGE_CACHE: dict = {}
+
+
+def _bpe_merges_for(spark: SparkSession, sf_dir: str, n_merges: int = 16):
+    """Train-once-per-(sf_dir, n) merge table shared by the BPE queries
+    (same pattern as _IVF_CENTROID_CACHE): the merge loop is
+    deterministic, so re-deriving it per query would only re-run the
+    word-count shuffle."""
+    key = (sf_dir, n_merges)
+    if key not in _BPE_MERGE_CACHE:
+        from .operators.bpe import train_bpe_merges
+
+        _BPE_MERGE_CACHE[key] = train_bpe_merges(
+            _t(spark, sf_dir, "documents"), "text", n_merges=n_merges
+        )
+    return _BPE_MERGE_CACHE[key]
+
+
+@register("bpe_train_merges", _bpe_train_sql(16))
+def bpe_train_merges_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEARNED byte-pair-encoding merge table under a FULL value oracle
+    (r12 — VERDICT r11 #1): the engine aggregates word-type counts
+    distributed (one shuffle) and runs the deterministic merge loop
+    (highest pair count, ties by (left, right) code-point order, greedy
+    left-to-right application); DuckDB re-derives all 16 merges from
+    scratch — per-step pair-count aggregations, the ORDER BY pick, and
+    merge application as a list_reduce string fold. Output one row per
+    merge: (merge_rank, l_sym, r_sym, merged, pair_count)."""
+    from .operators.bpe import merge_table_df
+
+    return merge_table_df(spark, _bpe_merges_for(spark, sf_dir, 16))
+
+
+@register("bpe_encode_counts", _bpe_enc_sql(16))
+def bpe_encode_counts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document LEARNED-BPE token counts under the corpus-trained
+    16-merge table — the token-accounting upgrade over the regex
+    bpe_token_count (r12): encode applies merges sequentially in rank
+    order (identical to the trainer's state updates, so train/encode
+    agreement holds by construction), distributed as encode-DISTINCT-
+    words + join + per-doc sum. The oracle replays training AND encodes
+    every doc by joining its words to the replayed final word states."""
+    from .operators.bpe import bpe_encode_counts
+
+    return bpe_encode_counts(
+        _t(spark, sf_dir, "documents"),
+        _bpe_merges_for(spark, sf_dir, 16),
+        "text",
+        "doc_id",
+    )
+
+
+@register(
+    "bpe_packed_sequences",
+    f"""
+    WITH enc0 AS ({_bpe_enc_sql(16)}),
+    d AS (
+        SELECT doc_id, lang,
+               CAST(floor(doc_id / 1000) AS BIGINT) AS shard,
+               (SELECT n_bpe FROM enc0 WHERE enc0.doc_id = documents.doc_id)
+                   AS n_tok
+        FROM documents
+    )
+    SELECT doc_id, lang, shard, n_tok,
+           CAST(floor(
+               (sum(n_tok) OVER (
+                    PARTITION BY lang, shard ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) - n_tok) / 512.0
+           ) AS BIGINT) AS bin
+    FROM d
+    """,
+)
+def bpe_packed_sequences_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing budgeted in LEARNED-BPE tokens (r12 — the
+    pack_sequences wiring VERDICT r11 #1 asked for): per-doc counts from
+    the corpus-trained merge table feed pack_sequences(n_tok_col=) so
+    bins are sized in actual tokenizer tokens; same deterministic
+    (lang, shard, doc_id) running-sum shape as sequence_packing."""
+    from .operators.bpe import bpe_encode_counts
+    from .operators.mlpipeline import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    counts = bpe_encode_counts(
+        docs, _bpe_merges_for(spark, sf_dir, 16), "text", "doc_id"
+    )
+    return pack_sequences(
+        docs.join(counts, "doc_id"),
+        "doc_id",
+        "text",
+        "lang",
+        budget_tokens=512,
+        shard_size=1000,
+        n_tok_col="n_bpe",
     )
 
 
@@ -7542,6 +7827,98 @@ def zorder_optimize_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows bigint, sum_user_id bigint, n_types bigint, "
         "compact_committed boolean, rows_preserved boolean, "
         "multi_file boolean, span_narrow_both boolean",
+    )
+
+
+@register(
+    "manifest_delete_lifecycle",
+    """
+    WITH thr AS (SELECT max(user_id) // 10 AS t FROM events)
+    SELECT CAST(count(*) AS BIGINT) AS n_rows_after,
+           CAST(sum(user_id) AS BIGINT) AS sum_user_after,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types_after,
+           (SELECT CAST(count(*) AS BIGINT) FROM events, thr
+            WHERE user_id < thr.t) AS n_deleted,
+           TRUE AS delete_committed,
+           TRUE AS pruned_rewrite,
+           TRUE AS feed_exact
+    FROM events, thr WHERE user_id >= thr.t
+    """,
+)
+def manifest_delete_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE + change data feed on the ACID table under the
+    driver gate (r12, VERDICT r11 #2 — the manifest mirror of
+    zorder_optimize_lifecycle): events land in a ManifestTable, OPTIMIZE
+    ZORDER lays them out with per-file min/max stats on (user_id,
+    event_id), then ``delete("user_id < max/10")`` rewrites — and the
+    returned row pins that the rewrite touched a strict SUBSET of the
+    committed files (stats-pruned copy-on-write: discovery pushes the
+    predicate into the parquet scan, so z-order layout decides which
+    files are even opened), that the commit was atomic, and that
+    ``changes_between(v_before, v_after)`` emits EXACTLY the deleted
+    keys as 'delete' rows (the O(delta) change feed reads only the
+    rewritten files and their replacements). Content aggregates are
+    re-derived by the oracle from raw events minus the predicate —
+    hash-match proves the delete removed precisely the predicate rows."""
+    import shutil
+    import tempfile
+
+    from .sources.manifest import ManifestTable
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    thr = int(ev.agg(F.max("user_id")).collect()[0][0]) // 10
+    root = tempfile.mkdtemp(prefix="delete_tbl_")
+    try:
+        t = ManifestTable.create(spark, root)
+        t.append(ev.where(F.col("event_id") % 2 == 0).repartition(4),
+                 "ingest", 0)
+        t.append(ev.where(F.col("event_id") % 2 != 0).repartition(4),
+                 "ingest", 1)
+        import os as _os
+
+        total = sum(
+            _os.path.getsize(_os.path.join(t.root, f))
+            for f in t._load(t.latest_version())["files"]
+        )
+        t.compact(
+            target_file_bytes=max(1, total // 16),
+            zorder_by=["user_id", "event_id"],
+            zorder_bits=8,
+        )
+        v_before = t.latest_version()
+        stats = t.delete(f"user_id < {thr}")
+        v_after = t.latest_version()
+        feed = (
+            t.changes_between(v_before, v_after, ["event_id"])
+            .groupBy("change_type")
+            .count()
+            .collect()
+        )
+        feed_counts = {r["change_type"]: r["count"] for r in feed}
+        agg = t.read().agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("user_id").alias("sum_user"),
+            F.countDistinct("event_type").alias("n_types"),
+        ).collect()[0]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                int(agg["n_rows"]),
+                int(agg["sum_user"]),
+                int(agg["n_types"]),
+                int(stats["rows_deleted"]),
+                bool(stats["committed"]) and v_after == v_before + 1,
+                0 < stats["files_rewritten"] < stats["files_total"],
+                feed_counts == {"delete": stats["rows_deleted"]},
+            )
+        ],
+        "n_rows_after bigint, sum_user_after bigint, n_types_after bigint, "
+        "n_deleted bigint, delete_committed boolean, pruned_rewrite boolean, "
+        "feed_exact boolean",
     )
 
 
