@@ -186,6 +186,7 @@ def pack_sequences(
     budget_tokens: int = 512,
     shard_size: int = 1000,
     n_tok_col: str | None = None,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Greedy contiguous sequence packing for training export: documents are
     packed into bins of ~``budget_tokens`` tokens, in deterministic
@@ -194,7 +195,11 @@ def pack_sequences(
     ``text_col``; pass ``n_tok_col`` to budget in a precomputed count —
     the learned-BPE wiring (r12): feed ``bpe.bpe_encode_counts`` output
     so bins are sized in actual tokenizer tokens, not regex
-    approximations (VERDICT r11 #1).
+    approximations (VERDICT r11 #1). ``carry_cols`` ride through the
+    packing projection unchanged, so a caller needing per-item
+    annotations next to the bin does NOT re-join (and thus re-execute)
+    its upstream subtree — load-bearing when the input embeds expensive
+    stages like the multimodal decode.
 
     Scale design: the running sum is windowed by (stratum, shard) where
     shard = id div ``shard_size``, so no partition exceeds ``shard_size``
@@ -209,11 +214,13 @@ def pack_sequences(
         if n_tok_col is not None
         else F.size(F.split(F.col(text_col), " ")).cast("bigint")
     )
+    carry = list(carry_cols or [])
     d = df.select(
         F.col(id_col),
         F.col(strata_col),
         F.floor(F.col(id_col) / shard_size).cast("bigint").alias("shard"),
         n_tok.alias("n_tok"),
+        *[F.col(c) for c in carry],
     )
     w = (
         Window.partitionBy(strata_col, "shard")
@@ -226,6 +233,7 @@ def pack_sequences(
         strata_col,
         "shard",
         "n_tok",
+        *carry,
         F.floor((cum - F.col("n_tok")) / budget_tokens)
         .cast("bigint")
         .alias("bin"),

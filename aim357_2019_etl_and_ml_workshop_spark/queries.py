@@ -1826,13 +1826,14 @@ def multimodal_packed_sequences_query(
     items = items.withColumn(
         "patch_tok", (F.col("n_tok") - F.col("n_text_tok")).cast("bigint")
     )
+    # carry_cols keeps the per-item annotations in the packing projection
+    # — a join-back would re-execute the decode subtree a second time
     packed = pack_sequences(
         items, "doc_id", "text", "lang",
         budget_tokens=512, shard_size=1000, n_tok_col="n_tok",
+        carry_cols=["n_text_tok", "patch_tok"],
     )
-    return packed.join(
-        items.select("doc_id", "n_text_tok", "patch_tok"), "doc_id"
-    ).select(
+    return packed.select(
         "doc_id", "lang", "shard", "n_text_tok", "patch_tok", "n_tok", "bin"
     )
 
