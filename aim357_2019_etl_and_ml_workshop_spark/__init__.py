@@ -29,6 +29,7 @@ import sys as _sys
 from . import forecast, pipeline, sql_surface
 from .operators import (
     analytics,
+    bpe,
     curation as curate,
     dedup,
     mlpipeline,
@@ -50,7 +51,7 @@ from .session import get_spark, pin_session_conf
 from .sources import io, manifest
 from .streaming import incremental, stateful, windows as stream_windows
 
-__version__ = "0.8.0"  # bumped per build round
+__version__ = "0.9.0"  # bumped per build round
 
 __all__ = [
     # session
@@ -69,6 +70,7 @@ __all__ = [
     "ann",
     "curate",
     "text",
+    "bpe",
     "mlpipeline",
     "multimodal",
     "analytics",

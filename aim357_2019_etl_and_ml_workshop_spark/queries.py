@@ -82,62 +82,53 @@ def register(name: str, oracle: str | None = None):
 # round; everything else follows in registration order and remains covered
 # by the local gate. (VERDICT r02 "Next round" #2.)
 _DRIVER_PRIORITY = [
-    # --- round-12 rotation: (a) queries NEW this round — the learned-BPE
-    # tokenizer program (VERDICT r11 #1: bpe_train_merges pins the merge
-    # table itself under a DuckDB from-scratch training replay,
+    # --- round-12 rotation (continuing VERDICT r02 #2's ledger): entering
+    # r12 every registry key carries a lifetime verdict, zero failures.
+    # The 50-slot sample: (a) the SIX queries NEW this round — the
+    # learned-BPE tokenizer program (VERDICT r11 #1: bpe_train_merges
+    # pins the merge table under a DuckDB from-scratch training replay,
     # bpe_encode_counts the per-doc learned-token counts,
-    # bpe_packed_sequences the pack_sequences(n_tok_col=) wiring) — more
-    # r12 keys appended as they land; (b) the six r11-new keys for their
-    # second lifetime verdict — lsh_portable_topk / ivf_portable_topk /
-    # embedding_neardup_portable ALSO carry r12 code changes (the
-    # quantized-cosine re-rank, ADVICE r11 medium) so their re-verdict is
-    # load-bearing; (c) least-recently-verified fill. ---
+    # bpe_packed_sequences the pack_sequences(n_tok_col=) wiring),
+    # manifest_delete_lifecycle (VERDICT r11 #2: stats-pruned row-level
+    # DELETE + O(delta) change feed on the ACID table),
+    # multimodal_packed_sequences (VERDICT r11 #5: interleaved text +
+    # patch-token packing), forecast_quantiles_meanmodel (VERDICT r11
+    # #6: the quality forecaster under a full oracle); (b) CHANGED-CODE
+    # re-verdicts: the three portable ANN twins moved to the r12
+    # quantized-cosine re-rank (ADVICE r11 medium — exact-by-construction
+    # replaces round-half policy), sequence_packing rides the
+    # pack_sequences signature change, multimodal_decode_meta /
+    # multimodal_curation_pipeline ride the PNG/patch-cost module edits;
+    # (c) r11-new keys for their second lifetime verdict; (d) the
+    # least-recently-verified fill (r8-era verdicts). ---
     "bpe_train_merges", "bpe_encode_counts", "bpe_packed_sequences",
     "manifest_delete_lifecycle", "multimodal_packed_sequences",
     "forecast_quantiles_meanmodel",
-    # --- round-11 rotation (continuing VERDICT r02 #2's ledger): entering
-    # r11 every pre-r11 registry key carries >= 2 lifetime verdicts with
-    # zero failures; the four r10-new keys carry exactly one. The 50-slot
-    # sample: (a) the SIX queries new this round — the portable-hash
-    # MinHash family (VERDICT r10 #1: minhash_portable_neardups is the
-    # full-oracle flip of the registry's last big rows-only family,
-    # minhash_portable_signatures pins the signature construction
-    # itself), lsh_portable_topk + ivf_portable_topk +
-    # embedding_neardup_portable (the ANN/embedding-dedup legs of the
-    # same program: DuckDB replays integer hyperplanes/centroid
-    # distances, quantized sign bits/cell argmins, bucket/cell joins,
-    # and the rounded re-rank/verify), and zorder_optimize_lifecycle
-    # (VERDICT r10 #2+#4: the in-query OPTIMIZE ZORDER maintenance
-    # story on the ACID table, rank-mapped coordinates included);
-    # (b) the four r10-new single-verdict keys, sampled for their
-    # second lifetime verdict; (c) the 40 least-recently-verified keys
-    # (all last seen in r7) to fill 50. ---
-    "minhash_portable_signatures", "minhash_portable_neardups",
+    # (b) changed-code re-verdicts
     "lsh_portable_topk", "ivf_portable_topk",
-    "embedding_neardup_portable", "zorder_optimize_lifecycle",
-    # (b) r10-new keys, second verdict
-    "bloom_state_overlap", "trigram_logprob_scores",
-    "bloom_append_overlap", "zorder_key_probe",
-    # (c) least-recently-verified fill (r7 era)
-    "approx_sketches", "argmax_latest_event", "array_functions_probe",
-    "bool_argmax_agg_probe", "bpe_token_count", "conditional_agg_filter",
-    "cube_counts", "curation_funnel", "date_arithmetic_probe",
-    "date_parts", "deterministic_stratified_docs",
-    "disjunctive_brand_revenue", "embedding_clusters_contract",
-    "embedding_neardup_lsh", "events_key_skew_report",
-    "exists_late_lineitems", "first_last_window_probe",
-    "fuzzy_brand_distance", "fuzzy_supplier_matches",
-    "having_active_users", "inclusive_range_count",
-    "incremental_exact_screen", "incremental_neardup_ingest",
-    "large_quantity_orders", "leakage_safe_split",
-    "local_supplier_volume", "multimodal_curation_pipeline",
-    "native_session_window_counts", "promo_revenue_pct",
-    "q16_supplier_part_counts", "q20_excess_shippers",
-    "q2_min_cost_supplier", "returned_item_losses",
-    "simhash_portable_fingerprints", "simhash_portable_neardups",
-    "small_quantity_revenue", "source_capped_sample",
-    "tfidf_exact_features", "try_arithmetic_probe",
-    "unigram_logprob_scores",
+    "embedding_neardup_portable", "sequence_packing",
+    "multimodal_decode_meta", "multimodal_curation_pipeline",
+    # (c) r11-new keys, second verdict
+    "minhash_portable_signatures", "minhash_portable_neardups",
+    "zorder_optimize_lifecycle",
+    # (d) least-recently-verified fill
+    "ivf_recall_check", "lsh_recall_check", "revenue_by_region",
+    "adaptive_quality_gate", "asof_join_tolerance",
+    "dsir_importance_weights", "embedding_clusters",
+    "embedding_neardup_blocked", "forecast_revenue_delta",
+    "map_functions_probe", "math_functions_probe",
+    "mixture_weights_by_source", "mode_event_type_per_user",
+    "money_scale_contract", "nation_pair_revenue",
+    "neardup_clusters_banded", "null_safe_join_counts",
+    "order_count_distribution", "orders_above_avg_price",
+    "orders_above_customer_avg", "parameterized_sql_probe",
+    "parse_timestamp_format", "part_revenue_concentration",
+    "pivot_multi_agg", "posexplode_tokens", "profile_orders",
+    "quality_expectations_orders", "regexp_functions_probe",
+    "repeated_ngram_spans", "rolling_hash_fingerprint",
+    "salted_join_revenue", "sentiment_scores",
+    "ship_delay_priority_counts", "sorted_sources_by_lang",
+    "stats_moments_by_flag",
 ]
 
 
