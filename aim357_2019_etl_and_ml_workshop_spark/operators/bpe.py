@@ -203,6 +203,63 @@ def bpe_encode_counts(
     )
 
 
+def bpe_encode_tokens(
+    df: DataFrame,
+    merges: list[tuple[int, str, str, str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document learned-BPE TOKEN STREAMS under a pinned merge table:
+    (id, tokens array<string>) in document word order — the training-
+    export companion to bpe_encode_counts (counts budget the packing;
+    streams are what a tokenizing exporter actually writes). Same scale
+    shape: distinct words encode once in an Arrow UDF, an equi-join
+    attaches the per-word token arrays, and an order-preserving
+    collect_list(struct(wpos, ...)) + sort + flatten rebuilds each doc's
+    stream (no window, one shuffle on the id). Docs with no words get
+    an empty array."""
+    merge_list = [(a, b, ab) for _, a, b, ab, _ in merges]
+
+    @pandas_udf("array<string>")
+    def toks_of(words: pd.Series) -> pd.Series:
+        def enc(w: str) -> list[str]:
+            syms = list(w)
+            for a, b, ab in merge_list:
+                syms = _apply_merge(syms, a, b, ab)
+            return syms
+
+        return words.map(enc)
+
+    words = df.select(
+        F.col(id_col),
+        F.posexplode_outer(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(WORD_PATTERN), F.lit(0)
+            )
+        ).alias("wpos", "w"),
+    )
+    wtok = (
+        words.where(F.col("w").isNotNull())
+        .select("w")
+        .distinct()
+        .select("w", toks_of(F.col("w")).alias("wtoks"))
+    )
+    joined = words.join(wtok, "w", "left").select(
+        id_col,
+        "wpos",
+        F.coalesce(F.col("wtoks"), F.array().cast("array<string>")).alias(
+            "wtoks"
+        ),
+    )
+    ordered = F.transform(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("wpos"), F.col("wtoks")))
+        ),
+        lambda s: s["wtoks"],
+    )
+    return joined.groupBy(id_col).agg(F.flatten(ordered).alias("tokens"))
+
+
 def encode_word_py(
     word: str, merges: list[tuple[int, str, str, str, int]]
 ) -> list[str]:
@@ -280,6 +337,33 @@ def bpe_train_oracle_sql(n_merges: int) -> str:
     SELECT CAST(merge_rank AS INTEGER) AS merge_rank, a AS l_sym, b AS r_sym,
            ab AS merged, c AS pair_count
     FROM ({union})
+    """
+
+
+def bpe_tokens_oracle_sql(n_merges: int) -> str:
+    """Token-STREAM oracle: encode every doc by joining its ordered
+    words to the replayed final states and flattening, emitted as a
+    ' '-joined string (a plain string column hashes identically across
+    engines; nested arrays would ride each engine's repr)."""
+    return f"""
+    WITH {bpe_base_ctes(n_merges)},
+    docw AS (
+        SELECT doc_id, arr[i] AS w, i AS wpos
+        FROM (SELECT doc_id, regexp_extract_all(lower(text),
+                  '{WORD_PATTERN}') AS arr
+              FROM documents),
+             LATERAL (SELECT unnest(generate_series(1, len(arr))) AS i) s
+    ), enc AS (
+        SELECT d.doc_id,
+               flatten(list(string_split(wn.s, ' ') ORDER BY d.wpos))
+                   AS toks
+        FROM docw d JOIN w{n_merges} wn ON wn.word = d.w
+        GROUP BY d.doc_id
+    )
+    SELECT doc_id,
+           coalesce(array_to_string(enc.toks, ' '), '') AS token_stream,
+           CAST(coalesce(len(enc.toks), 0) AS BIGINT) AS n_tokens
+    FROM documents LEFT JOIN enc USING (doc_id)
     """
 
 

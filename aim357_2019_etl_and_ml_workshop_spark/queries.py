@@ -102,6 +102,7 @@ _DRIVER_PRIORITY = [
     # (c) r11-new keys for their second lifetime verdict; (d) the
     # least-recently-verified fill (r8-era verdicts). ---
     "bpe_train_merges", "bpe_encode_counts", "bpe_packed_sequences",
+    "bpe_encode_tokens",
     "manifest_delete_lifecycle", "multimodal_packed_sequences",
     "forecast_quantiles_meanmodel",
     # (b) changed-code re-verdicts
@@ -128,7 +129,6 @@ _DRIVER_PRIORITY = [
     "repeated_ngram_spans", "rolling_hash_fingerprint",
     "salted_join_revenue", "sentiment_scores",
     "ship_delay_priority_counts", "sorted_sources_by_lang",
-    "stats_moments_by_flag",
 ]
 
 
@@ -2489,6 +2489,33 @@ def bpe_encode_counts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bpe_merges_for(spark, sf_dir, 16),
         "text",
         "doc_id",
+    )
+
+
+from .operators.bpe import bpe_tokens_oracle_sql as _bpe_toks_sql
+
+
+@register("bpe_encode_tokens", _bpe_toks_sql(16))
+def bpe_encode_tokens_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document learned-BPE TOKEN STREAMS (r12 — the training-export
+    companion to bpe_encode_counts): every doc's full token sequence in
+    word order, emitted as a ' '-joined string plus its length. The
+    oracle replays training to the final word states and rebuilds each
+    stream with an order-preserving list aggregation — hash-match
+    proves the engine's distinct-word-encode + positional reassembly
+    reproduces the exact token sequence, not just its count."""
+    from .operators.bpe import bpe_encode_tokens
+
+    toks = bpe_encode_tokens(
+        _t(spark, sf_dir, "documents"),
+        _bpe_merges_for(spark, sf_dir, 16),
+        "text",
+        "doc_id",
+    )
+    return toks.select(
+        "doc_id",
+        F.concat_ws(" ", F.col("tokens")).alias("token_stream"),
+        F.size("tokens").cast("bigint").alias("n_tokens"),
     )
 
 

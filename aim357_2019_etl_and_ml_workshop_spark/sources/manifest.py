@@ -455,6 +455,58 @@ class ManifestTable:
             key_cols,
         )
 
+    def restore(self, version: int, max_retries: int = 10) -> int:
+        """Roll the table back to ``version`` by committing a NEW version
+        whose file list and schema are the old snapshot's (the Delta
+        RESTORE shape, r12): history stays intact — the bad versions
+        remain time-travelable until vacuum — and readers flip
+        atomically. Data files are immutable and still on disk (vacuum
+        retention permitting), so restore moves no bytes. txn watermarks
+        are carried FORWARD from the current version, not the restored
+        one: exactly-once replay protection must survive a rollback, or
+        a restarted stream would double-apply every batch since
+        ``version``. Conflict-retried like append (restore targets a
+        version by NUMBER, so a concurrent commit doesn't invalidate
+        it). Returns the new version number."""
+        target = self._load(version)
+        for _ in range(max_retries):
+            cur_v = self.latest_version()
+            cur = self._load(cur_v)
+            try:
+                self._try_commit(
+                    cur_v + 1,
+                    files=list(target["files"]),
+                    txns=dict(cur.get("txns", {})),
+                    schema=target.get("schema"),
+                )
+                return cur_v + 1
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"restore lost {max_retries} commit races at {self.root}"
+        )
+
+    def history(self) -> list[dict]:
+        """The version log, oldest first: one dict per committed version
+        with version / n_files / txns / committed_at (DESCRIBE HISTORY).
+        Driver-side file-listing only — O(versions), no data read."""
+        latest = self.latest_version()
+        out = []
+        for v in range(0, (latest or 0) + 1):
+            path = self._version_path(v)
+            if not os.path.exists(path):
+                continue
+            m = self._load(v)
+            out.append(
+                {
+                    "version": v,
+                    "n_files": len(m.get("files", [])),
+                    "txns": dict(m.get("txns", {})),
+                    "committed_at": m.get("committed_at"),
+                }
+            )
+        return out
+
     # -- read path ----------------------------------------------------------
 
     def read(self, version: int | None = None) -> DataFrame:

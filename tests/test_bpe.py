@@ -207,3 +207,46 @@ def test_multimodal_packed_sequences_vs_python_reference(spark):
         for r in out
     }
     assert got == want
+
+
+def test_encode_tokens_match_python_reference(spark):
+    """r12 token streams: engine's distinct-word encode + positional
+    reassembly must reproduce each doc's exact token sequence."""
+    from aim357_2019_etl_and_ml_workshop_spark.operators.bpe import (
+        bpe_encode_tokens,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    pdf = _read_docs_pandas(sf)
+    merges = train_bpe_merges_py(_py_word_counts(pdf["text"]), 16)
+    pat = re.compile(WORD_PATTERN)
+    want = {
+        int(r.doc_id): [
+            tok
+            for w in pat.findall(r.text.lower())
+            for tok in encode_word_py(w, merges)
+        ]
+        for r in pdf.itertuples()
+    }
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    got = {
+        r["doc_id"]: list(r["tokens"])
+        for r in bpe_encode_tokens(docs, merges, "text", "doc_id").collect()
+    }
+    assert got == want
+
+
+def test_encode_tokens_empty_doc(spark):
+    from aim357_2019_etl_and_ml_workshop_spark.operators.bpe import (
+        bpe_encode_tokens,
+    )
+
+    merges = train_bpe_merges_py([("hi", 1)], 1)
+    df = spark.createDataFrame(
+        [(1, "hi hi yo"), (2, ""), (3, None)], "doc_id bigint, text string"
+    )
+    got = {
+        r["doc_id"]: list(r["tokens"])
+        for r in bpe_encode_tokens(df, merges, "text", "doc_id").collect()
+    }
+    assert got == {1: ["hi", "hi", "y", "o"], 2: [], 3: []}

@@ -624,3 +624,36 @@ def test_changes_between_reads_only_delta_files(spark, tmp_path):
     for f in base_files:
         assert os.path.basename(f) not in plan
     assert [r["k"] for r in feed.collect()] == [3]
+
+
+def test_restore_rolls_back_atomically_and_keeps_watermarks(spark, tmp_path):
+    """RESTORE (r12): rollback commits a NEW version with the old file
+    list; history stays time-travelable; txn watermarks carry FORWARD so
+    exactly-once replay protection survives the rollback."""
+    t = ManifestTable.create(spark, str(tmp_path / "tbl"))
+    t.append(_df(spark, [(1, "a")]), "ingest", 0)
+    v_good = t.latest_version()
+    t.append(_df(spark, [(2, "bad")]), "ingest", 1)
+    t.delete("k = 1")
+    assert _snap(t) == [(2, "bad")]
+    v_new = t.restore(v_good)
+    assert v_new == t.latest_version() and v_new > v_good
+    assert _snap(t) == [(1, "a")]
+    # bad versions still readable (time travel) until vacuum
+    assert sorted(
+        (r["k"], r["v"]) for r in t.read(version=v_new - 1).collect()
+    ) == [(2, "bad")]
+    # watermark survived the rollback: replaying batch 1 is still a no-op
+    assert t.append(_df(spark, [(2, "bad")]), "ingest", 1) is False
+    assert t.append(_df(spark, [(3, "c")]), "ingest", 2) is True
+
+
+def test_history_lists_versions(spark, tmp_path):
+    t = ManifestTable.create(spark, str(tmp_path / "tbl"))
+    t.append(_df(spark, [(1, "a")]).coalesce(1), "ingest", 0)
+    t.append(_df(spark, [(2, "b")]).coalesce(1), "ingest", 1)
+    h = t.history()
+    assert [e["version"] for e in h] == [0, 1, 2]
+    assert h[0]["n_files"] == 0 and h[2]["n_files"] == 2
+    assert h[2]["txns"] == {"ingest": 1}
+    assert all(e["committed_at"] for e in h)
