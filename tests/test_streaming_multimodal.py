@@ -563,13 +563,16 @@ def test_decode_features_real_bmp_decoder(spark):
 
 
 def _make_png(width, height, channels, pixels, row_filters,
-              color_type=None, plte=None, trns=None):
+              color_type=None, plte=None, trns=None, bit_depth=8):
     """Minimal in-test PNG encoder: applies the REQUESTED filter type per
     row (the spec's inverse of the decoder's unfiltering), so the decoder
     is exercised on every filter path with known ground-truth pixels.
     ``channels`` is the FILTER-PASS channel count (1 for gray and for
     palette indices, 2 gray+alpha, 3 RGB, 4 RGBA); pass ``color_type``
-    explicitly for gray/palette, plus PLTE/tRNS chunk bytes as needed."""
+    explicitly for gray/palette, plus PLTE/tRNS chunk bytes as needed.
+    At ``bit_depth=16`` pass ``pixels`` as a sequence of 16-bit sample
+    values — they are big-endian packed and the filters run on the BYTE
+    stream with a 2-bytes-per-sample left offset, per spec."""
     import struct
     import zlib
 
@@ -581,7 +584,12 @@ def _make_png(width, height, channels, pixels, row_filters,
 
     if color_type is None:
         color_type = 2 if channels == 3 else 6
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, bit_depth, color_type, 0, 0, 0
+    )
+    if bit_depth == 16:
+        pixels = b"".join(struct.pack(">H", v) for v in pixels)
+        channels = channels * 2  # filter pass works in bytes
     stride = width * channels
     raw = bytearray()
     for r in range(height):
@@ -670,11 +678,39 @@ def test_png_decoder_pixel_exact_all_filters(spark):
         return b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
 
     with _pytest.raises(NotImplementedError, match="bit depth"):
-        _png_decode_pixels(ihdr_png(16, 2, 0))
+        _png_decode_pixels(ihdr_png(4, 2, 0))  # sub-8-bit
+    with _pytest.raises(NotImplementedError, match="bit depth"):
+        _png_decode_pixels(ihdr_png(16, 3, 0))  # 16-bit palette (no spec)
     with _pytest.raises(NotImplementedError, match="interlaced"):
         _png_decode_pixels(ihdr_png(8, 2, 1))
     with _pytest.raises(ValueError, match="not a PNG"):
         _png_decode_pixels(b"BM not a png")
+
+
+def test_png_decoder_16bit_pixel_exact(spark):
+    """r12: the 16-bit gate is lifted for gray/RGB/alpha color types —
+    big-endian 16-bit samples decode value-exact across every filter
+    type (filters predict on BYTES with a 2-bytes-per-sample left
+    offset, the spec's one depth-dependent knob)."""
+    import random
+
+    from aim357_2019_etl_and_ml_workshop_spark.operators.multimodal import (
+        _png_decode_pixels,
+        png_stdlib_decoder,
+    )
+
+    rng = random.Random(11)
+    w, h = 5, 10
+    for ct, ch in ((0, 1), (2, 3), (4, 2), (6, 4)):
+        vals = [rng.randrange(65536) for _ in range(w * h * ch)]
+        payload = _make_png(w, h, ch, vals, [0, 1, 2, 3, 4],
+                            color_type=ct, bit_depth=16)
+        gw, gh, gc, got = _png_decode_pixels(payload)
+        assert (gw, gh, gc) == (w, h, ch)
+        assert list(got) == vals
+        meta = png_stdlib_decoder(payload)
+        assert meta["feature"][:2] == [float(ch), 16.0]
+        assert meta["feature"][2] == round(sum(vals) / len(vals), 3)
 
 
 def test_png_decoder_gray_and_palette_pixel_exact(spark):
