@@ -342,6 +342,13 @@ def _multi_table_buckets_int(
         b = signs.reshape(len(vq), n_tables, n_bits) @ weights
         return pd.Series(list(b))
 
+    # Nondeterministic marking is an optimizer barrier only (guide §4.4):
+    # the posexplode below implies an isnotnull/size filter on the UDF
+    # output, and Catalyst pushes that filter beneath the projection by
+    # DUPLICATING the ArrowEvalPython node — every vector paid the T*B
+    # matmul twice (plan-verified). The function itself stays a pure
+    # deterministic map.
+    buckets = buckets.asNondeterministic()
     return df.withColumn("_buckets", buckets(F.col(vec_col))).select(
         *[c for c in df.columns],
         F.posexplode(F.col("_buckets")).alias("table", "bucket"),
@@ -592,13 +599,22 @@ def ivf_portable_topk(
         order = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
         return pd.Series(list(cids[order]))
 
+    # Optimizer barriers (guide §4.4): the cell equi-join's implied
+    # isnotnull(cell) and the explode's implied size/not-null filter would
+    # otherwise be pushed below these projections by DUPLICATING the
+    # ArrowEvalPython nodes — both sides paid the integer distance matrix
+    # twice (plan-verified before r12). Pure functions; no result change.
+    cell_of = cell_of.asNondeterministic()
+    probe_cells = probe_cells.asNondeterministic()
     assign = candidates.select(
         F.col(id_col).alias("c_id"),
         cell_of(F.col(vec_col)).alias("cell"),
     )
-    probes = queries.select(
+    probes = queries.withColumn(
+        "_cells", probe_cells(F.col(vec_col))
+    ).select(
         F.col(id_col).alias("q_id"),
-        F.explode(probe_cells(F.col(vec_col))).alias("cell"),
+        F.explode(F.col("_cells")).alias("cell"),
     )
     pairs = (
         probes.join(assign, "cell")
@@ -958,6 +974,10 @@ def _multi_table_buckets(
         b = signs.reshape(len(v), n_tables, n_bits) @ weights  # (n, T)
         return pd.Series(list(b))
 
+    # Optimizer barrier (guide §4.4): the implied not-null/size filter of
+    # the posexplode otherwise duplicates the ArrowEvalPython node and the
+    # whole scan pays the T*B matmul twice (plan-verified before r12).
+    buckets = buckets.asNondeterministic()
     return df.withColumn("_buckets", buckets(F.col(vec_col))).select(
         *[c for c in df.columns],
         F.posexplode(F.col("_buckets")).alias("table", "bucket"),
@@ -1010,9 +1030,22 @@ def lsh_topk(
     default (k=4, L=16 -> ~0.89 recall, ~2/3 candidate fraction). Clustered
     real-world embeddings (neighbor cosine 0.7+) support k=10-16, L=8 with
     tiny candidate fractions; expose both knobs."""
+    # The query batch is collected anyway (qmap feeds the re-rank kernel);
+    # collect it FIRST and read dim off the first query vector — the
+    # previous ``first()`` probe on the candidate table was one extra
+    # driver job per invocation (guide §5: the driver should do no data
+    # work it doesn't need). Queries come from the same vector space, so
+    # the dimension is identical; empty query batches keep the probe.
+    qmap = {
+        int(r[0]): np.asarray(r[1], dtype=np.float64)
+        for r in queries.select(id_col, vec_col).collect()
+    }
     if dim is None:
-        first = candidates.select(F.size(vec_col).alias("d")).first()
-        dim = int(first["d"])
+        if qmap:
+            dim = int(next(iter(qmap.values())).shape[0])
+        else:
+            first = candidates.select(F.size(vec_col).alias("d")).first()
+            dim = int(first["d"])
     all_planes = [
         hyperplanes(dim, n_bits, seed + 1000 * t) for t in range(n_tables)
     ]
@@ -1033,21 +1066,24 @@ def lsh_topk(
     # Measured at sf10 (local[32], 13 splits): one task sat single-threaded
     # on ~10^8 emitted pairs for 30+ min while 31 cores idled. Trim the
     # exploded frame to bare (c_id, table, bucket) rows (~24 B each — the
-    # vectors are re-gathered after the dedup anyway) and round-robin it
-    # across the session's shuffle width: a cheap narrow-row shuffle that
-    # buys balanced, full-width pair generation regardless of input splits
-    # or bucket skew.
+    # vectors are re-gathered after the dedup anyway) and spread it across
+    # the session's shuffle width: a cheap narrow-row shuffle that buys
+    # balanced, full-width pair generation regardless of input splits or
+    # bucket skew. HASH-keyed on (c_id, table) — a unique pair per row, so
+    # the spread is as even as round-robin — rather than keyless
+    # round-robin, whose sort-before-repartition (SPARK-23207, guide §2.5)
+    # pays a full local sort of the exploded frame (T x |candidates| rows)
+    # purely for retry determinism; the hash key is deterministic from row
+    # content, so no sort is needed.
     try:
         n_out = int(
             candidates.sparkSession.conf.get("spark.sql.shuffle.partitions")
         )
     except (TypeError, ValueError):
         n_out = candidates.sparkSession.sparkContext.defaultParallelism
-    c = c.select("c_id", "table", "bucket").repartition(n_out)
-    qmap = {
-        int(r[0]): np.asarray(r[1], dtype=np.float64)
-        for r in queries.select(id_col, vec_col).collect()
-    }
+    c = c.select("c_id", "table", "bucket").repartition(
+        n_out, F.col("c_id"), F.col("table")
+    )
     q = _multi_table_buckets(
         queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv")),
         "qv",
@@ -1173,7 +1209,11 @@ def _assign_cells(df: DataFrame, vec_col: str, cents: list[list[float]]) -> Data
         d = ((v[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
         return pd.Series(d.argmin(axis=1).astype("int32"))
 
-    return df.withColumn("cell", assign(F.col(vec_col)))
+    # Optimizer barrier (guide §4.4): the downstream cell equi-join implies
+    # isnotnull(cell); pushing that filter duplicated the ArrowEvalPython
+    # node, so every candidate vector paid the distance matrix twice
+    # (plan-verified before r12). Pure function; marking changes no result.
+    return df.withColumn("cell", assign.asNondeterministic()(F.col(vec_col)))
 
 
 def ivf_topk(
