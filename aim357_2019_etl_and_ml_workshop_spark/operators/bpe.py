@@ -58,6 +58,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from ..sources.io import local_df
+
 # Lowercased letter/digit/other runs; whitespace excluded so the ' '
 # symbol separator can never appear inside a symbol. Kept to constructs
 # Java regex, RE2 (DuckDB) and Python `re` interpret identically.
@@ -219,7 +221,7 @@ def train_bpe_merges(
 def merge_table_df(
     spark: SparkSession, merges: list[tuple[int, str, str, str, int]]
 ) -> DataFrame:
-    return spark.createDataFrame(merges, MERGE_SCHEMA)
+    return local_df(spark, merges, MERGE_SCHEMA)
 
 
 def bpe_encode_counts(

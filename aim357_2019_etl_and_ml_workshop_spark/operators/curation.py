@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .dedup import normalize_text, simhash_near_duplicates
+from ..sources.io import local_df
 from .textanalysis import redact_pii
 
 
@@ -176,7 +177,7 @@ def curate_corpus(
     n_decontam = decontam.count()
     n_packs = curated.select(lang_col, "shard", "bin").distinct().count()
     spark: SparkSession = docs.sparkSession
-    funnel = spark.createDataFrame(
+    funnel = local_df(spark, 
         [
             (0, "input", o_input.get["n"]),
             (1, "quality", o_quality.get["n"]),

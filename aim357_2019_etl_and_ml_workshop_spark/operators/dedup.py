@@ -1100,29 +1100,18 @@ def connected_components(
     compress through one self-join — O(log(diameter)) rounds; each round is
     one join + one groupBy on the edge list, lineage truncated per round.
     Both paths produce the identical (id, min-reachable-id) result."""
-    # both edge directions from ONE pass over the pair list (a union of two
-    # selects would execute the pairs subtree twice before the cache)
-    edges = (
-        pairs.select(
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.col(a_col).alias("u"), F.col(b_col).alias("v")
-                    ),
-                    F.struct(
-                        F.col(b_col).alias("u"), F.col(a_col).alias("v")
-                    ),
-                )
-            ).alias("e")
-        )
-        .select("e.u", "e.v")
-        .distinct()
-        .cache()
-    )
-    n_edges = edges.count()  # also materializes the cache for either path
-    if n_edges <= small_graph_threshold:
+    # The undirected pair list is cached ONCE and drives both paths; the
+    # directed edge expansion (explode both directions + distinct) is built
+    # lazily from it only for the distributed path — union-find needs
+    # neither the doubling nor the dedup shuffle (duplicate pairs union to
+    # the same root), so the small-graph path collects the raw pairs as-is
+    # (guide §2.4: a distinct on an already-unique near-dup pair list was a
+    # pure extra exchange, and the explode doubled the collect bytes).
+    und = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v")).cache()
+    n_pairs = und.count()  # also materializes the cache for either path
+    if 2 * n_pairs <= small_graph_threshold:
         # Bounded driver-side union-find (path compression + union by min):
-        # one collect of the counted edge list, no per-round shuffles.
+        # one collect of the counted pair list, no per-round shuffles.
         parent: dict = {}
 
         def find(x):
@@ -1133,7 +1122,7 @@ def connected_components(
                 parent[x], x = root, parent[x]
             return root
 
-        for r in edges.select("u", "v").collect():
+        for r in und.collect():
             u, v = r["u"], r["v"]
             parent.setdefault(u, u)
             parent.setdefault(v, v)
@@ -1144,9 +1133,29 @@ def connected_components(
         rows = [(x, find(x)) for x in parent]
         spark = pairs.sparkSession
         id_type = dict(pairs.dtypes)[a_col]
-        edges.unpersist(blocking=False)  # result is driver-local; the
-        # edge cache has no further consumer
-        return spark.createDataFrame(rows, f"id {id_type}, comp {id_type}")
+        und.unpersist(blocking=False)  # result is driver-local; the
+        # pair cache has no further consumer
+        from ..sources.io import local_df
+
+        return local_df(spark, rows, f"id {id_type}, comp {id_type}")
+    # Distributed path: NOW build the directed edge list — explode both
+    # directions from the cached pair list and dedup once, since every
+    # propagation round re-joins it.
+    edges = (
+        und.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u"), F.col("v")),
+                    F.struct(
+                        F.col("v").alias("u"), F.col("u").alias("v")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+        .distinct()
+        .cache()
+    )
     labels = (
         edges.select(F.col("u").alias("id"))
         .distinct()
@@ -1196,7 +1205,8 @@ def connected_components(
         if changed == 0:
             break
     edges.unpersist(blocking=False)  # labels are localCheckpoint-
-    # materialized; the edge cache has no further consumer
+    # materialized; the edge/pair caches have no further consumer
+    und.unpersist(blocking=False)
     return labels.select("id", "comp")
 
 

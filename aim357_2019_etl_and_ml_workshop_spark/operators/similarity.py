@@ -26,6 +26,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 from pyspark.sql.functions import pandas_udf
 
+from ..sources.io import local_df
+
 
 import threading
 
@@ -817,7 +819,7 @@ def _tiled_matmul_pairs(
                     }
                 )
 
-    tiles = spark.createDataFrame(pairs, "ti int, tj int")
+    tiles = local_df(spark, pairs, "ti int, tj int")
     n_slices = min(len(pairs), spark.sparkContext.defaultParallelism * 2)
     if n_slices > 1:  # a 1-tile input would repartition to SinglePartition
         tiles = tiles.repartition(n_slices)
@@ -1257,8 +1259,8 @@ def ivf_topk(
         d = ((qmap[qid][None, :] - C) ** 2).sum(axis=1)
         for cell in np.argsort(d, kind="stable")[:n_probe]:
             probe_rows.append((qid, int(cell)))
-    q = candidates.sparkSession.createDataFrame(
-        probe_rows, "q_id bigint, cell int"
+    q = local_df(
+        candidates.sparkSession, probe_rows, "q_id bigint, cell int"
     )
     pairs = c.join(F.broadcast(q), "cell").where(F.col("c_id") != F.col("q_id"))
     # (q, c) is unique by construction (disjoint cells, distinct probes);
@@ -1297,7 +1299,8 @@ def ivf_centroid_state(
         vectors, vec_col, n_centroids, n_iters, id_col,
         sample_rows=sample_rows,
     )
-    return vectors.sparkSession.createDataFrame(
+    return local_df(
+        vectors.sparkSession,
         [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
         "cell int, centroid array<double>",
     )
@@ -1369,8 +1372,8 @@ def ivf_topk_from_state(
         d = ((qmap[qid][None, :] - C) ** 2).sum(axis=1)
         for cell in np.argsort(d, kind="stable")[:n_probe]:
             probe_rows.append((qid, int(cell)))
-    q = assignments.sparkSession.createDataFrame(
-        probe_rows, "q_id bigint, cell int"
+    q = local_df(
+        assignments.sparkSession, probe_rows, "q_id bigint, cell int"
     )
     pairs = assignments.join(F.broadcast(q), "cell").where(
         F.col("c_id") != F.col("q_id")

@@ -9,6 +9,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import normalize_text
+from ..sources.io import local_df
 
 # Per-language stopword mini-lexicons for the heuristic classifier. The
 # CASE-chain tie-break (priority order en>de>es>fr>zh) is deterministic and
@@ -188,7 +189,8 @@ def sentiment_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     docs with no lexicon hits score 0). The lexicon is a broadcast dim —
     the fact side shuffles only for the per-doc aggregate."""
     spark = df.sparkSession
-    lex = spark.createDataFrame(
+    lex = local_df(
+        spark,
         [(w, p) for w, p in sorted(SENTIMENT_LEXICON.items())],
         "tok string, polarity int",
     )

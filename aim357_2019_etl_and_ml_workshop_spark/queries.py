@@ -39,7 +39,12 @@ from .operators.timeseries import (
     with_epoch,
 )
 from .session import pin_session_conf
-from .sources.io import read_events_ts_range, read_testdata, spread_for_cpu
+from .sources.io import (
+    local_df,
+    read_events_ts_range,
+    read_testdata,
+    spread_for_cpu,
+)
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
@@ -3069,7 +3074,7 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.catalog.dropTempView(qname)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(stream_dir, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
 
 
 @register(
@@ -4418,7 +4423,7 @@ def lsh_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         exact.unpersist(blocking=False)
         approx.unpersist(blocking=False)
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(n_queries, 5, hits / total >= 0.9)],
         "n_queries bigint, k int, recall_ge_09 boolean",
     )
@@ -4447,7 +4452,7 @@ def ivf_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         exact.unpersist(blocking=False)
         approx.unpersist(blocking=False)
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(n_queries, 5, hits / total >= 0.7)],
         "n_queries bigint, k int, recall_ge_07 boolean",
     )
@@ -4509,7 +4514,7 @@ def minhash_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         hits_hi = approx.join(exact_hi, ["doc_a", "doc_b"]).count()
     finally:
         exact.unpersist(blocking=False)
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(n_exact, n_hi, hits_all == n_approx, hits_hi / max(n_hi, 1) >= 0.9)],
         "n_exact_pairs bigint, n_exact_hi_pairs bigint, "
         "subset_of_exact boolean, hi_recall_ge_09 boolean",
@@ -4546,7 +4551,7 @@ def stratified_sample_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         realized = smp.get(lang, 0) / tot[lang]
         tol = 0.2 if fracs[lang] < 1.0 else 0.0
         rows.append((lang, tot[lang], abs(realized - fracs[lang]) <= tol))
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "lang string, n_total bigint, frac_ok boolean"
     )
 
@@ -4574,7 +4579,7 @@ def embedding_clusters_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     n_points = sum(r["n"] for r in sizes)
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(n_points, len(sizes) <= 8)], "n_points bigint, k_le_8 boolean"
     )
 
@@ -7443,7 +7448,7 @@ def semantic_dedup_fitted(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         tiled.unpersist(blocking=False)
         with_cells.unpersist(blocking=False)
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(n_points, n_verdicts, n_cells <= 8, mism, mism == 0)],
         "n_points bigint, n_verdicts bigint, cells_le_k boolean, "
         "n_mismatched bigint, tiled_eq_joined boolean",
@@ -7484,7 +7489,7 @@ def ivf_state_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # model state, materialized to a (cell, centroid) table
     derived = ivf_ann_topk_query(spark, sf_dir).persist()
     cents = _IVF_CENTROID_CACHE[(sf_dir, 16)]
-    centroid_state = spark.createDataFrame(
+    centroid_state = local_df(spark, 
         [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
         "cell int, centroid array<double>",
     )
@@ -7512,7 +7517,7 @@ def ivf_state_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact.unpersist(blocking=False)
         via_state.unpersist(blocking=False)
         derived.unpersist(blocking=False)
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(n_queries, 5, mism, mism == 0, hits / total >= 0.7)],
         "n_queries bigint, k int, n_mismatched bigint, "
         "state_eq_derived boolean, recall_ge_07 boolean",
@@ -7656,7 +7661,7 @@ def bloom_state_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             via_state.unpersist(blocking=False)
     finally:
         shutil.rmtree(state_dir, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         [
             (
                 int(agg["n_docs"]),
@@ -7851,7 +7856,7 @@ def zorder_optimize_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             (r[hi_k] - r[lo_k]) / (hi - lo) for r in per_file
         ) / len(per_file)
 
-    return spark.createDataFrame(
+    return local_df(spark, 
         [
             (
                 int(agg["n_rows"]),
@@ -7943,7 +7948,7 @@ def manifest_delete_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).collect()[0]
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         [
             (
                 int(agg["n_rows"]),
@@ -8044,7 +8049,7 @@ def bloom_append_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).collect()[0]
     finally:
         via_appended.unpersist(blocking=False)
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(int(agg["n_docs"]), int(agg["total_overlap"]), mism, mism == 0)],
         "n_docs bigint, total_overlap bigint, n_mismatched bigint, "
         "appended_eq_oneshot boolean",
