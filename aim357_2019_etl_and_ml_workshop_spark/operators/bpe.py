@@ -235,6 +235,8 @@ def bpe_encode_counts(
     once each in an Arrow UDF, merge list in the closure), then an
     equi-join attaches counts and a groupBy sums per doc — docs with no
     words keep n_bpe = 0 via explode_outer + coalesce."""
+    from ..sources.io import spread_for_cpu
+
     merge_list = [(a, b, ab) for _, a, b, ab, _ in merges]
 
     @pandas_udf("bigint")
@@ -251,7 +253,12 @@ def bpe_encode_counts(
 
         return words.map(enc)
 
-    words = df.select(
+    # corpus entry point spread to core count (no-op once the scan has
+    # enough splits — exploded_shingles' posture): the regex word explode
+    # and the count-attach join probe otherwise run on the documents
+    # file's 1-2 row-group splits (r12 interleaved A/B at sf1:
+    # 2.50 -> 1.90 s); doc-sized rows move, not exploded words
+    words = spread_for_cpu(df.select(id_col, text_col)).select(
         F.col(id_col),
         F.explode_outer(
             F.regexp_extract_all(
@@ -289,6 +296,8 @@ def bpe_encode_tokens(
     collect_list(struct(wpos, ...)) + sort + flatten rebuilds each doc's
     stream (no window, one shuffle on the id). Docs with no words get
     an empty array."""
+    from ..sources.io import spread_for_cpu
+
     merge_list = [(a, b, ab) for _, a, b, ab, _ in merges]
 
     @pandas_udf("array<string>")
@@ -304,7 +313,9 @@ def bpe_encode_tokens(
 
         return words.map(enc)
 
-    words = df.select(
+    # spread before the explode — same rationale as bpe_encode_counts
+    # (r12 interleaved A/B at sf1: 3.42 -> 2.20 s)
+    words = spread_for_cpu(df.select(id_col, text_col)).select(
         F.col(id_col),
         F.posexplode_outer(
             F.regexp_extract_all(

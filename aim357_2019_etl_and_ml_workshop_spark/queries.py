@@ -966,8 +966,15 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: char length, token count, stopword ratio — all
-    JVM-side higher-order array functions, no Python in the row path."""
-    docs = _t(spark, sf_dir, "documents")
+    JVM-side higher-order array functions, no Python in the row path.
+    The scan is spread to core count first (no-op once the table has
+    enough splits): the tokenize/stopword kernel is CPU-bound and the
+    documents file has 1-2 row groups at bench SFs, so the un-spread
+    form ran the whole corpus on <=2 cores (r12 interleaved A/B:
+    sf1 0.93 -> 0.50 s, sf0.1 0.38 -> 0.24 s)."""
+    docs = spread_for_cpu(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     toks = F.split(F.trim(F.col("text")), r"\s+")
     lower_toks = F.split(F.lower(F.col("text")), " ")
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
@@ -2605,12 +2612,15 @@ def bpe_packed_sequences_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 def rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-aware polynomial rolling-hash fingerprint
     (operators.textanalysis.rolling_hash); exact cross-engine (modular
-    arithmetic, no overflow)."""
+    arithmetic, no overflow). Scan spread to core count first: the
+    per-character aggregate fold is the most CPU-dense scan-local kernel
+    in the registry and the documents file has 1-2 row groups at bench
+    SFs (r12 interleaved A/B: sf1 2.26 -> 1.21 s, sf0.1 0.38 -> 0.26 s)."""
     from .operators.textanalysis import rolling_hash
 
-    return _t(spark, sf_dir, "documents").select(
-        "doc_id", rolling_hash("text").alias("rhash")
-    )
+    return spread_for_cpu(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ).select("doc_id", rolling_hash("text").alias("rhash"))
 
 
 @register("tfidf_features")

@@ -38,10 +38,6 @@ _RUNTIME_CONF = {
     # engine-written micros tables and to DuckDB's naive-UTC read, and the
     # column stays a scan column so ts predicates push into the reader.
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
-    # Externally-created sessions (the driver's) default to 200 shuffle
-    # partitions — over-parallelized for local runs; runtime-settable, and
-    # AQE still coalesces below this at execution time.
-    "spark.sql.shuffle.partitions": "32",
 }
 
 
@@ -61,6 +57,21 @@ def pin_session_conf(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass  # static conf on this build: keep going, defaults are sane
+    # Shuffle width DERIVED from the deployment's core budget, not a
+    # constant (r12 — the previous hard-coded "32" here silently
+    # overwrote get_spark's cores-derived builder value, so a
+    # ?-core driver run still shuffled into 32 partitions; identical
+    # value at the local 32-core default, scale-adaptive elsewhere).
+    # Externally-created sessions (the driver's) otherwise default to
+    # 200 — over-parallelized for local runs; AQE still coalesces below
+    # this at execution time, and real clusters size it by data volume.
+    try:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(max(_default_parallelism(), 8)),
+        )
+    except Exception:
+        pass
     # Scan-split sizing is deployment-dependent: 128 MB splits are right
     # for a multi-executor cluster (bounded task count at 100 TB), but on
     # a single-node local master they leave a whole small-SF table in 1-2
