@@ -818,8 +818,23 @@ def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(pi * di).alias("_rev_e4"),
         F.count(F.lit(1)).alias("_n"),
     )
+    # Deliberate join strategy (guide §3.1, r12): the per_order <-> orders
+    # equi-join defaulted to sort-merge — two 15M-row sorts at sf10 whose
+    # only purpose was the merge. SHUFFLE_HASH builds a per-partition hash
+    # table over the narrow orders side instead: build keys are UNIQUE
+    # (one row per order), so the build side cannot be skewed, and the
+    # per-partition build is |orders|/shuffle-partitions 16-byte rows —
+    # bounded at any scale AQE sizes the shuffle for. Interleaved A/B
+    # (quiet box, min of 3): sf0.1 1.00 -> 0.90, sf1 1.40 -> 1.12,
+    # sf10 10.47 -> 8.52 s. A direct lineitem x orders SHJ (no per-order
+    # pre-aggregate, q1-style counter-bucket integer partials) read
+    # 7.51 s at sf10 but regressed sf0.1 to 1.13 and quadruples the
+    # shuffled row count — rejected; the pre-aggregate stays.
     return (
-        per_order.join(orders, per_order.l_orderkey == orders.o_orderkey)
+        per_order.join(
+            orders.hint("SHUFFLE_HASH"),
+            per_order.l_orderkey == orders.o_orderkey,
+        )
         .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
         .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
         .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
@@ -865,8 +880,15 @@ def customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("o_price_dec").alias("_s"),
         )
     )
+    # Deliberate join strategy (guide §3.1, r12): left-outer SMJ paid two
+    # |customers|-sized sorts just to merge; SHUFFLE_HASH builds the hash
+    # table over the aggregated (unique-key, hence skew-free) per_cust
+    # side instead. Interleaved A/B min-of-3: sf0.1 0.59 -> 0.43,
+    # sf1 0.74 -> 0.64, sf10 2.05 vs 2.20 (medians 2.45 vs 2.27 — inside
+    # the band; the per-customer aggregate dominates there).
     return cust.join(
-        per_cust, cust.c_custkey == per_cust.o_custkey, "left"
+        per_cust.hint("SHUFFLE_HASH"), cust.c_custkey == per_cust.o_custkey,
+        "left",
     ).select(
         "c_custkey",
         F.coalesce(F.col("_n"), F.lit(0)).alias("n_orders"),
