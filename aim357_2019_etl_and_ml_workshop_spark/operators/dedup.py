@@ -297,9 +297,14 @@ def minhash_near_duplicates(
     materialization points of the pipeline.
 
     ``eager_release=True`` materializes the (tiny) verified pair list and
-    unpersists the shingle/candidate caches before returning, so repeated
-    calls in a long-lived session don't accumulate corpus-scale cached
-    frames until LRU eviction.
+    unpersists the shingle / candidate-doc-array caches before returning,
+    so repeated calls in a long-lived session don't accumulate corpus-scale
+    cached frames until LRU eviction. The default (lazy) mode deliberately
+    leaves THREE persisted frames alive — ``sh`` (exploded shingles),
+    ``cand`` (candidate pairs) and ``doc_arrs`` (candidate-doc shingle
+    arrays, r12) — because the returned DataFrame still references them;
+    they are materialized by the caller's action and released on session
+    cache eviction. Long-lived services should pass eager_release=True.
 
     ``max_bucket_size`` forwards to minhash_lsh_candidates' hot-bucket
     guard (code-review r7: it was previously unreachable from this entry

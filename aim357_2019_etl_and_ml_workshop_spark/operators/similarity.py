@@ -1043,9 +1043,16 @@ def lsh_topk(
         for r in queries.select(id_col, vec_col).collect()
     }
     if dim is None:
-        if qmap:
-            dim = int(next(iter(qmap.values())).shape[0])
-        else:
+        # Guarded (r13, ADVICE): a NULL/empty query vector collects as a
+        # 0-d/0-len array — using it as dim would surface as an obscure
+        # IndexError here or a matmul shape error later. Take the first
+        # well-formed query vector; if none, fall back to the (robust)
+        # candidate-side size probe.
+        for v in qmap.values():
+            if v.ndim == 1 and v.size > 0:
+                dim = int(v.shape[0])
+                break
+        if dim is None:
             first = candidates.select(F.size(vec_col).alias("d")).first()
             dim = int(first["d"])
     all_planes = [

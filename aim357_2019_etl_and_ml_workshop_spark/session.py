@@ -62,14 +62,25 @@ def pin_session_conf(spark: SparkSession) -> SparkSession:
     # overwrote get_spark's cores-derived builder value, so a
     # ?-core driver run still shuffled into 32 partitions; identical
     # value at the local 32-core default, scale-adaptive elsewhere).
+    # r13 (ADVICE): the budget comes from sparkContext.defaultParallelism
+    # — the CLUSTER's total cores — not the driver machine's cpu_count,
+    # which on a multi-executor deployment would clamp shuffle width to
+    # the driver box (AQE only coalesces downward, so that caps
+    # parallelism). On local[$SPARK_GRAFT_CPUS] the two are identical, so
+    # the driver bench is unaffected. A width the caller set explicitly
+    # at submit/builder time (visible in the SparkContext conf) is
+    # respected — cluster operators size this by data volume, with AQE
+    # coalescing below it.
     # Externally-created sessions (the driver's) otherwise default to
     # 200 — over-parallelized for local runs; AQE still coalesces below
-    # this at execution time, and real clusters size it by data volume.
+    # this at execution time.
     try:
-        spark.conf.set(
-            "spark.sql.shuffle.partitions",
-            str(max(_default_parallelism(), 8)),
-        )
+        sc = spark.sparkContext
+        if not sc.getConf().contains("spark.sql.shuffle.partitions"):
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(max(sc.defaultParallelism, 8)),
+            )
     except Exception:
         pass
     # Scan-split sizing is deployment-dependent: 128 MB splits are right

@@ -25,14 +25,27 @@ class _StubConf:
 
 
 class _StubContext:
-    def __init__(self, master):
+    """Exposes exactly the SparkContext surface pin_session_conf touches:
+    master, defaultParallelism, and getConf().contains()."""
+
+    def __init__(self, master, default_parallelism=32, conf_keys=()):
         self.master = master
+        self.defaultParallelism = default_parallelism
+        self._keys = set(conf_keys)
+
+    def getConf(self):
+        return self
+
+    def contains(self, key):
+        return key in self._keys
 
 
 class _StubSession:
-    def __init__(self, master):
+    def __init__(self, master, default_parallelism=32, conf_keys=()):
         self.conf = _StubConf()
-        self.sparkContext = _StubContext(master)
+        self.sparkContext = _StubContext(
+            master, default_parallelism, conf_keys
+        )
 
 
 def test_cluster_master_keeps_cluster_scan_and_coalesce_defaults():
@@ -52,6 +65,35 @@ def test_local_master_gets_small_splits_and_min_partition_size():
         pin_session_conf(s)
         assert s.conf.set_calls[SPLIT_KEY] == str(16 * 1024 * 1024), master
         assert s.conf.set_calls[MINPART_KEY] == str(64 * 1024), master
+
+
+SHUFFLE_KEY = "spark.sql.shuffle.partitions"
+
+
+def test_shuffle_width_from_cluster_parallelism_not_driver_cpus():
+    """r13 (ADVICE): the width must come from the CLUSTER's core budget
+    (sparkContext.defaultParallelism), never the driver machine's
+    cpu_count — on a multi-executor deployment the latter would clamp
+    shuffle width to the driver box."""
+    s = _StubSession("spark://host:7077", default_parallelism=400)
+    pin_session_conf(s)
+    assert s.conf.set_calls[SHUFFLE_KEY] == "400"
+    # tiny deployments still get the floor of 8
+    s2 = _StubSession("local", default_parallelism=1)
+    pin_session_conf(s2)
+    assert s2.conf.set_calls[SHUFFLE_KEY] == "8"
+
+
+def test_shuffle_width_respects_caller_set_value():
+    """A width set explicitly at submit/builder time (visible in the
+    SparkContext conf) is the operator's sizing decision — not stomped."""
+    s = _StubSession(
+        "spark://host:7077",
+        default_parallelism=400,
+        conf_keys=(SHUFFLE_KEY,),
+    )
+    pin_session_conf(s)
+    assert SHUFFLE_KEY not in s.conf.set_calls
 
 
 def test_real_local_session_conf_applied(spark):
