@@ -1089,8 +1089,32 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ANN_STEP_SQL = "greatest(50, (SELECT count(*) FROM embeddings) // 100)"
 
 
-def _ann_queries(emb: DataFrame) -> DataFrame:
-    step = max(50, emb.count() // 100)
+def _ann_queries(emb: DataFrame, sf_dir: str | None = None) -> DataFrame:
+    # The step rule needs |embeddings| — a full count(*). With ``sf_dir``
+    # the count comes from the parquet footer metadata on the driver
+    # (~0.2 ms, the same bytes the distributed count job's tasks read;
+    # re-read every invocation, nothing memoized), replacing a per-build
+    # Spark job that cost every ANN query ~0.1-0.2 s of fixed driver time
+    # (r13, VERDICT r12 next #4 driver-job audit). Identical N by
+    # construction: the emb frame at every call site is the unfiltered
+    # embeddings scan, and the oracle derives step from the same
+    # count(*) FROM embeddings. Fallback (non-file path, missing file,
+    # pyarrow error): the original distributed count.
+    n = None
+    if sf_dir is not None:
+        try:
+            import os as _os
+
+            import pyarrow.parquet as _pq
+
+            path = _os.path.join(sf_dir, "embeddings.parquet")
+            if _os.path.isfile(path):
+                n = _pq.ParquetFile(path).metadata.num_rows
+        except Exception:
+            n = None
+    if n is None:
+        n = emb.count()
+    step = max(50, n // 100)
     return emb.where(F.col("vec_id") % step == 0)
 
 
@@ -1127,7 +1151,7 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_vec("embedding").alias("v")
     )
-    q = _ann_queries(emb)
+    q = _ann_queries(emb, sf_dir)
     return brute_force_topk(emb, q, k=5)
 
 
@@ -1321,7 +1345,7 @@ def lsh_ann_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_vec("embedding").alias("v")
     )
-    q = _ann_queries(emb)
+    q = _ann_queries(emb, sf_dir)
     return lsh_topk(emb, q, k=5, n_tables=16, n_bits=4, multiprobe=1)
 
 
@@ -1399,7 +1423,7 @@ def lsh_portable_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_vec("embedding").alias("v")
     )
-    q = _ann_queries(emb)
+    q = _ann_queries(emb, sf_dir)
     return lsh_portable_topk(emb, q, k=5, n_tables=16, n_bits=4)
 
 
@@ -2049,7 +2073,7 @@ def ivf_portable_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_vec("embedding").alias("v")
     )
-    q = _ann_queries(emb)
+    q = _ann_queries(emb, sf_dir)
     return ivf_portable_topk(emb, q, k=5, n_cells=16, n_probe=6)
 
 
@@ -2073,7 +2097,7 @@ def ivf_ann_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_vec("embedding").alias("v")
     )
-    q = _ann_queries(emb)
+    q = _ann_queries(emb, sf_dir)
     key = (sf_dir, 16)
     if key not in _IVF_CENTROID_CACHE:
         # one Lloyd pass over a 1k-row seeded sample: centroid quality only
@@ -7516,7 +7540,7 @@ def ivf_state_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_vec("embedding").alias("v")
     )
-    q = _ann_queries(emb)
+    q = _ann_queries(emb, sf_dir)
     # same memoized fit as ivf_ann_topk — the state under test IS that
     # model state, materialized to a (cell, centroid) table
     derived = ivf_ann_topk_query(spark, sf_dir).persist()

@@ -45,13 +45,35 @@ def _default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+# Marker conf proving THIS session already ran the full pin below. Every
+# registry query entrypoint calls pin_session_conf at build time, and the
+# full pin is ~12 py4j round trips (the cluster-conf `contains` probe alone
+# measured ~26 ms steady-state) — a real fraction of every sub-second
+# query's wall clock when the bench builds each query fresh per timed run
+# (r13, VERDICT r12 next #4). The marker collapses repeat pins to ONE
+# conf.get round trip (~0.2 ms). Session-scoped state lives in the session
+# itself (no driver-side registry to go stale across wrapper objects);
+# re-pin contract: callers that deliberately mutate engine conf mid-session
+# (tests do, via spark.conf.set) must also clear this marker — or simply
+# not rely on entrypoints to undo their change, which was already true:
+# the old per-call pin only reset the _RUNTIME_CONF keys, nothing else.
+_PIN_MARKER = "spark.aim357.sessionConfPinned"
+
+
 def pin_session_conf(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable engine conf to an externally-created session.
 
     The correctness driver constructs its own SparkSession; every public
     query entrypoint routes through this so results do not depend on the
-    caller's timezone / ANSI defaults.
+    caller's timezone / ANSI defaults. Idempotent and memoized in-session:
+    after the first full application a marker conf short-circuits repeat
+    calls (see _PIN_MARKER).
     """
+    try:
+        if spark.conf.get(_PIN_MARKER, None) == "1":
+            return spark
+    except Exception:
+        pass
     for k, v in _RUNTIME_CONF.items():
         try:
             spark.conf.set(k, v)
@@ -106,6 +128,10 @@ def pin_session_conf(spark: SparkSession) -> SparkSession:
                 "spark.sql.adaptive.coalescePartitions.minPartitionSize",
                 str(64 * 1024),
             )
+    except Exception:
+        pass
+    try:
+        spark.conf.set(_PIN_MARKER, "1")
     except Exception:
         pass
     return spark

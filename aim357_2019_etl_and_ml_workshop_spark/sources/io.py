@@ -134,6 +134,24 @@ def read_parquet_evolved(spark: SparkSession, path: str | list[str]) -> DataFram
     )
 
 
+# spread_for_cpu decision memo. The probe (`df.rdd.getNumPartitions()`)
+# runs full physical planning on a FRESH plan every call — measured
+# ~50-105 ms steady-state on local[32], charged to every spread-guarded
+# query build (the bench builds each query fresh per timed run; VERDICT
+# r12 next #4 asked for exactly this batching). The decision depends only
+# on (scan split count, core budget), both deterministic from
+# (canonicalized plan, maxPartitionBytes, defaultParallelism) — so it is
+# keyed on df.semanticHash() (analysis-only, ~9 ms fresh; expression-id
+# canonicalized, so per-invocation rebuilds of the same projection hit).
+# Same staleness class as the reader-plan memo in queries._t: metadata
+# about an immutable plan, never row data or results. A (astronomically
+# unlikely) hash collision could only flip the spread DECISION — a
+# partitioning choice the queries are value-independent of by
+# construction (the probe is already runtime-state-dependent), never a
+# result change. Bounded: cleared wholesale past 256 entries.
+_SPREAD_PROBE_CACHE: dict = {}
+
+
 def spread_for_cpu(df: DataFrame) -> DataFrame:
     """Rebalance a scan whose split count is below the cluster's core
     count before a CPU-bound per-row stage (regex/tokenize/hash kernels).
@@ -145,9 +163,23 @@ def spread_for_cpu(df: DataFrame) -> DataFrame:
     this is a no-op (no shuffle inserted); it only pays the (tiny) spread
     shuffle exactly when the input can't saturate the cores."""
     sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        return df.repartition(sc.defaultParallelism)
-    return df
+    dp = sc.defaultParallelism
+    try:
+        key = (
+            id(sc),
+            df.semanticHash(),
+            dp,
+            df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", ""),
+        )
+        needs = _SPREAD_PROBE_CACHE.get(key)
+        if needs is None:
+            needs = df.rdd.getNumPartitions() < dp
+            if len(_SPREAD_PROBE_CACHE) > 256:
+                _SPREAD_PROBE_CACHE.clear()
+            _SPREAD_PROBE_CACHE[key] = needs
+    except Exception:
+        needs = df.rdd.getNumPartitions() < dp
+    return df.repartition(dp) if needs else df
 
 
 def local_df(spark: SparkSession, rows, schema: str | StructType) -> DataFrame:
