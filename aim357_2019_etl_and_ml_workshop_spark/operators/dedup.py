@@ -272,6 +272,71 @@ def minhash_lsh_candidates(
     return cand
 
 
+# Join strategy for attaching candidate-doc shingle arrays to the pair
+# table in minhash_near_duplicates' verify phase. "auto" (default) picks
+# per the broadcast budget below; None / "SHUFFLE_HASH" force one
+# strategy (module-level so the perf A/B can toggle it in one JVM; see
+# OPTIMIZATION_r13.md).
+_VERIFY_ATTACH_HINT: str | None = "auto"
+
+# doc_arrs bytes per raw parquet corpus byte, worst case: each text byte
+# lands in up to shingle_n shingle strings (~3x) and parquet zstd
+# compresses text ~2-3x — so in-memory candidate-doc shingle arrays run
+# up to ~8x the file bytes (measured 6.5x at sf10: 59.5 MB parquet ->
+# 386 MB shuffled doc_arrs).
+_ATTACH_ARRAY_EXPANSION = 8
+
+
+def _attach_strategy(df) -> str | None:
+    """Choose the verify-attach join strategy from the corpus size.
+
+    The planner's own estimate for doc_arrs (collect_list over a
+    semi-join) is unusably small, so left alone it BROADCASTS the
+    candidate-doc shingle arrays at any scale — at sf10 that is a
+    ~400 MB driver collect that measurably GC-thrashes the verify kernel
+    and intermittently dies outright ("Not enough memory to build and
+    broadcast the table", observed in the r13 A/B). Guard: broadcast
+    only when the raw input bytes times the array expansion factor fit
+    the session's own autoBroadcastJoinThreshold; otherwise hint
+    SHUFFLE_HASH (build side = doc_arrs with UNIQUE doc ids, so no build
+    partition exceeds |candidate docs|/partitions rows — skew-safe at
+    any scale). Unknown size (non-file input) defaults to SHUFFLE_HASH:
+    the cost of wrongly shuffling is a few extra stage latencies; the
+    cost of wrongly broadcasting is a driver OOM. The decision is a
+    partitioning/strategy choice only — results are identical either
+    way (pinned by the r13 A/B equality check and the portable-twin
+    oracle)."""
+    if _VERIFY_ATTACH_HINT != "auto":
+        return _VERIFY_ATTACH_HINT
+    spark = df.sparkSession
+    try:
+        raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            thr = int(raw)
+        except ValueError:
+            thr = int(
+                spark._jvm.org.apache.spark.network.util.JavaUtils
+                .byteStringAsBytes(raw)
+            )
+    except Exception:
+        thr = 10 * 1024 * 1024
+    if thr <= 0:
+        return "SHUFFLE_HASH"
+    try:
+        files = df.inputFiles()
+        if not files:
+            return "SHUFFLE_HASH"
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        total = 0
+        for f in files:
+            p = jvm.org.apache.hadoop.fs.Path(f)
+            total += p.getFileSystem(hconf).getFileStatus(p).getLen()
+    except Exception:
+        return "SHUFFLE_HASH"
+    return None if total * _ATTACH_ARRAY_EXPANSION < thr else "SHUFFLE_HASH"
+
+
 def minhash_near_duplicates(
     df: DataFrame,
     text_col: str,
@@ -362,6 +427,10 @@ def minhash_near_duplicates(
         F.col("shs").alias("shs_b"),
         F.col("sz").alias("sz_b"),
     )
+    attach_hint = _attach_strategy(df)
+    if attach_hint:
+        a = a.hint(attach_hint)
+        b = b.hint(attach_hint)
     paired = (
         cand.join(a, "id_a")
         .join(b, "id_b")
