@@ -391,14 +391,46 @@ def lsh_portable_topk(
         planes,
         scale,
     ).select("c_id", "table", "bucket")
-    qb = _multi_table_buckets_int(
-        queries.select(
-            F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv")
-        ),
-        "qv",
-        planes,
-        scale,
-    ).select("q_id", "table", "bucket")
+    # Query-side buckets computed DRIVER-side (r13, same shape as lsh_topk
+    # and the IVF probe table): the query batch is tiny by contract, and
+    # the distributed form paid a scan + ArrowEvalPython + explode stage
+    # chain per invocation. Integer-exact quantization makes this
+    # bit-identical by construction (int64 matmul is associative — the
+    # full-value lsh_portable_topk oracle pins it); the unit-scale guard
+    # is preserved verbatim.
+    q_rows = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv")
+    ).collect()
+    qb_schema = "q_id bigint, table int, bucket bigint"
+    if q_rows:
+        qv = np.stack(
+            [np.asarray(r["qv"], dtype=np.float64) for r in q_rows]
+        )
+        amax = float(np.abs(qv).max()) if qv.size else 0.0
+        if amax > 1.0:
+            raise ValueError(
+                f"portable buckets require unit-scale components "
+                f"(|x| <= 1); got max |x| = {amax}. Normalize the "
+                "embedding first — int64 dots would overflow silently."
+            )
+        planes_flat = np.array(
+            [p for ps in planes for p in ps], dtype=np.int64
+        )
+        weights = (1 << np.arange(n_bits)).astype(np.int64)
+        vq = np.floor(qv * scale).astype(np.int64)
+        signs = (vq @ planes_flat.T) > 0
+        B = signs.reshape(len(vq), n_tables, n_bits) @ weights
+        qb = local_df(
+            queries.sparkSession,
+            [
+                (int(r["q_id"]), t, int(B[i, t]))
+                for i, r in enumerate(q_rows)
+                for t in range(n_tables)
+            ],
+            qb_schema,
+        )
+    else:
+        qb = local_df(queries.sparkSession, [], qb_schema)
     pairs = (
         qb.join(cb, ["table", "bucket"])
         .where(F.col("q_id") != F.col("c_id"))
@@ -986,6 +1018,40 @@ def _multi_table_buckets(
     )
 
 
+def _driver_query_buckets(
+    qmap: dict,
+    all_planes: list,
+    multiprobe: int = 0,
+) -> list[tuple[int, int, int]]:
+    """(q_id, table, bucket) rows for a collected query batch, computed
+    on the driver — the SAME stacked numpy projection _multi_table_buckets
+    runs in its Arrow UDF (one (|Q|, dim) @ (dim, T*B) matmul; same
+    library, machine, and single-thread BLAS pin, so bucket bits match —
+    pinned by tests/test_dedup_similarity's equivalence test). Multiprobe
+    XOR fan-out and its dedup happen in plain sets instead of an
+    explode + distinct exchange."""
+    n_tables, n_bits = len(all_planes), len(all_planes[0])
+    qids = sorted(qmap)
+    if not qids:
+        return []
+    V = np.stack([qmap[qid] for qid in qids])
+    planes_flat = np.array(
+        [p for planes in all_planes for p in planes], dtype=np.float64
+    )
+    weights = (1 << np.arange(n_bits)).astype(np.int64)
+    signs = (V @ planes_flat.T) > 0
+    B = signs.reshape(len(V), n_tables, n_bits) @ weights
+    rows: list[tuple[int, int, int]] = []
+    for i, qid in enumerate(qids):
+        for t in range(n_tables):
+            base = int(B[i, t])
+            buckets = {base}
+            if multiprobe >= 1:
+                buckets |= {base ^ (1 << b) for b in range(n_bits)}
+            rows.extend((qid, t, bk) for bk in sorted(buckets))
+    return rows
+
+
 def lsh_topk(
     candidates: DataFrame,
     queries: DataFrame,
@@ -1093,18 +1159,22 @@ def lsh_topk(
     c = c.select("c_id", "table", "bucket").repartition(
         n_out, F.col("c_id"), F.col("table")
     )
-    q = _multi_table_buckets(
-        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv")),
-        "qv",
-        all_planes,
-    ).select("q_id", "table", "bucket")
-    if multiprobe >= 1:
-        probes = [F.col("bucket")] + [
-            F.col("bucket").bitwiseXOR(F.lit(1 << b)) for b in range(n_bits)
-        ]
-        q = q.select(
-            "q_id", "table", F.explode(F.array(*probes)).alias("bucket")
-        ).distinct()
+    # Query-side buckets computed DRIVER-side from the already-collected
+    # batch (r13 — the IVF probe table took this shape in r12): the
+    # distributed form paid a scan + ArrowEvalPython + explode (+ the
+    # multiprobe explode/distinct exchange) as two sequential single-task
+    # stages per invocation, ~0.6 s of pure stage latency at sf0.1 for a
+    # contract-bounded (~100-row) batch that the re-rank kernel collects
+    # anyway. The projection is the SAME stacked numpy matmul the UDF
+    # runs — one (|Q|, dim) @ (dim, T*B) — same library, machine, and
+    # single-thread BLAS pin, so bucket bits are unchanged (pinned by the
+    # equality test and the recall-check oracle). Multiprobe XOR fan-out
+    # and its dedup happen in plain sets.
+    q = local_df(
+        candidates.sparkSession,
+        _driver_query_buckets(qmap, all_planes, multiprobe),
+        "q_id bigint, table int, bucket bigint",
+    )
     raw = (
         c.join(F.broadcast(q), ["table", "bucket"])
         .where(F.col("c_id") != F.col("q_id"))

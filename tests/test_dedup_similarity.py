@@ -1570,3 +1570,47 @@ def test_semantic_dedup_fitted_cells_via_cell_col(spark, sf_dir):
         }
         # NULL-cell rows never compare (kept); the real cell keeps min id
         assert got == {1: True, 2: True, 3: True, 4: False}, strategy
+
+
+def test_driver_query_buckets_equal_distributed_udf(spark):
+    """r13: lsh_topk's query-side buckets moved from a distributed Arrow
+    UDF pass (_multi_table_buckets + multiprobe explode/distinct) to a
+    driver-side numpy computation over the already-collected batch. The
+    two must produce the IDENTICAL (q_id, table, bucket) set, multiprobe
+    included — same stacked matmul, so the sign bits match bit-for-bit."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from aim357_2019_etl_and_ml_workshop_spark.operators.similarity import (
+        _driver_query_buckets,
+        _multi_table_buckets,
+        hyperplanes,
+    )
+
+    rng = np.random.default_rng(7)
+    n, dim, n_tables, n_bits = 40, 16, 8, 4
+    vecs = rng.standard_normal((n, dim))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    qmap = {i: vecs[i] for i in range(n)}
+    all_planes = [hyperplanes(dim, n_bits, 42 + 1000 * t) for t in range(n_tables)]
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "q_id bigint, qv array<double>",
+    )
+    for multiprobe in (0, 1):
+        dist = _multi_table_buckets(df, "qv", all_planes).select(
+            "q_id", "table", "bucket"
+        )
+        if multiprobe:
+            probes = [F.col("bucket")] + [
+                F.col("bucket").bitwiseXOR(F.lit(1 << b))
+                for b in range(n_bits)
+            ]
+            dist = dist.select(
+                "q_id", "table", F.explode(F.array(*probes)).alias("bucket")
+            ).distinct()
+        want = {(r["q_id"], r["table"], r["bucket"]) for r in dist.collect()}
+        got = set(_driver_query_buckets(qmap, all_planes, multiprobe))
+        assert got == want, f"multiprobe={multiprobe}"
+    assert _driver_query_buckets({}, all_planes, 1) == []
