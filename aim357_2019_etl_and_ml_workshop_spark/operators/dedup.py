@@ -277,7 +277,7 @@ def minhash_lsh_candidates(
 # per the broadcast budget below; None / "SHUFFLE_HASH" force one
 # strategy (module-level so the perf A/B can toggle it in one JVM; see
 # OPTIMIZATION_r13.md).
-_VERIFY_ATTACH_HINT: str | None = "auto"
+_CORPUS_JOIN_HINT: str | None = "auto"
 
 # doc_arrs bytes per raw parquet corpus byte, worst case: each text byte
 # lands in up to shingle_n shingle strings (~3x) and parquet zstd
@@ -287,27 +287,29 @@ _VERIFY_ATTACH_HINT: str | None = "auto"
 _ATTACH_ARRAY_EXPANSION = 8
 
 
-def _attach_strategy(df) -> str | None:
-    """Choose the verify-attach join strategy from the corpus size.
-
-    The planner's own estimate for doc_arrs (collect_list over a
-    semi-join) is unusably small, so left alone it BROADCASTS the
-    candidate-doc shingle arrays at any scale — at sf10 that is a
-    ~400 MB driver collect that measurably GC-thrashes the verify kernel
-    and intermittently dies outright ("Not enough memory to build and
-    broadcast the table", observed in the r13 A/B). Guard: broadcast
-    only when the raw input bytes times the array expansion factor fit
-    the session's own autoBroadcastJoinThreshold; otherwise hint
-    SHUFFLE_HASH (build side = doc_arrs with UNIQUE doc ids, so no build
-    partition exceeds |candidate docs|/partitions rows — skew-safe at
-    any scale). Unknown size (non-file input) defaults to SHUFFLE_HASH:
-    the cost of wrongly shuffling is a few extra stage latencies; the
-    cost of wrongly broadcasting is a driver OOM. The decision is a
-    partitioning/strategy choice only — results are identical either
-    way (pinned by the r13 A/B equality check and the portable-twin
-    oracle)."""
-    if _VERIFY_ATTACH_HINT != "auto":
-        return _VERIFY_ATTACH_HINT
+def _corpus_join_strategy(df) -> str | None:
+    """Choose a join strategy for joins whose build side is a
+    corpus-scale AGGREGATE (minhash's doc_arrs verify-attach, the
+    repeated-span freq/canon/covered/rebuilt tables): the planner's size
+    estimate for such aggregates is unusably small, so left alone it
+    BROADCASTS them at any scale — at sf10 minhash's ~400 MB doc-array
+    collect measurably GC-thrashed the verify kernel and intermittently
+    died outright ("Not enough memory to build and broadcast the
+    table"), and the sf10 soak recorded the same OOM for
+    substring_dedup_rewrite (SOAK_r12 err_adjudication). Guard:
+    broadcast only when the raw input bytes times the expansion factor
+    fit the session's own autoBroadcastJoinThreshold; otherwise hint
+    SHUFFLE_HASH. Every guarded build side has UNIQUE or distinct join
+    keys (per-doc arrays, per-ngram aggregates, distinct (id, pos)
+    rows), so no build partition exceeds |build rows|/partitions —
+    skew-safe at any scale. Unknown size (non-file input) defaults to
+    SHUFFLE_HASH: the cost of wrongly shuffling is a few extra stage
+    latencies; the cost of wrongly broadcasting is a driver OOM. The
+    decision is a partitioning/strategy choice only — results are
+    identical either way (pinned by the r13 A/B equality checks and the
+    full-value oracles of the span queries / portable minhash twin)."""
+    if _CORPUS_JOIN_HINT != "auto":
+        return _CORPUS_JOIN_HINT
     spark = df.sparkSession
     try:
         raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -427,7 +429,7 @@ def minhash_near_duplicates(
         F.col("shs").alias("shs_b"),
         F.col("sz").alias("sz_b"),
     )
-    attach_hint = _attach_strategy(df)
+    attach_hint = _corpus_join_strategy(df)
     if attach_hint:
         a = a.hint(attach_hint)
         b = b.hint(attach_hint)
@@ -1342,6 +1344,13 @@ def repeated_ngram_spans(
             .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
             .where(F.col("n_docs") >= min_docs)
         )
+        # freq is bounded by the corpus's repeated-distinct-ngram count —
+        # a corpus-scale aggregate the planner under-estimates and then
+        # broadcasts (the SOAK_r12 sf10 OOM); size the strategy from the
+        # input bytes instead (see _corpus_join_strategy)
+        hint = _corpus_join_strategy(df)
+        if hint:
+            freq = freq.hint(hint)
         return spans.join(freq, "ng").select(
             id_col,
             F.col("pos").cast("bigint").alias("pos"),
@@ -1370,6 +1379,12 @@ def repeated_ngram_spans(
         .where(F.col("_hn") >= min_docs)
         .select("hg")
     )
+    # same corpus-sized strategy guard as the string mode: the survivor
+    # hash set scales with duplicate mass, and a planner-estimated
+    # broadcast of it is the driver-OOM mode SOAK_r12 recorded
+    hint = _corpus_join_strategy(df)
+    if hint:
+        hsurv = hsurv.hint(hint)
     cand = hspans.join(hsurv, "hg", "left_semi")
     # verify: rebuild the true string only for survivor occurrences; the
     # token table is pre-filtered to survivor docs so the rebuild join
@@ -1396,6 +1411,8 @@ def repeated_ngram_spans(
         .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
         .where(F.col("n_docs") >= min_docs)
     )
+    if hint:
+        freq = freq.hint(hint)
     return rebuilt.join(freq, "ng").select(
         id_col,
         F.col("pos").cast("bigint").alias("pos"),
@@ -1430,7 +1447,17 @@ def remove_repeated_spans(
     spans = repeated_ngram_spans(
         df, text_col, id_col, n, min_docs, hash_spans=hash_spans
     )
+    # canon (one row per repeated ngram), covered (distinct duplicate
+    # token positions) and rebuilt (one row per doc) are all corpus-scale
+    # aggregates whose planner estimates read tiny — left alone they all
+    # BROADCAST (5 BroadcastHashJoins in the sf10 plan), which is the
+    # driver-OOM mode SOAK_r12 adjudicated for this query. Size the
+    # strategy from the input bytes; build keys are unique/distinct, so
+    # the shuffled-hash builds are bounded at any scale.
+    hint = _corpus_join_strategy(df)
     canon = spans.groupBy("ngram_md5").agg(F.min(id_col).alias("_canon"))
+    if hint:
+        canon = canon.hint(hint)
     removable = spans.join(canon, "ngram_md5").where(
         F.col(id_col) != F.col("_canon")
     )
@@ -1440,6 +1467,8 @@ def remove_repeated_spans(
             F.sequence(F.col("pos"), F.col("pos") + (n - 1))
         ).alias("tpos"),
     ).distinct()
+    if hint:
+        covered = covered.hint(hint)
     toks = df.select(
         F.col(id_col), F.posexplode(toks_col).alias("tpos", "tok")
     ).where(F.col("tok") != "")
@@ -1459,6 +1488,8 @@ def remove_repeated_spans(
         ).alias("cleaned_md5"),
     )
     totals = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n_tok"))
+    if hint:
+        rebuilt = rebuilt.hint(hint)
     return totals.join(rebuilt, id_col, "left").select(
         id_col,
         F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),

@@ -1,5 +1,5 @@
 """r13: minhash_near_duplicates' verify-attach join strategy is chosen
-from the corpus size (operators/dedup._attach_strategy) — broadcast only
+from the corpus size (operators/dedup._corpus_join_strategy) — broadcast only
 when the input provably fits the session broadcast budget, SHUFFLE_HASH
 otherwise (the planner's own estimate for the collect_list aggregate is
 unusably small and chose a ~400 MB broadcast at sf10, which
@@ -22,21 +22,21 @@ def _docs(spark):
     return spark.createDataFrame(rows, "doc_id bigint, text string")
 
 
-def test_attach_strategy_defaults_shuffle_for_unknown_size(spark):
+def test_corpus_join_strategy_defaults_shuffle_for_unknown_size(spark):
     # in-memory frame: no input files -> scale-safe SHUFFLE_HASH
-    assert dedup._attach_strategy(_docs(spark)) == "SHUFFLE_HASH"
+    assert dedup._corpus_join_strategy(_docs(spark)) == "SHUFFLE_HASH"
 
 
-def test_attach_strategy_broadcasts_small_file_scans(spark, sf_dir):
+def test_corpus_join_strategy_broadcasts_small_file_scans(spark, sf_dir):
     from aim357_2019_etl_and_ml_workshop_spark import queries as q
 
     docs = q._t(spark, sf_dir, "documents")
     # sf0.001 documents are a few hundred KB; 8x expansion stays far
     # under the session's 64 MB broadcast threshold
-    assert dedup._attach_strategy(docs) is None
+    assert dedup._corpus_join_strategy(docs) is None
 
 
-def test_attach_strategy_shuffles_when_budget_too_small(spark, sf_dir):
+def test_corpus_join_strategy_shuffles_when_budget_too_small(spark, sf_dir):
     from aim357_2019_etl_and_ml_workshop_spark import queries as q
 
     docs = q._t(spark, sf_dir, "documents")
@@ -44,18 +44,18 @@ def test_attach_strategy_shuffles_when_budget_too_small(spark, sf_dir):
     prev = spark.conf.get(key)
     try:
         spark.conf.set(key, "1024")  # 1 KB budget: nothing fits
-        assert dedup._attach_strategy(docs) == "SHUFFLE_HASH"
+        assert dedup._corpus_join_strategy(docs) == "SHUFFLE_HASH"
         spark.conf.set(key, "-1")  # broadcasts disabled entirely
-        assert dedup._attach_strategy(docs) == "SHUFFLE_HASH"
+        assert dedup._corpus_join_strategy(docs) == "SHUFFLE_HASH"
     finally:
         spark.conf.set(key, prev)
 
 
 def test_minhash_results_identical_under_both_strategies(spark):
     docs = _docs(spark)
-    prev = dedup._VERIFY_ATTACH_HINT
+    prev = dedup._CORPUS_JOIN_HINT
     try:
-        dedup._VERIFY_ATTACH_HINT = None  # broadcast path
+        dedup._CORPUS_JOIN_HINT = None  # broadcast path
         bcast = sorted(
             map(
                 tuple,
@@ -65,7 +65,7 @@ def test_minhash_results_identical_under_both_strategies(spark):
             )
         )
         spark.catalog.clearCache()
-        dedup._VERIFY_ATTACH_HINT = "SHUFFLE_HASH"
+        dedup._CORPUS_JOIN_HINT = "SHUFFLE_HASH"
         shj = sorted(
             map(
                 tuple,
@@ -75,7 +75,7 @@ def test_minhash_results_identical_under_both_strategies(spark):
             )
         )
     finally:
-        dedup._VERIFY_ATTACH_HINT = prev
+        dedup._CORPUS_JOIN_HINT = prev
         spark.catalog.clearCache()
     assert bcast == shj
     assert (1, 4, 1.0) in [(a, b, round(j, 6)) for a, b, j in bcast]
